@@ -1,0 +1,222 @@
+"""Image payload handling for the media (image+caption) table.
+
+``BASELINE.json.input_hint`` mandates an input table
+``(image_id, bytes:binary, w, h, fmt, caption, phash:int64)`` with a
+per-row invariant: decoded pixels allclose vs reference (PSNR >= 40 dB
+for lossy formats) and caption exact equality.
+
+This container has no PIL/libjpeg, so the codec layer is:
+
+* **PNG**: a real, spec-compliant encoder/decoder written on stdlib
+  ``zlib``/``struct`` + numpy (8-bit RGB, filter 0 on encode, filters
+  0-4 honored on decode). Lossless -> decode is bit-exact.
+* **JPEG**: STUBBED with a deterministic fake. If PIL is importable we
+  use it; otherwise "jpeg" rows carry PNG-encoded *quantized* pixels
+  (values snapped to multiples of 3) — a stand-in lossy codec whose
+  decode differs from the pristine image but stays above the 40 dB
+  PSNR gate, so the verification plumbing (schema, batching, PSNR
+  math) is fully real and tested even though the entropy coding is not.
+
+All Spark-facing entry points are Arrow-batched pandas UDFs / iterator
+UDFs — never per-row Python (north-rule mandate). Column-pruning
+discipline: the ``bytes`` column is only ever referenced inside
+:func:`decode_verify_udf`, so Parquet scans elsewhere never read it.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+try:  # pragma: no cover - PIL absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_QUANT = 3  # stub-codec quantization step (see module docstring)
+
+
+# ---------------------------------------------------------------- PNG codec
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a PNG (color type 2, filter 0)."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG to an (h, w, 3) uint8 array (filters 0-4)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = bytearray()
+    h = bpp = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"unsupported PNG depth={depth} ctype={ctype}")
+            bpp = 3
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * bpp
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype, line = raw[y, 0], raw[y, 1:].copy()
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prior
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    cur[x] = line[x] + left
+                elif ftype == 3:
+                    cur[x] = line[x] + ((int(left) + int(up)) >> 1)
+                else:
+                    cur[x] = line[x] + _paeth(
+                        np.uint8(left), np.uint8(up), np.uint8(ul)
+                    )
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+    return out.reshape(h, w, bpp)
+
+
+def lossy_encode(pixels: np.ndarray) -> bytes:
+    """STUB lossy codec (no libjpeg here): quantize then PNG-encode.
+
+    Deterministic fake per the task brief — the Spark-side plumbing
+    (binary column, decode UDF, PSNR gate) is real; only the entropy
+    coding is simulated. Quantizing to step 3 yields PSNR ~ 50 dB,
+    comfortably above the 40 dB invariant.
+    """
+    q = _JPEG_QUANT
+    quant = ((pixels.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
+    return png_encode(quant)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png" or not _HAVE_PIL:
+        return png_decode(data)
+    raise NotImplementedError("real JPEG decode requires PIL")  # pragma: no cover
+
+
+# ------------------------------------------------------------ pixel metrics
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """64-bit average perceptual hash: 8x8 block-mean grayscale > mean.
+
+    Replaces the reference-absent phash the north rule asks us to
+    verify (``BASELINE.json:6``); comparison is popcount of XOR, done
+    Spark-side with native ``bit_count(phash ^ ref)``.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # block-mean downsample to 8x8 (pad to a multiple of 8 by edge-clipping)
+    ys = (np.linspace(0, h, 9)).astype(int)
+    xs = (np.linspace(0, w, 9)).astype(int)
+    small = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            small[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (small > small.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
+
+
+def synth_pixels(idx: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic image — pure function of (idx, w, h).
+
+    Smooth per-channel gradients + an idx-keyed interference pattern;
+    no RNG so regeneration is bit-identical across platforms.
+    """
+    yy, xx = np.mgrid[0:h, 0:w]
+    k = idx * 2654435761 % 2**32
+    r = (xx * 3 + yy * 7 + k) % 256
+    g = (xx * 5 + yy * 2 + (k >> 8)) % 256
+    b = (xx * xx // 7 + yy * 11 + (k >> 16)) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+# --------------------------------------------------------- Spark UDF layer
+VERIFY_SCHEMA = (
+    "image_id string, fmt string, psnr_db double, pixels_ok boolean, "
+    "phash_calc long, phash_ok boolean, caption string"
+)
+
+
+def decode_verify_iter(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode `bytes`, recompute pixels from image
+    index, check PSNR invariant + phash. Expects columns
+    (image_id, bytes, w, h, fmt, caption, phash, img_idx).
+    """
+    for pdf in batches:
+        out = {k: [] for k in (
+            "image_id", "fmt", "psnr_db", "pixels_ok", "phash_calc",
+            "phash_ok", "caption",
+        )}
+        for row in pdf.itertuples(index=False):
+            decoded = decode_image(bytes(row.bytes), row.fmt)
+            ref = synth_pixels(int(row.img_idx), int(row.w), int(row.h))
+            p = psnr(decoded, ref)
+            lossless = row.fmt == "png"
+            ok = bool(np.array_equal(decoded, ref)) if lossless else p >= 40.0
+            ph = average_phash(decoded)
+            out["image_id"].append(row.image_id)
+            out["fmt"].append(row.fmt)
+            out["psnr_db"].append(min(p, 99.0) if np.isfinite(p) else 99.0)
+            out["pixels_ok"].append(ok)
+            out["phash_calc"].append(ph)
+            out["phash_ok"].append(ph == int(row.phash))
+            out["caption"].append(row.caption)
+        yield pd.DataFrame(out)

@@ -1,0 +1,969 @@
+"""The iterative frontier engine (wave driver).
+
+This replaces the reference's recursive interpreter ``_to_items``
+(``/root/reference/src/spatula/pages.py:206-244``): where the reference
+keeps the frontier on the Python call stack and visits pages depth-first
+one at a time, this engine keeps it in a DataFrame and processes one
+**wave** (BFS generation) per iteration:
+
+    seeds
+      └─ wave k:
+           politeness select (per-host budget window; overflow deferred)
+           robots filter (broadcast prefix rules)
+           URL-seen dedup (bloom prefilter -> exact anti-join)
+           in-wave first-wins dedup (window rn=1 on url_hash by path)
+           fetch = equi-join against the page-store on xxhash64(canon url)
+           per-class transform:
+             * native specs -> pure Catalyst column exprs (JVM only)
+             * hook specs   -> one Arrow mapInPandas dispatch
+           route emissions: items -> results, children/next/requeues ->
+             frontier k+1 (+ deferred), errors -> dead letter
+           seen ∪= fetched hashes;  metrics row;  checkpoint
+
+Depth-first emission order is reconstructed, not executed: every row
+carries a lexicographically sortable lineage ``path`` (schemas.py), and
+``CrawlResult.ordered()`` = ``orderBy(path)`` equals the reference's
+exact item sequence (golden tests mirror
+``tests/test_page_base.py:185-191,213-239,242-308``).
+
+Semantics matrix carried over from the reference:
+
+* retry-until-accepted: rejected rows requeue with ``attempts+1`` into
+  the next wave until ``retries+1`` attempts, then ``RejectedResponse``
+  (pages.py:168-195) — requeues bypass the seen-set.
+* handled fetch error => no items, **pagination still runs**
+  (pages.py:210-215); unhandled => dead letter / fail-fast
+  (pages.py:298-304 default re-raise).
+* ``SkipItem`` in a detail page => page emits nothing and does **not**
+  paginate (pages.py:218-222); ``SkipItem`` per list item => item
+  dropped, siblings + pagination continue (pages.py:436-445).
+* dependencies fetched once and shared (pages.py:133,141-155) — the
+  dep result is computed driver-side once and closure-broadcast into
+  the transform (the reference's ``_cached_dependencies``).
+* scout mode projects each result to ``{data, __next__}`` without
+  following children but following pagination (pages.py:19-30,225-244);
+  projection is a native expression over the emissions.
+
+Scale notes (the part that must survive 100 TB / 10^10 URLs):
+
+* Between waves: politeness window (shuffle on host), fetch join
+  (shuffle on url_hash; page-store pre-partitioned on the key so only
+  the slim frontier side moves), emission routing (no shuffle).
+* Hot hosts are split with a salted repartition on
+  (host, xxhash64(url)); AQE skew-join handles residue.
+* Per-wave ``localCheckpoint`` (or parquet when a checkpoint dir is
+  set) truncates the iterative lineage — the classic iterative-Spark
+  failure mode.
+* The seen-set check never shuffles the full frontier: the broadcast
+  Bloom tier answers "definitely unseen" locally; only the
+  "maybe seen" sliver (FPR-bounded) hits the exact anti-join.
+* payload ``bytes`` columns exist only between the fetch join and the
+  transform; frontier/results/seen stay slim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators import politeness as politeness_ops
+from ..operators import seen as seen_ops
+from ..urls import canonicalize_url, host_of, url_hash
+from .pagespec import (
+    ChildPage,
+    HandledError,  # noqa: F401  (public API re-export)
+    MissingSourceError,
+    NullSource,
+    PageCtx,
+    PageRegistry,
+    PageSpec,
+    SkipItem,
+    URL,
+    dump_input,
+    load_input,
+    obj_to_dict,
+)
+
+_EMISSION_OUT_SCHEMA = (
+    "emit_kind string, src_cls string, path string, item_json string, "
+    "child_cls string, child_url string, child_input_json string, "
+    "priority int, page_seq int, attempts int, error string"
+)
+
+_EMISSION_COLS = [
+    "emit_kind", "src_cls", "path", "item_json", "child_cls", "child_url",
+    "child_input_json", "priority", "page_seq", "attempts", "error",
+]
+
+_BATCH_SELECT = [
+    "page_cls", "path", "url", "input_json", "payload", "links", "next_url",
+    "status", "attempts", "page_seq", "payload_kind", "image_id", "found",
+    "priority", "flaky_rejects",
+]
+
+
+class CrawlError(Exception):
+    pass
+
+
+@dataclass
+class CrawlConfig:
+    max_waves: int | None = None
+    follow_children: bool = True
+    scout: bool = False
+    # politeness: per-wave per-host budget; None disables (reference's
+    # global --rpm generalized per-host, cli.py:33)
+    host_budget_per_wave: int | None = None
+    dedup_urls: bool = True
+    use_bloom: bool = True
+    bloom_fpr: float = 1e-3
+    bloom_shards: int = 16
+    # fixed per-shard capacity (blob size is set once; OR-merge keeps
+    # it constant). 1M hashes/shard ≈ 1.8 MB/shard at fpr 1e-3.
+    bloom_shard_capacity: int = 1 << 20
+    # below this many seen URLs the broadcast-bloom prefilter costs
+    # more than the plain anti-join it saves — skip it
+    bloom_min_seen: int = 4096
+    # bloom_exact_confirm=True: bloom is a prefilter, the exact
+    # anti-join confirms "maybe seen" rows (parity mode — zero false
+    # drops). False: bloom-only (scale mode; FPR-bounded URL loss).
+    bloom_exact_confirm: bool = True
+    salt_buckets: int = 8
+    fail_fast: bool = True
+    checkpoint_dir: str | None = None
+    target_partitions: int | None = None  # defaults to shuffle partitions
+    verbose: bool = False  # per-wave step timings to stderr
+    # per-wave materialization. "parquet" writes each wave's frontier/
+    # seen/emissions to a scratch dir and re-reads them — a *reliable*
+    # lineage cut (measured: flat ~1.3s/wave vs exponential growth with
+    # localCheckpoint on Spark 4.1, see BENCH notes); it is also
+    # exactly the Iceberg-snapshot-per-wave write pattern the north
+    # rule mandates. "local" keeps localCheckpoint (in-memory blocks).
+    materialize: str = "parquet"
+    spill_dir: str | None = None  # default: mkdtemp, removed on success
+
+
+@dataclass
+class CrawlResult:
+    results: DataFrame
+    dead: DataFrame
+    seen: DataFrame
+    metrics: pd.DataFrame
+    waves: int
+
+    def ordered(self) -> DataFrame:
+        """Results in the reference's exact DFS emission order."""
+        return self.results.orderBy("path")
+
+    def items(self) -> list[Any]:
+        """Driver-side ordered item values (test/parity helper)."""
+        return [json.loads(r["item_json"]) for r in self.ordered().collect()]
+
+
+def _hex_path(parent: str, slot: str, idx: int) -> str:
+    return f"{parent}{slot}{idx:08x}"
+
+
+def _resolve_child_source(
+    spec: PageSpec, child: ChildPage
+) -> tuple[str | None, bool]:
+    """(url, is_null_source) with the reference's precedence:
+    ctor arg > class attr > get_source_from_input (pages.py:157-166)."""
+    src = child.source
+    if src is None:
+        src = spec.source
+    if src is None and spec.source_from_input is not None:
+        src = spec.source_from_input(child.input)
+    if src is None:
+        raise MissingSourceError(
+            f"{spec.name} has no source or source_from_input"
+        )
+    if isinstance(src, NullSource):
+        return None, True
+    if isinstance(src, URL):
+        return src.url, False
+    return str(src), False
+
+
+_SKIPPED = object()
+
+
+def _run_process(spec: PageSpec, ctx: PageCtx) -> list[Any]:
+    """Run the page's processing hook, normalizing the reference's
+    result-kind dispatch (scalar | Page | generator, pages.py:225-241)
+    to a flat list."""
+    if (
+        spec.items_fn is not None
+        or spec.selector is not None
+        or spec.process_item is not None
+    ):
+        # ListPage semantics (pages.py:425-445)
+        if spec.items_fn is not None:
+            items = list(spec.items_fn(ctx))
+        elif ctx.payload_kind == "csv":
+            items = ctx.csv_rows
+        elif ctx.payload_kind == "json":
+            items = ctx.json if isinstance(ctx.json, list) else [ctx.json]
+        elif spec.selector is not None:
+            items = spec.selector.match(ctx.root)
+        else:
+            items = []
+        out = []
+        for item in items:
+            if spec.process_item is None:
+                out.append(item)
+                continue
+            try:
+                out.append(spec.process_item(item, ctx))
+            except SkipItem:
+                out.append(_SKIPPED)
+        return out
+    if spec.process_page is None:
+        return []
+    result = spec.process_page(ctx)
+    if result is None:
+        return []
+    if isinstance(result, (list, tuple)) or hasattr(result, "__next__"):
+        return list(result)
+    return [result]
+
+
+def _make_transform(
+    specs: dict[str, PageSpec], dep_values: dict[str, dict[str, Any]]
+) -> Callable:
+    """Build the mapInPandas body for hook-based specs: one dispatch
+    over page_cls, single pass, emissions out. User hooks run here,
+    Arrow-batched (same per-row semantics as the reference's hooks,
+    amortized transfer)."""
+
+    def _process_one(spec: PageSpec, row) -> list[tuple]:
+        rows: list[tuple] = []
+        parent_path = row.path
+        attempts = int(row.attempts)
+        payload = bytes(row.payload) if row.payload is not None else None
+        links = list(row.links) if row.links is not None else None
+        ctx = PageCtx(
+            input=load_input(row.input_json),
+            url=row.url,
+            status=int(row.status),
+            payload=payload,
+            links=links,
+            next_url=row.next_url,
+            attempts=attempts,
+            page_seq=int(row.page_seq),
+            payload_kind=row.payload_kind,
+            image_id=row.image_id,
+            flaky_rejects=int(row.flaky_rejects or 0),
+            deps=dep_values.get(spec.name, {}),
+        )
+
+        def paginate() -> None:
+            if spec.next_source is None:
+                return
+            nxt = spec.next_source(ctx)
+            if nxt is None:
+                return
+            if isinstance(nxt, NullSource):
+                url = None
+            else:
+                url = nxt.url if isinstance(nxt, URL) else str(nxt)
+            rows.append((
+                "next", row.page_cls,
+                _hex_path(parent_path, schemas.SLOT_PAGINATION,
+                          int(row.page_seq) + 1),
+                None, spec.name, url, row.input_json,
+                int(row.priority), int(row.page_seq) + 1, 0, None,
+            ))
+
+        # ---- fetch-outcome gates (reference _fetch_data, pages.py:135-195)
+        fetch_failed = (not row.found) or int(row.status) >= 400
+        if row.url is not None and fetch_failed:
+            if spec.handles_errors:
+                # HandledError: nothing to emit, but pagination still
+                # runs (pages.py:210-215)
+                paginate()
+                rows.append(("handled_error", row.page_cls, parent_path,
+                             None, None, None, None, int(row.priority),
+                             int(row.page_seq), 0,
+                             f"status={row.status} found={row.found}"))
+            else:
+                rows.append(("error", row.page_cls, parent_path, None, None,
+                             None, None, int(row.priority),
+                             int(row.page_seq), 0,
+                             f"HTTP error status={row.status} url={row.url}"))
+            return rows
+
+        if spec.accept_response is not None and row.url is not None:
+            if not spec.accept_response(ctx):
+                if attempts + 1 < spec.total_attempts():
+                    rows.append(("requeue", row.page_cls, parent_path, None,
+                                 spec.name, row.url, row.input_json,
+                                 int(row.priority), int(row.page_seq),
+                                 attempts + 1, None))
+                else:
+                    rows.append(("reject", row.page_cls, parent_path, None,
+                                 None, None, None, int(row.priority),
+                                 int(row.page_seq), attempts,
+                                 f"RejectedResponse after "
+                                 f"{spec.total_attempts()} attempts: {row.url}"))
+                return rows
+
+        # ---- process (reference process_page / ListPage loop)
+        try:
+            results = _run_process(spec, ctx)
+        except SkipItem as e:
+            # detail-page skip: nothing emitted, NO pagination
+            # (pages.py:218-222)
+            rows.append(("skip_page", row.page_cls, parent_path, None, None,
+                         None, None, int(row.priority), int(row.page_seq),
+                         0, str(e)))
+            return rows
+
+        idx = 0
+        for res in results:
+            if res is _SKIPPED:
+                rows.append(("skip_item", row.page_cls, parent_path, None,
+                             None, None, None, int(row.priority),
+                             int(row.page_seq), 0, "SkipItem"))
+                continue
+            if isinstance(res, ChildPage):
+                child_spec = specs[res.page_cls]
+                child_url, _is_null = _resolve_child_source(child_spec, res)
+                pr = (
+                    res.priority if res.priority is not None
+                    else int(row.priority)
+                )
+                rows.append((
+                    "child", row.page_cls,
+                    _hex_path(parent_path, schemas.SLOT_CHILD, idx),
+                    None, res.page_cls, child_url,
+                    dump_input(res.input), pr, 0, 0, None,
+                ))
+            else:
+                rows.append((
+                    "item", row.page_cls,
+                    _hex_path(parent_path, schemas.SLOT_CHILD, idx),
+                    json.dumps(obj_to_dict(res), sort_keys=True),
+                    None, None, None, int(row.priority),
+                    int(row.page_seq), 0, None,
+                ))
+            idx += 1
+
+        paginate()
+        return rows
+
+    def transform(batches):
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                out.extend(_process_one(specs[row.page_cls], row))
+            yield pd.DataFrame(out, columns=_EMISSION_COLS)
+
+    return transform
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: PageRegistry,
+        page_store: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        politeness: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.robots = robots
+        self.politeness = politeness
+        self.config = config or CrawlConfig()
+        n = self.config.target_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        self._nparts = n
+        if page_store is not None:
+            # slim fetch-side projection, repartitioned once on the join
+            # key so every wave's fetch join reuses the layout (the
+            # Iceberg deployment buckets the table on url_hash instead)
+            self.page_store = page_store.select(
+                "url_hash", "status", "payload_kind", "payload",
+                "links", "next_url", "image_id", "flaky_rejects",
+                F.col("canon_url").alias("store_url"),
+            ).repartition(n, "url_hash").persist()
+        else:
+            self.page_store = None
+
+    # ---------------------------------------------------------------- seeds
+    def seed_frontier(self, seeds: list[dict]) -> DataFrame:
+        """Build wave-0 frontier from seed dicts
+        (page_cls, url?, input?, priority?). Source resolution follows
+        the reference precedence (pages.py:157-166)."""
+        rows = []
+        for i, s in enumerate(seeds):
+            spec = self.registry[s["page_cls"]]
+            url = s.get("url")
+            if url is None:
+                child = ChildPage(page_cls=spec.name, input=s.get("input"))
+                url, _ = _resolve_child_source(spec, child)
+            rows.append(
+                (
+                    s["page_cls"],
+                    url,
+                    dump_input(s.get("input")),
+                    schemas.root_path(s.get("seq", i)),
+                    int(s.get("priority", 0)),
+                    0,
+                    0,
+                )
+            )
+        return self.spark.createDataFrame(rows, schema=schemas.FRONTIER_SCHEMA)
+
+    # ------------------------------------------------------------ materialize
+    def _materialize(self, df: DataFrame, label: str) -> DataFrame:
+        """Cut lineage + compute once at a wave boundary (SURVEY §4:
+        the iterative-loop pitfall). Parquet spill by default — an
+        Iceberg deployment makes this the snapshot commit."""
+        if self.config.materialize == "local":
+            return df.coalesce(self._nparts).localCheckpoint(eager=True)
+        self._spill_n += 1
+        path = os.path.join(self._spill, f"{self._spill_n:05d}_{label}")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # ---------------------------------------------------------------- crawl
+    def crawl(self, seeds: list[dict] | DataFrame) -> CrawlResult:
+        cfg = self.config
+        spark = self.spark
+        import tempfile
+
+        self._spill_n = 0
+        self._spill = cfg.spill_dir or tempfile.mkdtemp(prefix="spatula_spill_")
+        os.makedirs(self._spill, exist_ok=True)
+        frontier = (
+            seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
+        )
+        seen = spark.createDataFrame([], "url_hash long")
+        self._seen_count = 0
+        self._bloom = (
+            seen_ops.ShardedBloom(
+                cfg.bloom_shards, cfg.bloom_shard_capacity, cfg.bloom_fpr
+            )
+            if cfg.use_bloom
+            else None
+        )
+        results: list[DataFrame] = []
+        dead: list[DataFrame] = []
+        metrics_rows: list[dict] = []
+        dep_values = self._resolve_dependencies()
+        specs = self.registry.specs()
+        hook_cls = [n for n, s in specs.items() if s.native_emissions is None]
+        native_cls = [n for n, s in specs.items() if s.native_emissions is not None]
+        transform = _make_transform(specs, dep_values)
+
+        wave = 0
+        start_wave = 0
+        if cfg.checkpoint_dir:
+            resumed = self._try_resume(cfg.checkpoint_dir)
+            if resumed is not None:
+                frontier, seen, results, metrics_rows, start_wave = resumed
+                wave = start_wave
+                self._seen_count = seen.count()
+                if self._bloom is not None and self._seen_count:
+                    # one-time rebuild from the checkpointed seen table
+                    self._bloom.add_hashes_df(seen)
+
+        import sys
+        import time as _time
+
+        def _tick(label: str, t: list) -> None:
+            if cfg.verbose:
+                now = _time.time()
+                print(f"  [wave {wave}] {label}: {now - t[0]:.2f}s",
+                      file=sys.stderr, flush=True)
+                t[0] = now
+
+        while True:
+            t = [_time.time()]
+            if frontier.isEmpty():
+                break
+            _tick("isEmpty", t)
+            if cfg.max_waves is not None and wave >= cfg.max_waves + start_wave:
+                break
+
+            frontier = frontier.withColumn("host", host_of(F.col("url")))
+
+            # politeness budget (F5): overflow deferred, paths untouched
+            scheduled, deferred = politeness_ops.split_by_host_budget(
+                frontier, self.politeness, cfg.host_budget_per_wave
+            )
+            # robots (F6)
+            scheduled, blocked = politeness_ops.apply_robots(
+                scheduled, self.robots
+            )
+
+            fetchable = scheduled.filter(F.col("url").isNotNull()).withColumn(
+                "canon_url", canonicalize_url(F.col("url"))
+            ).withColumn("url_hash", url_hash(F.col("canon_url")))
+            nullsrc = scheduled.filter(F.col("url").isNull())
+
+            if cfg.dedup_urls:
+                fetchable = self._dedup(fetchable, seen)
+            # materialize once: feeds both the fetch join and the
+            # seen-set update without recomputing bloom/window plans
+            fetchable = self._materialize(fetchable, "fetchable")
+            _tick("fetchable ckpt", t)
+            new_seen = fetchable.filter(F.col("attempts") == 0).select("url_hash")
+            n_new = new_seen.count()
+            _tick("n_new count", t)
+
+            fetched = self._fetch(fetchable)
+            batch = fetched.unionByName(
+                nullsrc.select(
+                    "page_cls", "path", "url", "input_json",
+                    F.lit(None).cast("binary").alias("payload"),
+                    F.lit(None).cast("array<string>").alias("links"),
+                    F.lit(None).cast("string").alias("next_url"),
+                    F.lit(200).alias("status"),
+                    "attempts", "page_seq",
+                    F.lit(None).cast("string").alias("payload_kind"),
+                    F.lit(None).cast("string").alias("image_id"),
+                    F.lit(True).alias("found"),
+                    "priority",
+                    F.lit(0).alias("flaky_rejects"),
+                )
+            ).select(*_BATCH_SELECT)
+
+            parts: list[DataFrame] = []
+            if hook_cls:
+                parts.append(
+                    batch.filter(F.col("page_cls").isin(hook_cls)).mapInPandas(
+                        transform, _EMISSION_OUT_SCHEMA
+                    )
+                )
+            for name in native_cls:
+                sub = batch.filter(F.col("page_cls") == name)
+                parts.extend(self._native_emissions(specs[name], sub))
+            emissions = parts[0]
+            for p in parts[1:]:
+                emissions = emissions.unionByName(p)
+            # bound partition count: a union's partitioning is the SUM of
+            # its children's — left unchecked the per-wave union fan-in
+            # compounds geometrically across waves (7×(P+8) per wave).
+            # coalesce is narrow (no shuffle) and caps every wave at
+            # nparts.
+            emissions = self._materialize(
+                emissions.coalesce(self._nparts), "emissions"
+            )
+            _tick("emissions ckpt", t)
+
+            kind_counts = {
+                r["emit_kind"]: r["count"]
+                for r in emissions.groupBy("emit_kind").count().collect()
+            }
+            _tick("kind counts", t)
+
+            if cfg.scout:
+                wave_items = _scout_projection(emissions, wave)
+            else:
+                wave_items = emissions.filter(
+                    F.col("emit_kind") == "item"
+                ).select(
+                    F.col("path"),
+                    F.col("src_cls").alias("page_cls"),
+                    F.col("item_json"),
+                    F.lit(wave).alias("wave"),
+                )
+            results.append(wave_items)
+
+            wave_dead = emissions.filter(
+                F.col("emit_kind").isin("error", "reject")
+            )
+            n_dead = int(
+                kind_counts.get("error", 0) + kind_counts.get("reject", 0)
+            )
+            if cfg.fail_fast and n_dead:
+                samples = wave_dead.select("error").take(3)
+                raise CrawlError(
+                    f"wave {wave}: {[s['error'] for s in samples]}"
+                )
+            dead.append(wave_dead)
+
+            # seen ∪= this wave's first-attempt hashes (already unique:
+            # in-wave first-wins + seen anti-join guarantee it; errored
+            # fetches are consumed too, matching the reference where an
+            # attempted URL is never re-fetched). No global distinct —
+            # that would reshuffle the whole seen set every wave.
+            if n_new:
+                seen = self._materialize(
+                    seen.union(new_seen).coalesce(self._nparts), "seen"
+                )
+                self._seen_count += n_new
+                if self._bloom is not None:
+                    # incremental: OR this wave's shard blobs into the
+                    # driver-held filter (never a full rebuild)
+                    self._bloom.add_hashes_df(new_seen)
+            _tick("seen update", t)
+
+            # next frontier
+            kinds = ["next", "requeue"]
+            if cfg.follow_children:
+                kinds.append("child")
+            enqueue = emissions.filter(F.col("emit_kind").isin(kinds)).select(
+                F.col("child_cls").alias("page_cls"),
+                F.col("child_url").alias("url"),
+                F.col("child_input_json").alias("input_json"),
+                F.col("path"),
+                F.col("priority"),
+                F.col("attempts"),
+                F.col("page_seq"),
+            )
+            frontier = self._materialize(
+                enqueue.unionByName(
+                    deferred.select(*[f.name for f in schemas.FRONTIER_SCHEMA])
+                ).coalesce(self._nparts),
+                "frontier",
+            )
+            _tick("frontier ckpt", t)
+
+            metrics_rows.append(
+                {
+                    "wave": wave,
+                    "fetched": int(n_new),
+                    "items": int(kind_counts.get("item", 0)),
+                    "children": int(kind_counts.get("child", 0)),
+                    "next_pages": int(kind_counts.get("next", 0)),
+                    "requeued": int(kind_counts.get("requeue", 0)),
+                    "skipped_items": int(kind_counts.get("skip_item", 0)),
+                    "skipped_pages": int(kind_counts.get("skip_page", 0)),
+                    "handled_errors": int(kind_counts.get("handled_error", 0)),
+                    "dead": int(
+                        kind_counts.get("error", 0) + kind_counts.get("reject", 0)
+                    ),
+                }
+            )
+
+            if cfg.checkpoint_dir:
+                self._checkpoint(
+                    cfg.checkpoint_dir, wave, frontier, seen,
+                    wave_items, metrics_rows,
+                )
+                frontier = spark.read.parquet(
+                    os.path.join(cfg.checkpoint_dir, f"wave={wave}", "frontier")
+                )
+
+            wave += 1
+
+        all_results = spark.createDataFrame([], schemas.RESULT_SCHEMA)
+        for df in results:
+            all_results = all_results.unionByName(df)
+        all_dead = spark.createDataFrame([], _EMISSION_OUT_SCHEMA)
+        for df in dead:
+            all_dead = all_dead.unionByName(df)
+        return CrawlResult(
+            results=all_results,
+            dead=all_dead,
+            seen=seen,
+            metrics=pd.DataFrame(metrics_rows),
+            waves=wave - start_wave,
+        )
+
+    # ------------------------------------------------------------- internals
+    def _native_emissions(self, spec: PageSpec, sub: DataFrame) -> list[DataFrame]:
+        """Error/accept gating + emission generation for a native
+        (pure-Catalyst) spec — no Python anywhere on this path."""
+        parts: list[DataFrame] = []
+        failed = F.col("url").isNotNull() & (
+            ~F.col("found") | (F.col("status") >= 400)
+        )
+        err = sub.filter(failed)
+        ok = sub.filter(~failed)
+        if spec.handles_errors:
+            parts.append(_emit_native(err, "handled_error",
+                                      error=F.format_string(
+                                          "status=%s", F.col("status"))))
+            # pagination still runs on handled errors (pages.py:210-215)
+            parts.append(_emit_native_next(err.filter(F.col("next_url").isNotNull())))
+        else:
+            parts.append(_emit_native(err, "error",
+                                      error=F.format_string(
+                                          "HTTP error status=%s url=%s",
+                                          F.col("status"), F.col("url"))))
+        if spec.accept_expr is not None:
+            acc = F.expr(spec.accept_expr)
+            rej = ok.filter(~acc)
+            ok = ok.filter(acc)
+            total = spec.total_attempts()
+            requeue = rej.filter(F.col("attempts") + 1 < F.lit(total))
+            reject = rej.filter(F.col("attempts") + 1 >= F.lit(total))
+            parts.append(
+                requeue.select(
+                    F.lit("requeue").alias("emit_kind"),
+                    F.col("page_cls").alias("src_cls"),
+                    F.col("path"),
+                    F.lit(None).cast("string").alias("item_json"),
+                    F.col("page_cls").alias("child_cls"),
+                    F.col("url").alias("child_url"),
+                    F.col("input_json").alias("child_input_json"),
+                    F.col("priority"),
+                    F.col("page_seq"),
+                    (F.col("attempts") + 1).cast("int").alias("attempts"),
+                    F.lit(None).cast("string").alias("error"),
+                )
+            )
+            parts.append(_emit_native(
+                reject, "reject",
+                error=F.format_string(
+                    "RejectedResponse after %s attempts: %s",
+                    F.lit(str(total)), F.col("url"))))
+        parts.append(spec.native_emissions(ok))
+        return parts
+
+    def _dedup(self, fetchable: DataFrame, seen: DataFrame) -> DataFrame:
+        """Seen-set + in-wave dedup (F4 + E5-at-frontier, first-wins).
+
+        Requeued rows (attempts>0) bypass the seen filter — their URL
+        is legitimately being re-fetched (retry loop pages.py:168-195).
+        """
+        cfg = self.config
+        first_time = fetchable.filter(F.col("attempts") == 0)
+        requeues = fetchable.filter(F.col("attempts") > 0)
+
+        w = Window.partitionBy("url_hash").orderBy("path")
+        first_time = (
+            first_time.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        if self._seen_count > 0:
+            use_bloom = (
+                cfg.use_bloom
+                and self._bloom is not None
+                and self._seen_count >= cfg.bloom_min_seen
+            )
+            if use_bloom:
+                maybe_seen = self._bloom.membership_udf(self.spark)
+                flagged = first_time.withColumn(
+                    "_maybe", maybe_seen(F.col("url_hash"))
+                )
+                definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+                if cfg.bloom_exact_confirm:
+                    confirmed_new = (
+                        flagged.filter(F.col("_maybe"))
+                        .drop("_maybe")
+                        .join(seen, "url_hash", "left_anti")
+                    )
+                    first_time = definitely_new.unionByName(confirmed_new)
+                else:
+                    first_time = definitely_new
+            else:
+                first_time = first_time.join(seen, "url_hash", "left_anti")
+        return first_time.unionByName(requeues)
+
+    def _fetch(self, fetchable: DataFrame) -> DataFrame:
+        """The fetch stage: an equi-join against the synthetic page-store
+        (reference ``URL.get_response`` sources.py:42-52 becomes a join;
+        the real-HTTP variant would be a mapInPandas batch fetcher with
+        identical output schema)."""
+        if self.page_store is None:
+            raise CrawlError("no page_store configured")
+        fr = politeness_ops.salted_repartition(
+            fetchable, self._nparts, self.config.salt_buckets
+        )
+        joined = fr.join(self.page_store, "url_hash", "left")
+        return joined.select(
+            "page_cls", "path", "url", "input_json", "payload", "links",
+            "next_url",
+            F.coalesce(F.col("status"), F.lit(404)).alias("status"),
+            "attempts", "page_seq", "payload_kind", "image_id",
+            F.col("store_url").isNotNull().alias("found"),
+            "priority",
+            # synthetic flakiness: how many leading attempts the "server"
+            # degrades — consumed by accept hooks (retry tests)
+            F.coalesce(F.col("flaky_rejects"), F.lit(0)).alias("flaky_rejects"),
+        )
+
+    def _resolve_dependencies(self) -> dict[str, dict[str, Any]]:
+        """Instance dependencies: fetch + process each dep page ONCE on
+        the driver, share the value with every consumer (the reference's
+        ``_cached_dependencies``, pages.py:133,141-155). Values are
+        closure-captured into the transform => shipped once per task
+        like a broadcast."""
+        cache: dict[str, Any] = {}
+        out: dict[str, dict[str, Any]] = {}
+        for name, spec in self.registry.specs().items():
+            if not spec.dependencies:
+                continue
+            vals: dict[str, Any] = {}
+            for attr, dep_cls in spec.dependencies.items():
+                if dep_cls not in cache:
+                    cache[dep_cls] = self._run_dep(self.registry[dep_cls])
+                vals[attr] = cache[dep_cls]
+            out[name] = vals
+        return out
+
+    def _run_dep(self, spec: PageSpec) -> Any:
+        child = ChildPage(page_cls=spec.name, input=None)
+        url, is_null = _resolve_child_source(spec, child)
+        payload = links = next_url = image_id = payload_kind = None
+        status = 200
+        if not is_null and url is not None:
+            canon = canonicalize_url(F.lit(url))
+            row = (
+                self.page_store.filter(F.col("url_hash") == url_hash(canon))
+                .take(1)
+            )
+            if row:
+                r = row[0]
+                payload = bytes(r["payload"]) if r["payload"] is not None else None
+                links = list(r["links"]) if r["links"] is not None else None
+                next_url, image_id = r["next_url"], r["image_id"]
+                payload_kind, status = r["payload_kind"], r["status"]
+        ctx = PageCtx(
+            input=None, url=url, status=status, payload=payload, links=links,
+            next_url=next_url, attempts=0, page_seq=0,
+            payload_kind=payload_kind, image_id=image_id,
+        )
+        if spec.process_page is None:
+            raise CrawlError(f"dependency {spec.name} needs process_page")
+        return spec.process_page(ctx)
+
+    # ----------------------------------------------------------- checkpoint
+    def _checkpoint(self, base, wave, frontier, seen, items, metrics_rows):
+        """Wave-granular snapshot (frontier + seen + results delta +
+        metrics + manifest). With an Iceberg catalog this is one atomic
+        snapshot commit; on plain parquet we emulate atomicity by
+        writing the manifest last."""
+        d = os.path.join(base, f"wave={wave}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        items.write.mode("overwrite").parquet(os.path.join(d, "items"))
+        with open(os.path.join(d, "MANIFEST.json"), "w") as f:
+            json.dump({"wave": wave, "complete": True,
+                       "metrics": metrics_rows}, f)
+
+    def _try_resume(self, base):
+        if not os.path.isdir(base):
+            return None
+        waves = []
+        for entry in os.listdir(base):
+            m = os.path.join(base, entry, "MANIFEST.json")
+            if entry.startswith("wave=") and os.path.exists(m):
+                waves.append(int(entry.split("=")[1]))
+        if not waves:
+            return None
+        last = max(waves)
+        d = os.path.join(base, f"wave={last}")
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            manifest = json.load(f)
+        frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
+        seen = self.spark.read.parquet(os.path.join(d, "seen"))
+        results = [
+            self.spark.read.parquet(os.path.join(base, f"wave={w}", "items"))
+            for w in sorted(waves)
+        ]
+        return frontier, seen, results, list(manifest["metrics"]), last + 1
+
+    # ----------------------------------------------------------------- scout
+    def scout(self, seeds: list[dict] | DataFrame) -> list[dict]:
+        """Reference ``spatula scout`` (cli.py:444-468 +
+        ``_to_scout_result`` pages.py:19-30): each result projected to
+        {data, __next__}; children not followed, pagination followed.
+        The projection is a native expression over emissions — items
+        wrap their own payload, child rows their would-be input."""
+        import copy
+
+        cfg = copy.copy(self.config)
+        cfg.scout = True
+        cfg.follow_children = False
+        eng = CrawlEngine.__new__(CrawlEngine)
+        eng.spark, eng.registry = self.spark, self.registry
+        eng.robots, eng.politeness = self.robots, self.politeness
+        eng.config, eng._nparts = cfg, self._nparts
+        eng.page_store = self.page_store
+        res = eng.crawl(seeds)
+        rows = (
+            res.results.orderBy("path")
+            .select("item_json")
+            .collect()
+        )
+        return [json.loads(r["item_json"]) for r in rows]
+
+
+def _scout_projection(emissions: DataFrame, wave: int) -> DataFrame:
+    """Native scout projection (reference ``_to_scout_result``
+    pages.py:19-30): items -> {data, __next__: null}; would-be children
+    -> {data: input, __next__: "Cls source=URL|NullSource"}."""
+    items = emissions.filter(F.col("emit_kind") == "item").select(
+        "path",
+        F.col("src_cls").alias("page_cls"),
+        F.concat(
+            F.lit('{"data": '),
+            F.coalesce(F.col("item_json"), F.lit("null")),
+            F.lit(', "__next__": null}'),
+        ).alias("item_json"),
+        F.lit(wave).alias("wave"),
+    )
+    children = emissions.filter(F.col("emit_kind") == "child").select(
+        "path",
+        F.col("src_cls").alias("page_cls"),
+        F.concat(
+            F.lit('{"data": '),
+            F.coalesce(F.col("child_input_json"), F.lit("null")),
+            F.lit(', "__next__": "'),
+            F.col("child_cls"),
+            F.lit(" source="),
+            F.coalesce(F.col("child_url"), F.lit("NullSource")),
+            F.lit('"}'),
+        ).alias("item_json"),
+        F.lit(wave).alias("wave"),
+    )
+    return items.unionByName(children)
+
+
+def _emit_native(df: DataFrame, kind: str, error=None) -> DataFrame:
+    """Project a batch subset to emission rows (native)."""
+    return df.select(
+        F.lit(kind).alias("emit_kind"),
+        F.col("page_cls").alias("src_cls"),
+        F.col("path"),
+        F.lit(None).cast("string").alias("item_json"),
+        F.lit(None).cast("string").alias("child_cls"),
+        F.lit(None).cast("string").alias("child_url"),
+        F.lit(None).cast("string").alias("child_input_json"),
+        F.col("priority"),
+        F.col("page_seq"),
+        F.lit(0).alias("attempts"),
+        (error if error is not None else F.lit(None)).cast("string").alias("error"),
+    )
+
+
+def _emit_native_next(df: DataFrame) -> DataFrame:
+    """Pagination emission from the store's next_url column (native
+    analog of get_next_source, pages.py:318-324)."""
+    return df.select(
+        F.lit("next").alias("emit_kind"),
+        F.col("page_cls").alias("src_cls"),
+        F.concat(
+            F.col("path"), F.lit(schemas.SLOT_PAGINATION),
+            F.lower(F.lpad(F.hex(F.col("page_seq") + 1), 8, "0")),
+        ).alias("path"),
+        F.lit(None).cast("string").alias("item_json"),
+        F.col("page_cls").alias("child_cls"),
+        F.col("next_url").alias("child_url"),
+        F.col("input_json").alias("child_input_json"),
+        F.col("priority"),
+        (F.col("page_seq") + 1).cast("int").alias("page_seq"),
+        F.lit(0).alias("attempts"),
+        F.lit(None).cast("string").alias("error"),
+    )

@@ -1,0 +1,256 @@
+"""Declarative page specifications — the reference's class hierarchy as data.
+
+In the reference, crawl semantics live in a subclass tree
+(``Page`` -> ``HtmlPage`` / ``JsonPage`` / ``ListPage`` ... ,
+``/root/reference/src/spatula/pages.py:78-486``) whose instances ARE
+the execution state. Here a page class is a **registration**: a
+:class:`PageSpec` carrying the same hooks the reference exposes —
+
+==========================  =============================================
+reference hook              PageSpec field
+==========================  =============================================
+``source`` class attr       ``source``            (pages.py:131)
+``get_source_from_input``   ``source_from_input`` (pages.py:282-288)
+``accept_response``         ``accept_response``   (pages.py:306-307)
+``process_error_response``  ``handles_errors``    (pages.py:298-304)
+``process_page``            ``process_page``      (pages.py:309-316)
+``selector`` + ``process_item``  ListPage loop    (pages.py:436-459)
+``get_next_source``         ``next_source``       (pages.py:318-324)
+``dependencies``            ``dependencies``      (pages.py:133,141-155)
+``source.retries``          ``retries``           (pages.py:168-171)
+==========================  =============================================
+
+so user semantics become data the engine dispatches on, and classes
+never cross the driver/executor boundary — only (cls-name, hooks) pairs
+pickled once per job. Hooks run inside Arrow batch UDFs; fully
+vectorized specs can instead provide ``process_batch`` (a pandas
+DataFrame -> emissions transform) and skip per-row Python entirely.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from ..operators import parsers
+
+# reference config.py:3-4 (env-overridable there; plain defaults here)
+REJECTED_RESPONSE_RETRIES = 1
+RETRY_WAIT_SECONDS = 0.0  # synthetic store: no reason to sleep
+
+
+class SkipItem(Exception):
+    """Skip the current item / detail page (reference ``pages.py:33-57``)."""
+
+
+class MissingSourceError(Exception):
+    """No source and no source_from_input (reference ``pages.py:60-62``)."""
+
+
+class HandledError(Exception):
+    """Fetch error consumed by the page's error hook (``pages.py:65-67``)."""
+
+
+class RejectedResponse(Exception):
+    """accept_response kept rejecting until retries ran out
+    (reference ``pages.py:70-75``)."""
+
+
+@dataclass(frozen=True)
+class URL:
+    """Fetch descriptor (reference ``sources.py:10-41``). On the frontier
+    this flattens into the source columns; method/data/headers are
+    honored by the real-HTTP fetch variant and carried for parity."""
+
+    url: str
+    method: str = "GET"
+    data: dict | None = None
+    headers: dict | None = None
+    verify: bool = True
+    timeout: float | None = None
+    retries: int | None = None
+
+
+class NullSource:
+    """Page that needs no fetch (reference ``sources.py:58-72``)."""
+
+    def __repr__(self) -> str:  # matches reference __str__ for scout parity
+        return "NullSource"
+
+
+@dataclass
+class ChildPage:
+    """Hook return value enqueuing a subpage — the Spark stand-in for
+    the reference's "return a Page instance" fan-out (pages.py:225-238).
+    """
+
+    page_cls: str
+    input: Any = None
+    source: str | URL | None = None
+    priority: int | None = None
+
+
+@dataclass
+class PageCtx:
+    """Per-page view handed to hooks — mirrors the attribute surface a
+    reference ``Page`` instance sees in ``process_page`` (self.input,
+    self.root, self.response ...). Parsing is lazy so hooks that never
+    touch ``root`` pay nothing."""
+
+    input: Any
+    url: str | None
+    status: int
+    payload: bytes | None
+    links: list[str] | None
+    next_url: str | None
+    attempts: int
+    page_seq: int
+    payload_kind: str | None
+    image_id: str | None
+    # synthetic-store flakiness: how many leading attempts the "server"
+    # degrades (drives accept_response retry fixtures, pages.py:168-195)
+    flaky_rejects: int = 0
+    deps: dict[str, Any] = field(default_factory=dict)
+    _root: Any = None
+    _json: Any = None
+    _csv: Any = None
+
+    def __getattr__(self, name: str) -> Any:  # dependency attribute access
+        deps = object.__getattribute__(self, "deps")
+        if name in deps:
+            return deps[name]
+        raise AttributeError(name)
+
+    @property
+    def root(self):
+        """Parsed element tree (HtmlPage/XmlPage ``self.root``)."""
+        if self._root is None and self.payload is not None:
+            if self.payload_kind == "xml":
+                self._root = parsers.parse_xml(self.payload)
+            else:
+                self._root = parsers.parse_html(self.payload, base_url=self.url)
+        return self._root
+
+    @property
+    def json(self):
+        if self._json is None and self.payload is not None:
+            self._json = parsers.parse_json(self.payload)
+        return self._json
+
+    @property
+    def csv_rows(self):
+        if self._csv is None and self.payload is not None:
+            self._csv = parsers.parse_csv(self.payload)
+        return self._csv
+
+
+@dataclass
+class PageSpec:
+    name: str
+    # default source (reference class attr, pages.py:131); resolution
+    # precedence ctor-arg > class attr > source_from_input (pages.py:157-166)
+    source: str | URL | NullSource | None = None
+    source_from_input: Callable[[Any], str | URL | None] | None = None
+    # page hooks ----------------------------------------------------------
+    process_page: Callable[[PageCtx], Any] | None = None
+    # ListPage sugar: selector over ctx.root + per-item hook
+    # (reference ListPage.process_page pages.py:425-434 + loop :436-445)
+    selector: Any = None
+    process_item: Callable[[Any, PageCtx], Any] | None = None
+    # custom item enumeration (reference: a hand-written process_page
+    # that feeds _process_or_skip_loop, tests/test_page_base.py:266-284)
+    items_fn: Callable[[PageCtx], list] | None = None
+    # THE scale path: a pure-Catalyst transform. Takes this class's
+    # fetched-batch DataFrame, returns an emissions DataFrame (engine
+    # _EMISSION_OUT_SCHEMA). When set, no Python executes for this page
+    # class at all — parsing/extraction stays in whole-stage codegen.
+    native_emissions: Callable[..., Any] | None = None
+    # native accept predicate: SQL boolean expr over batch columns
+    # (e.g. "attempts >= flaky_rejects"); evaluated engine-side,
+    # rejected rows requeue per the reference retry loop
+    accept_expr: str | None = None
+    next_source: Callable[[PageCtx], str | URL | None] | None = None
+    accept_response: Callable[[PageCtx], bool] | None = None
+    handles_errors: bool = False
+    retries: int | None = None
+    dependencies: dict[str, str] = field(default_factory=dict)
+    input_type: Any = None
+    example_input: Any = None
+
+    def total_attempts(self) -> int:
+        # reference: (source.retries or REJECTED_RESPONSE_RETRIES) + 1
+        # (pages.py:168-171)
+        r = self.retries
+        if r is None and isinstance(self.source, URL):
+            r = self.source.retries
+        if r is None:
+            r = REJECTED_RESPONSE_RETRIES
+        return r + 1
+
+    def default_source_url(self) -> str | None:
+        if isinstance(self.source, str):
+            return self.source
+        if isinstance(self.source, URL):
+            return self.source.url
+        return None
+
+    def is_null_source(self) -> bool:
+        return isinstance(self.source, NullSource)
+
+
+class PageRegistry:
+    """Name -> PageSpec dispatch table (the Spark replacement for the
+    reference's "import the class by dotted path", ``cli.py:127-131``,
+    and module scanning for seeds, ``cli.py:143-154``)."""
+
+    def __init__(self) -> None:
+        self._specs: dict[str, PageSpec] = {}
+
+    def register(self, spec: PageSpec) -> PageSpec:
+        self._specs[spec.name] = spec
+        return spec
+
+    def __getitem__(self, name: str) -> PageSpec:
+        return self._specs[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._specs
+
+    def names(self) -> list[str]:
+        return sorted(self._specs)
+
+    def specs(self) -> dict[str, PageSpec]:
+        return dict(self._specs)
+
+
+def dump_input(value: Any) -> str | None:
+    """Record -> JSON for the frontier ``input_json`` column. Plain
+    dicts pass through; dataclass/attrs/pydantic-style objects are
+    normalized like the reference's ``_obj_to_dict``
+    (``utils.py:45-55``)."""
+    if value is None:
+        return None
+    return json.dumps(obj_to_dict(value), sort_keys=True)
+
+
+def obj_to_dict(obj: Any) -> Any:
+    """Reference ``_obj_to_dict`` (``utils.py:45-55``): dict passthrough,
+    dataclass/attrs/pydantic -> dict, else TypeError."""
+    import dataclasses
+
+    if obj is None or isinstance(obj, (dict, str, int, float, bool, list)):
+        return obj
+    if dataclasses.is_dataclass(obj):
+        return dataclasses.asdict(obj)
+    if hasattr(obj, "model_dump"):  # pydantic v2
+        return obj.model_dump()
+    if hasattr(obj, "dict") and callable(getattr(obj, "dict")):  # pydantic v1
+        return obj.dict()
+    if hasattr(obj, "__attrs_attrs__"):  # attrs
+        return {a.name: getattr(obj, a.name) for a in obj.__attrs_attrs__}
+    raise TypeError(f"invalid type: {obj!r}")
+
+
+def load_input(input_json: str | None) -> Any:
+    return json.loads(input_json) if input_json else None

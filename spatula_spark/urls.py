@@ -1,0 +1,114 @@
+"""URL canonicalization & hashing — 100% native Catalyst expressions.
+
+The reference delegates URL handling to ``scrapelib``/``requests`` and
+does no canonicalization beyond lxml's ``make_links_absolute``
+(``/root/reference/src/spatula/pages.py:343-344``). A 10^10-URL frontier
+needs a real canonicalizer so the seen-set key is stable. Per the north
+rule everything here is vectorized; in fact no UDF is needed at all —
+``parse_url`` / ``regexp_replace`` / ``array_sort`` / ``xxhash64`` are
+all JVM-side, whole-stage-codegen'd expressions.
+
+Rules (conservative, reversible-order-free):
+  * trim surrounding whitespace, drop the ``#fragment``
+  * lowercase scheme and host
+  * drop default ports (``:80`` http, ``:443`` https)
+  * collapse duplicate ``//`` in the path, strip a trailing slash
+    (except the root path), empty path -> ``/``
+  * sort query parameters (``a=1&b=2`` == ``b=2&a=1``); drop empty query
+
+``canonicalize_url_duckdb(expr)`` renders the *same* transformation as
+DuckDB SQL so the driver's oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (native exprs only)."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, ":(\\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80")) | ((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "(.)/$", "$1")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(
+            query.isNotNull() & (sorted_query != ""),
+            F.concat(F.lit("?"), sorted_query),
+        ).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_url_duckdb(expr: str) -> str:
+    """The same canonicalization rendered as DuckDB SQL over ``expr``.
+
+    Kept in lockstep with :func:`canonicalize_url`; used by
+    ``__spark_entry__.oracle_sql`` so DuckDB verifies the transformation
+    value-for-value.
+    """
+    u = f"regexp_replace(trim({expr}), '#.*$', '')"
+    proto = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    authority = f"regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+    host = f"lower(regexp_replace({authority}, ':[0-9]+$', ''))"
+    port = f"regexp_extract({authority}, ':([0-9]+)$', 1)"
+    raw_path = f"regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    path1 = f"regexp_replace({raw_path}, '/{{2,}}', '/', 'g')"
+    path2 = f"regexp_replace({path1}, '(.)/$', '\\1')"
+    path = f"(CASE WHEN {path2} = '' THEN '/' ELSE {path2} END)"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    sorted_query = f"list_aggregate(list_sort(string_split({query}, '&')), 'string_agg', '&')"
+    keep_port = (
+        f"({port} <> '' AND NOT (({proto} = 'http' AND {port} = '80') "
+        f"OR ({proto} = 'https' AND {port} = '443')))"
+    )
+    return (
+        f"({proto} || '://' || {host} "
+        f"|| (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) "
+        f"|| {path} "
+        f"|| (CASE WHEN {query} <> '' THEN '?' || {sorted_query} ELSE '' END))"
+    )
+
+
+def url_hash(canonical_url: Column) -> Column:
+    """64-bit seen-set key: native ``xxhash64`` over the canonical URL.
+
+    Internal only (DuckDB can't reproduce xxhash64); oracle-facing
+    queries use :func:`portable_hash64`.
+    """
+    return F.xxhash64(canonical_url)
+
+
+def host_of(url: Column) -> Column:
+    """Politeness partition key (lowercased host, native ``parse_url``)."""
+    return F.lower(F.parse_url(F.trim(url), F.lit("HOST")))
+
+
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash computable identically in Spark & DuckDB.
+
+    Spark: ``conv(substr(md5(s),1,15),16,10)`` cast to long. DuckDB
+    mirror: ``('0x' || substr(md5(s),1,15))::ubigint``. 15 hex digits =
+    60 bits, always < 2^63 so the long cast is exact.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_duckdb(expr: str) -> str:
+    """DuckDB rendering of :func:`portable_hash64`."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::ubigint)::bigint"
