@@ -193,7 +193,24 @@ def _resolve_child_source(
     return str(src), False
 
 
-_SKIPPED = object()
+class _SkippedType:
+    """Pickle-stable sentinel: cloudpickle captures nested-closure
+    globals by value, so a bare ``object()`` sentinel would compare by
+    identity against a different copy on the worker. ``__reduce__``
+    pins deserialization to the singleton."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __reduce__(self):
+        return (_SkippedType, ())
+
+
+_SKIPPED = _SkippedType()
 
 
 def _run_process(spec: PageSpec, ctx: PageCtx) -> list[Any]:
@@ -329,7 +346,7 @@ def _make_transform(
 
         idx = 0
         for res in results:
-            if res is _SKIPPED:
+            if isinstance(res, _SkippedType):
                 rows.append(("skip_item", row.page_cls, parent_path, None,
                              None, None, None, int(row.priority),
                              int(row.page_seq), 0, "SkipItem"))

@@ -1,0 +1,156 @@
+"""End-to-end flagship crawl: synthetic web -> media items -> pixel
+verification, plus politeness/robots/seen-set behavior and
+kill-and-resume from checkpoint (north-rule mandates)."""
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatula_spark.plans.engine import CrawlConfig, CrawlEngine
+from spatula_spark.plans.media_pipeline import (
+    crawl_items_df,
+    media_registry,
+    verify_media,
+)
+from spatula_spark.sources.synthweb import (
+    SynthWeb,
+    caption_for,
+    expected_detail_urls,
+)
+
+
+@pytest.fixture(scope="module")
+def web():
+    return SynthWeb(n_hosts=3, details_per_host=30, details_per_list=10,
+                    skew=2, with_errors=False, with_flaky=True)
+
+
+@pytest.fixture(scope="module")
+def store(spark, web):
+    df = web.page_store(spark)
+    df.persist().count()
+    return df
+
+
+def test_full_crawl_reaches_every_detail(spark, web, store):
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig())
+    res = eng.crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    assert got == expected_detail_urls(web)
+    # cross-host duplicate links were deduped: each URL exactly once
+    items = crawl_items_df(res.results)
+    assert items.count() == items.select("url").distinct().count()
+    # seen set == every fetched URL (details + list pages)
+    n_lists = int(store.filter("kind = 'list'").count())
+    assert res.seen.count() == len(expected_detail_urls(web)) + n_lists
+
+
+def test_media_invariants(spark, web, store):
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig())
+    res = eng.crawl(web.seeds())
+    items = crawl_items_df(res.results)
+    ver = verify_media(items, web.media(spark))
+    rows = ver.collect()
+    assert len(rows) == web.n_media
+    assert all(r["pixels_ok"] for r in rows)
+    assert all(r["phash_ok"] for r in rows)
+    assert all(r["psnr_db"] >= 40.0 for r in rows)
+    for r in rows:
+        idx = int(r["image_id"][4:])
+        assert r["caption"] == caption_for(idx)  # exact-equality invariant
+
+
+def test_politeness_budget_defers_not_drops(spark, web, store):
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(host_budget_per_wave=7))
+    res = eng.crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    assert got == expected_detail_urls(web)  # nothing lost, only deferred
+    # the budget stretches the crawl over more waves
+    unlimited = CrawlEngine(spark, media_registry(), page_store=store,
+                            config=CrawlConfig()).crawl(web.seeds())
+    assert res.waves > unlimited.waves
+
+
+def test_robots_blocks_prefix(spark, web, store):
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      robots=web.robots(spark), config=CrawlConfig())
+    res = eng.crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    blocked = {u for u in expected_detail_urls(web)
+               if "h1.example.com/detail/13" in u}
+    assert blocked  # fixture actually exercises the rule
+    assert got == expected_detail_urls(web) - blocked
+
+
+def test_bloom_and_exact_agree(spark, web, store):
+    base = CrawlConfig(use_bloom=False)
+    bloom = CrawlConfig(use_bloom=True, bloom_min_seen=1,
+                        bloom_shard_capacity=1 << 14)
+    r1 = CrawlEngine(spark, media_registry(), page_store=store,
+                     config=base).crawl(web.seeds())
+    r2 = CrawlEngine(spark, media_registry(), page_store=store,
+                     config=bloom).crawl(web.seeds())
+    u1 = sorted(r["url"] for r in crawl_items_df(r1.results).collect())
+    u2 = sorted(r["url"] for r in crawl_items_df(r2.results).collect())
+    assert u1 == u2
+    assert r1.seen.count() == r2.seen.count()
+
+
+def test_dfs_order_matches_document_order(spark, web, store):
+    """Within one list page, detail items must appear in link (document)
+    order after the path sort — the reference's DFS guarantee."""
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig())
+    res = eng.crawl(web.seeds())
+    items = crawl_items_df(res.results.orderBy("path")).collect()
+    per_host: dict[str, list[int]] = {}
+    for r in items:
+        host = r["url"].split("/")[2]
+        per_host.setdefault(host, []).append(
+            int(r["url"].rsplit("/", 1)[1])
+        )
+    for host, seq in per_host.items():
+        own = [j for j in seq]
+        # each host's own details arrive in strictly increasing order
+        # except cross-host dups (j==0 handled by dedup: appears once)
+        assert own == sorted(own), host
+
+
+def test_checkpoint_resume_identical(spark, web, store, tmp_path):
+    ck = str(tmp_path / "ck")
+    full = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig()).crawl(web.seeds())
+    # run 1: killed after 2 waves (simulated by max_waves)
+    CrawlEngine(spark, media_registry(), page_store=store,
+                config=CrawlConfig(checkpoint_dir=ck, max_waves=2)
+                ).crawl(web.seeds())
+    # run 2: resumes from the snapshot and finishes
+    res = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(checkpoint_dir=ck)
+                      ).crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    want = {r["url"] for r in crawl_items_df(full.results).collect()}
+    assert got == want
+    assert res.seen.count() == full.seen.count()
+    shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_scout_lists_only_first_level(spark, web, store):
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig())
+    out = eng.scout(web.seeds()[:1])
+    # scout follows pagination but not children: every child of every
+    # list page in host 0's chain is reported, none fetched
+    nexts = {d["__next__"] for d in out if d["__next__"]}
+    assert all(n.startswith("MediaDetailPage source=http://") for n in nexts)
+    # scout does not dedup (nothing is fetched — reference semantics):
+    # every link of every list page is reported, including the one
+    # cross-host duplicate per list page
+    n_details = web.offsets[1] - web.offsets[0]
+    n_lists = (n_details + web.details_per_list - 1) // web.details_per_list
+    assert len(out) == n_details + n_lists

@@ -1,0 +1,327 @@
+"""Golden parity tests: the engine must reproduce the reference's exact
+item sequences, counts, and skip/error/retry semantics.
+
+Every test mirrors a named reference test
+(/root/reference/tests/test_page_base.py and tests/examples.py); the
+golden values are the reference's own assertions. Specs use per-row
+hooks deliberately — these run through the Arrow transform path, the
+same path user code takes.
+"""
+
+import pytest
+
+from spatula_spark.operators.selectors import CSS
+from spatula_spark.operators.parsers import element_text
+from spatula_spark.plans.engine import CrawlConfig, CrawlEngine, CrawlError
+from spatula_spark.plans.pagespec import (
+    ChildPage,
+    MissingSourceError,
+    NullSource,
+    PageRegistry,
+    PageSpec,
+    SkipItem,
+)
+
+
+def _registry():
+    reg = PageRegistry()
+
+    # FirstPage / SecondPage (reference tests/test_page_base.py:169-191)
+    reg.register(PageSpec(
+        name="SecondPage",
+        source=NullSource(),
+        process_page=lambda ctx: {**ctx.input, "second": "appended"},
+    ))
+    reg.register(PageSpec(
+        name="FirstPage",
+        source=NullSource(),
+        process_page=lambda ctx: [
+            ChildPage("SecondPage", {"first": i}) for i in (1, 2, 3)
+        ],
+    ))
+
+    # ExampleListPage (tests/examples.py:5-13)
+    reg.register(PageSpec(
+        name="ExampleListPage",
+        source=NullSource(),
+        process_page=lambda ctx: [{"val": str(i)} for i in range(1, 6)],
+    ))
+
+    # ExamplePaginatedPage (tests/examples.py:36-48): NullSource page,
+    # 3 items, paginates once to a URL page that yields 3 more
+    reg.register(PageSpec(
+        name="PaginatedPage",
+        source=NullSource(),
+        process_page=lambda ctx: [
+            {"val": "a man"}, {"val": "a plan"}, {"val": "panama"}
+        ],
+        next_source=lambda ctx: (
+            "http://pg.example.com/page2" if ctx.url is None else None
+        ),
+    ))
+
+    # SingleReturnPaginatedPage (tests/test_page_base.py:225-239)
+    reg.register(PageSpec(
+        name="SinglePaginated",
+        source=NullSource(),
+        process_page=lambda ctx: {"dummy": "value"},
+        next_source=lambda ctx: (
+            "http://pg.example.com/page2" if ctx.url is None else None
+        ),
+    ))
+
+    # ErrorThenPaginatedPage (tests/test_page_base.py:242-263)
+    reg.register(PageSpec(
+        name="ErrorThenPaginate",
+        source="http://bad.example.com/err",
+        handles_errors=True,
+        process_page=lambda ctx: {"dummy": "value"},
+        next_source=lambda ctx: (
+            "http://ok.example.com/after-error"
+            if ctx.url == "http://bad.example.com/err"
+            else None
+        ),
+    ))
+
+    # SkipOddPage (tests/test_page_base.py:266-284)
+    def _skip_odd(item, ctx):
+        if item % 2:
+            raise SkipItem(f"{item} is odd!")
+        return item
+
+    reg.register(PageSpec(
+        name="SkipOddList",
+        source=NullSource(),
+        items_fn=lambda ctx: [1, 2, 3, 4, 5],
+        process_item=_skip_odd,
+    ))
+
+    # SkipOddDetail (tests/test_page_base.py:287-308)
+    def _detail_skip(ctx):
+        if ctx.input % 2:
+            raise SkipItem(f"{ctx.input} is odd!")
+        return ctx.input
+
+    reg.register(PageSpec(
+        name="SkipOddDetail", source=NullSource(), process_page=_detail_skip,
+    ))
+    reg.register(PageSpec(
+        name="SkipOddDetailList",
+        source=NullSource(),
+        items_fn=lambda ctx: [1, 2, 3, 4, 5],
+        process_item=lambda item, ctx: ChildPage("SkipOddDetail", item),
+    ))
+
+    # RetryPage (tests/test_page_base.py:109-147): flaky source rejects
+    # the first 2 attempts; retries=2 -> success on 3rd attempt
+    reg.register(PageSpec(
+        name="RetryOk",
+        source="http://r.example.com/flaky",
+        retries=2,
+        accept_response=lambda ctx: ctx.attempts >= ctx.flaky_rejects,
+        process_page=lambda ctx: {"attempts": ctx.attempts},
+    ))
+    reg.register(PageSpec(
+        name="RetryFail",
+        source="http://r.example.com/flaky",
+        retries=1,
+        accept_response=lambda ctx: ctx.attempts >= ctx.flaky_rejects,
+        process_page=lambda ctx: {"attempts": ctx.attempts},
+    ))
+
+    # dependencies (tests/test_page_base.py:54-67)
+    reg.register(PageSpec(
+        name="AwardsPage",
+        source="http://dep.example.com/awards",
+        process_page=lambda ctx: ctx.json["award"],
+    ))
+    reg.register(PageSpec(
+        name="NeedsAwards",
+        source=NullSource(),
+        dependencies={"awards": "AwardsPage"},
+        process_page=lambda ctx: {"who": ctx.input, "award": ctx.awards},
+    ))
+
+    # get_source_from_input (tests/test_page_base.py:70-77)
+    reg.register(PageSpec(
+        name="FromInput",
+        source_from_input=lambda inp: inp["use_this_as_source"],
+        process_page=lambda ctx: {"fetched": ctx.url},
+    ))
+    reg.register(PageSpec(name="NoSource", process_page=lambda ctx: {}))
+
+    # CSV list page (tests/test_pages.py:68-74)
+    reg.register(PageSpec(
+        name="CsvList",
+        source="http://csv.example.com/data",
+        process_item=lambda row, ctx: row,
+    ))
+
+    # HTML list page w/ selector (tests/test_pages.py:77-103)
+    reg.register(PageSpec(
+        name="HtmlList",
+        source="http://html.example.com/list",
+        selector=CSS("li"),
+        process_item=lambda el, ctx: element_text(el),
+    ))
+    return reg
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_store):
+    return CrawlEngine(
+        spark, _registry(), page_store=tiny_store,
+        config=CrawlConfig(use_bloom=False),
+    )
+
+
+def _run(engine, cls, input=None, **cfg):
+    if cfg:
+        import copy
+
+        eng = CrawlEngine(
+            engine.spark, engine.registry,
+            config=CrawlConfig(**{**CrawlConfig(use_bloom=False).__dict__, **cfg}),
+        )
+        eng.page_store = engine.page_store
+        engine = eng
+    return engine.crawl([{"page_cls": cls, "input": input}])
+
+
+def test_do_scrape_simple_order(engine):
+    # golden: tests/test_page_base.py:185-191
+    res = _run(engine, "FirstPage")
+    assert res.items() == [
+        {"first": 1, "second": "appended"},
+        {"first": 2, "second": "appended"},
+        {"first": 3, "second": "appended"},
+    ]
+
+
+def test_list_page_order(engine):
+    # golden: tests/test_cli.py:120-123 (vals 1..5 in order)
+    res = _run(engine, "ExampleListPage")
+    assert res.items() == [{"val": str(i)} for i in range(1, 6)]
+
+
+def test_scout_projection(engine):
+    # golden: tests/test_page_base.py:194-210
+    out = engine.scout([{"page_cls": "FirstPage"}])
+    assert out == [
+        {"data": {"first": i}, "__next__": "SecondPage source=NullSource"}
+        for i in (1, 2, 3)
+    ]
+
+
+def test_paginated_page_3_plus_3(engine):
+    # golden: tests/test_page_base.py:213-222 (6 items, page2 after page1)
+    res = _run(engine, "PaginatedPage")
+    items = res.items()
+    assert len(items) == 6
+    assert items[:3] == items[3:]  # identical fake second page
+    assert res.waves == 2
+
+
+def test_paginated_single_value(engine):
+    # golden: tests/test_page_base.py:225-239 (2 items)
+    res = _run(engine, "SinglePaginated")
+    assert res.items() == [{"dummy": "value"}, {"dummy": "value"}]
+
+
+def test_error_then_paginate(engine):
+    # golden: tests/test_page_base.py:242-263 — the 500 page contributes
+    # 0 items but its pagination still runs -> exactly 1 item
+    res = _run(engine, "ErrorThenPaginate")
+    assert res.items() == [{"dummy": "value"}]
+    assert int(res.metrics["handled_errors"].sum()) == 1
+
+
+def test_skip_item_in_list(engine):
+    # golden: tests/test_page_base.py:266-284 — [2, 4], 3 skips logged
+    res = _run(engine, "SkipOddList")
+    assert res.items() == [2, 4]
+    assert int(res.metrics["skipped_items"].sum()) == 3
+
+
+def test_skip_item_on_detail_page(engine):
+    # golden: tests/test_page_base.py:287-308 — [2, 4], skipped detail
+    # pages emit nothing
+    res = _run(engine, "SkipOddDetailList")
+    assert res.items() == [2, 4]
+    assert int(res.metrics["skipped_pages"].sum()) == 3
+
+
+def test_retry_success_after_flaky(engine):
+    # golden: tests/test_page_base.py:134-138 — success on 3rd attempt
+    res = _run(engine, "RetryOk")
+    assert res.items() == [{"attempts": 2}]
+    assert int(res.metrics["requeued"].sum()) == 2
+    assert res.waves == 3  # one requeue wave per rejected attempt
+
+
+def test_retry_exhausted_rejected(engine):
+    # golden: tests/test_page_base.py:141-146 — RejectedResponse
+    with pytest.raises(CrawlError, match="RejectedResponse"):
+        _run(engine, "RetryFail")
+
+
+def test_dependency_fetched_and_attached(engine):
+    # golden: tests/test_page_base.py:54-67
+    res = _run(engine, "NeedsAwards", input={"name": "x"})
+    assert res.items() == [{"who": {"name": "x"}, "award": "gold"}]
+
+
+def test_get_source_from_input(engine):
+    # golden: tests/test_page_base.py:70-77
+    res = _run(
+        engine, "FromInput",
+        input={"use_this_as_source": "http://in.example.com/from-input"},
+    )
+    assert res.items() == [{"fetched": "http://in.example.com/from-input"}]
+
+
+def test_missing_source_error(engine):
+    # golden: tests/test_page_base.py:80-83
+    with pytest.raises(MissingSourceError):
+        engine.seed_frontier([{"page_cls": "NoSource"}])
+
+
+def test_csv_list_golden(engine):
+    # golden: tests/test_pages.py:68-74
+    res = _run(engine, "CsvList")
+    assert res.items() == [
+        {"a": "1", "b": "2", "c": "3"},
+        {"a": "4", "b": "5", "c": "6"},
+    ]
+
+
+def test_html_selector_list_golden(engine):
+    # golden: tests/test_pages.py:77-103
+    res = _run(engine, "HtmlList")
+    assert res.items() == ["one", "two", "three"]
+
+
+def test_unhandled_error_fail_fast(engine, spark, tiny_store):
+    reg = _registry()
+    reg.register(PageSpec(
+        name="Unhandled",
+        source="http://bad.example.com/err",
+        process_page=lambda ctx: {},
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    with pytest.raises(CrawlError, match="HTTP error"):
+        eng.crawl([{"page_cls": "Unhandled"}])
+
+
+def test_missing_url_is_404(engine, spark, tiny_store):
+    reg = _registry()
+    reg.register(PageSpec(
+        name="Nowhere",
+        source="http://nowhere.example.com/x",
+        process_page=lambda ctx: {},
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    with pytest.raises(CrawlError, match="status=404"):
+        eng.crawl([{"page_cls": "Nowhere"}])

@@ -1,0 +1,210 @@
+"""Spark-free unit tests: images, filters, parsers, selectors.
+
+Golden values mirror the reference suite
+(/root/reference/tests/test_selectors.py, tests/test_pages.py,
+tests/test_utils.py).
+"""
+
+import numpy as np
+import pytest
+
+from spatula_spark.functions.images import (
+    average_phash,
+    lossy_encode,
+    png_decode,
+    png_encode,
+    psnr,
+    synth_pixels,
+)
+from spatula_spark.operators.parsers import (
+    element_text,
+    parse_csv,
+    parse_html,
+    parse_json,
+    parse_xml,
+)
+from spatula_spark.operators.seen import BloomFilter, CuckooFilter
+from spatula_spark.operators.selectors import (
+    CSS,
+    SelectorError,
+    SimilarLink,
+    XPath,
+)
+from spatula_spark.plans.pagespec import obj_to_dict
+
+
+# ------------------------------------------------------------------ images
+def test_png_roundtrip_exact():
+    px = synth_pixels(3, 40, 25)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+def test_lossy_psnr_above_gate():
+    px = synth_pixels(11, 32, 32)
+    dec = png_decode(lossy_encode(px))
+    assert not np.array_equal(dec, px)  # genuinely lossy
+    assert psnr(dec, px) >= 40.0  # BASELINE.json input_hint invariant
+
+
+def test_phash_stability_and_sensitivity():
+    px = synth_pixels(5, 48, 48)
+    assert average_phash(px) == average_phash(px.copy())
+    other = synth_pixels(6, 48, 48)
+    assert average_phash(px) != average_phash(other)
+
+
+def test_synth_pixels_deterministic():
+    assert np.array_equal(synth_pixels(9, 20, 20), synth_pixels(9, 20, 20))
+
+
+# ----------------------------------------------------------------- filters
+def test_bloom_no_false_negatives_low_fpr():
+    keys = np.arange(1, 20001, dtype=np.int64) * 982451653
+    bf = BloomFilter(40000, 1e-3)
+    bf.add(keys)
+    assert bf.contains(keys).all()
+    probes = np.arange(10**6, 10**6 + 20000, dtype=np.int64) * 31
+    assert bf.contains(probes).mean() < 5e-3
+
+
+def test_bloom_union_associative():
+    a, b = BloomFilter(1000, 1e-3), BloomFilter(1000, 1e-3)
+    k1 = np.arange(100, dtype=np.int64)
+    k2 = np.arange(100, 200, dtype=np.int64)
+    a.add(k1)
+    b.add(k2)
+    u = a.union(b)
+    assert u.contains(k1).all() and u.contains(k2).all()
+
+
+def test_bloom_serialization_roundtrip():
+    bf = BloomFilter(1000, 1e-3)
+    bf.add(np.arange(500, dtype=np.int64))
+    bf2 = BloomFilter(1000, 1e-3, bits=bf.to_bytes())
+    assert bf2.contains(np.arange(500, dtype=np.int64)).all()
+
+
+def test_cuckoo_insert_lookup_delete():
+    keys = np.arange(1, 5001, dtype=np.int64) * 7919
+    cf = CuckooFilter(10000)
+    cf.add(keys)
+    assert cf.contains(keys).all()
+    deleted = cf.delete(keys[:500])
+    assert deleted.all()
+    # deletion is real (modulo fingerprint collisions)
+    assert cf.contains(keys[:500]).mean() < 0.05
+    assert cf.contains(keys[500:]).all()
+    rt = CuckooFilter.from_bytes(cf.to_bytes())
+    assert rt.contains(keys[500:]).all()
+
+
+# ----------------------------------------------------------------- parsers
+HTML = (
+    b'<html><body><a href="/one">1</a>'
+    b'<a href="https://example.com/two">2</a>'
+    b'<a href="/one">dup</a></body></html>'
+)
+
+
+def test_html_links_absolutized():
+    # reference HtmlPage.postprocess_response golden
+    # (tests/test_pages.py:30-41)
+    root = parse_html(HTML, base_url="https://example.com/base/")
+    hrefs = [a.get("href") for a in root.iter("a")]
+    assert hrefs == [
+        "https://example.com/one",
+        "https://example.com/two",
+        "https://example.com/one",
+    ]
+
+
+def test_xml_parse():
+    root = parse_xml(b"<r><x>1</x><x>2</x></r>")
+    assert [e.text for e in root.iter("x")] == ["1", "2"]
+
+
+def test_json_parse():
+    assert parse_json(b'{"a": 1}') == {"a": 1}
+
+
+def test_csv_all_string_dicts():
+    # reference CsvListPage golden (tests/test_pages.py:68-74)
+    rows = parse_csv("a,b,c\n1,2,3\n4,5,6\n")
+    assert rows == [
+        {"a": "1", "b": "2", "c": "3"},
+        {"a": "4", "b": "5", "c": "6"},
+    ]
+
+
+# --------------------------------------------------------------- selectors
+LIST_HTML = (
+    "<html><body><ul>"
+    '<li class="x">one</li><li class="x">two</li><li>three</li>'
+    '</ul><a href="https://a/1">a</a><a href="http://b/2">b</a>'
+    '<a href="https://a/1">dup</a></body></html>'
+)
+
+
+def _root():
+    return parse_html(LIST_HTML)
+
+
+def test_selector_cardinality_errors():
+    # reference tests/test_selectors.py:25-77
+    with pytest.raises(SelectorError):
+        CSS("li").match(_root(), num_items=2)
+    with pytest.raises(SelectorError):
+        CSS("li").match(_root(), min_items=4)
+    with pytest.raises(SelectorError):
+        CSS("li").match(_root(), max_items=2)
+    assert len(CSS("li").match(_root(), num_items=3)) == 3
+
+
+def test_match_one():
+    with pytest.raises(SelectorError):
+        CSS("li").match_one(_root())
+    el = CSS("li.x").match(_root(), min_items=1, max_items=2)[0]
+    assert element_text(el) == "one"
+
+
+def test_css_class_filter():
+    assert [element_text(e) for e in CSS("li.x").match(_root())] == [
+        "one", "two",
+    ]
+
+
+def test_xpath():
+    assert [element_text(e) for e in XPath("//li").match(_root())] == [
+        "one", "two", "three",
+    ]
+
+
+def test_similar_link_first_wins_dedup():
+    # reference selectors.py:136-144 + tests/test_selectors.py:99-101:
+    # 2 of 3 https-ish links, first occurrence wins, order kept
+    links = [
+        e.get("href")
+        for e in SimilarLink(r"https://").match(_root(), min_items=1)
+    ]
+    assert links == ["https://a/1"]
+    links = [
+        e.get("href") for e in SimilarLink(r"https?://").match(_root())
+    ]
+    assert links == ["https://a/1", "http://b/2"]
+
+
+# -------------------------------------------------------------- record norm
+def test_obj_to_dict():
+    # reference tests/test_utils.py:46-80
+    from dataclasses import dataclass
+
+    @dataclass
+    class D:
+        a: int
+        b: str
+
+    assert obj_to_dict({"x": 1}) == {"x": 1}
+    assert obj_to_dict(D(1, "z")) == {"a": 1, "b": "z"}
+    assert obj_to_dict(None) is None
+    with pytest.raises(TypeError):
+        obj_to_dict(object())
