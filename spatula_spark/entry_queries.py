@@ -1,0 +1,802 @@
+"""Driver-contract query battery: Spark implementations + DuckDB oracles.
+
+Each entry is one operator/pipeline from SURVEY.md §2 (engine
+relational building blocks) or the training-data operator mandate
+(dedup / similarity / text analysis / streaming), implemented
+Spark-first and paired with an ANSI/DuckDB oracle that reproduces it
+bit-for-bit (hashing via the md5-based portable hash both engines can
+compute — see urls.portable_hash64).
+
+Column names are aliased identically on both sides: the driver's
+compare sorts columns by name and value-hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup as dd
+from .functions import similarity as sim
+from .functions import text as tx
+from .urls import canonicalize_url, canonicalize_url_duckdb
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# SQL fragments shared by several oracles
+# --------------------------------------------------------------------------
+def duck_hash(expr: str) -> str:
+    """DuckDB rendering of urls.portable_hash64."""
+    return f"(('0x'||substr(md5({expr}),1,15))::ubigint)::bigint"
+
+
+DUCK_WORDS = (
+    "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+DUCK_SHINGLES_CTE = f"""
+w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+      THEN list_distinct(list_transform(range(1, len(words)-1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w)
+"""
+
+DUCK_PERTURBED_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)-1, 1)], ' ') AS text
+  FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM documents)
+)
+"""
+
+
+def _duck_minhash_cols(num_perms: int) -> str:
+    return ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + duck_hash(f"s || ':{i}'")
+        + f")) AS mh_{i}"
+        for i in range(num_perms)
+    )
+
+
+def _duck_simhash_expr(bits: int = dd.SIMHASH_BITS) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            "(CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> "
+            f"{j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j}::BIGINT "
+            "ELSE 0::BIGINT END)"
+        )
+    return " + ".join(terms)
+
+
+# ==========================================================================
+# 1. Relational building blocks of the crawl engine (SURVEY §2.6)
+# ==========================================================================
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the per-wave metrics aggregation pattern
+    (partial+final hash agg, SURVEY §2.6 'metrics')."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT o_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: multi-join + agg + deterministic top-k (the
+    frontier 'priority queue' pattern)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts (the
+    dependency-augmentation join, SURVEY D4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "host_budget_topk",
+    """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    (row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey))::INT AS rn
+  FROM orders)
+WHERE rn <= 3
+""",
+)
+def host_budget_topk(spark, sf_dir):
+    """The politeness budget window (F5): top-k per partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"), "rn",
+        )
+    )
+
+
+@register(
+    "seen_antijoin",
+    """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+""",
+)
+def seen_antijoin(spark, sf_dir):
+    """The URL-seen dedup shape (F4): left_anti against the seen set."""
+    o = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.join(seen, "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "frontier_first_wins",
+    """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+""",
+)
+def frontier_first_wins(spark, sf_dir):
+    """In-wave first-wins dedup (E5 at frontier level)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@register(
+    "wave_metrics",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+def wave_metrics(spark, sf_dir):
+    """Per-wave/host metrics aggregation shape."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@register(
+    "broadcast_dep_join",
+    """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def broadcast_dep_join(spark, sf_dir):
+    """Dependency augmentation (D4) as an explicit broadcast hash join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "priority_topk",
+    """
+SELECT event_id, user_id, round(value, 6) AS value FROM events
+ORDER BY value DESC, event_id LIMIT 100
+""",
+)
+def priority_topk(spark, sf_dir):
+    """Frontier priority ordering (deterministic global top-k)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+_DUCK_URL = (
+    "'HTTP://H' || (o_orderkey % 50)::varchar || '.Example.COM:80/o/' "
+    "|| o_orderkey::varchar || '/?b=' || o_custkey::varchar || '&a=1#f'"
+)
+
+
+@register(
+    "url_canonicalize",
+    f"""
+WITH u AS (SELECT o_orderkey, {_DUCK_URL} AS url FROM orders)
+SELECT o_orderkey, {canonicalize_url_duckdb('url')} AS canon_url FROM u
+""",
+)
+def url_canonicalize(spark, sf_dir):
+    """The seen-set key function over synthesized messy URLs — the
+    whole canonicalizer is native Catalyst (urls.py)."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("HTTP://H"),
+        (F.col("o_orderkey") % 50).cast("string"),
+        F.lit(".Example.COM:80/o/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("/?b="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&a=1#f"),
+    )
+    return o.select(
+        "o_orderkey", canonicalize_url(url).alias("canon_url")
+    )
+
+
+@register(
+    "sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+""",
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + cumulative sum windows)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+
+
+@register(
+    "lineage_order",
+    """
+SELECT (row_number() OVER (ORDER BY l_orderkey, l_linenumber))::BIGINT AS rn,
+  l_orderkey, l_linenumber
+FROM lineitem QUALIFY rn <= 500
+""",
+)
+def lineage_order(spark, sf_dir):
+    """The DFS path-key total order (D1): global sort -> stable ranks."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            F.row_number().over(w).cast("long").alias("rn"),
+            "l_orderkey", "l_linenumber",
+        ).filter(F.col("rn") <= 500)
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type, sum(regexp_extract(props, '([0-9]+)', 1)::BIGINT)::BIGINT AS k_total
+FROM events GROUP BY event_type
+""",
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured payload extraction (JsonPage P3 analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(
+            F.regexp_extract("props", "([0-9]+)", 1).cast("long")
+        ).alias("k_total")
+    )
+
+
+# ==========================================================================
+# 2. Training-data operators: text analysis
+# ==========================================================================
+_DUCK_TOKENS = "string_split(trim(text), ' ')"  # docs are single-spaced
+
+
+def _duck_count_in(words_expr: str, vals: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{v}'" for v in vals)
+    return (
+        f"len(list_filter({words_expr}, x -> list_contains([{lst}], lower(x))))"
+    )
+
+
+_duck_ntok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKENS}) END"
+_duck_nstop = _duck_count_in(_DUCK_TOKENS, tx.STOPWORDS)
+_duck_npunct = (
+    "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+)
+_duck_quality = (
+    f"round((CASE WHEN ({_duck_ntok}) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)"
+    f" + (CASE WHEN (({_duck_nstop})::DOUBLE / greatest({_duck_ntok}, 1)) "
+    f"BETWEEN 0.05 AND 0.6 THEN 0.4 ELSE 0.0 END)"
+    f" + (CASE WHEN (({_duck_npunct})::DOUBLE / greatest(length(text), 1)) "
+    f"<= 0.1 THEN 0.2 ELSE 0.0 END), 6)::DOUBLE"
+)
+
+
+def _duck_lang_guess() -> str:
+    # mirror text.lang_id: argmax in key order, > beats ties, 0 -> 'und'
+    scores = {
+        lang: _duck_count_in(_DUCK_TOKENS, markers)
+        for lang, markers in tx.LANG_MARKERS.items()
+    }
+    expr_best, expr_score = "'und'", "0"
+    for lang, score in reversed(list(scores.items())):
+        expr_best = f"(CASE WHEN {score} > {expr_score} THEN '{lang}' ELSE {expr_best} END)"
+        expr_score = f"greatest({score}, {expr_score})"
+    return expr_best
+
+
+@register(
+    "text_profile",
+    f"""
+SELECT doc_id,
+  ({_duck_ntok})::INT AS n_tokens,
+  ({_duck_nstop})::INT AS n_stopwords,
+  ({_duck_npunct})::INT AS n_punct,
+  {_duck_quality} AS quality,
+  {_duck_lang_guess()} AS lang_guess,
+  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+)
+def text_profile(spark, sf_dir):
+    """Language-ID, quality scoring, token counting, fingerprinting —
+    one native pass (functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.text_profile(docs)
+
+
+# ==========================================================================
+# 3. Training-data operators: deduplication
+# ==========================================================================
+@register(
+    "dedup_exact",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text FROM documents)
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM corpus GROUP BY fp
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup over a corpus with injected exact copies."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    return dd.exact_dedup(corpus)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{DUCK_SHINGLES_CTE}
+SELECT doc_id, {_duck_minhash_cols(8)} FROM sh
+""",
+)
+def minhash_signatures_q(spark, sf_dir):
+    """Per-document 8-permutation MinHash signatures (bit-exact vs
+    the oracle through the portable md5 hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_signatures(docs, num_perms=8)
+
+
+_DUCK_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(mh_{2*b}::varchar || '_' || mh_{2*b+1}::varchar) AS bsig FROM sig"
+    for b in range(4)
+)
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+{DUCK_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_duck_minhash_cols(8)} FROM sh),
+bands AS ({_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b,
+  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.8
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline over a corpus with injected
+    near-copies (guaranteed positives): shingle -> minhash -> band ->
+    bucket join -> exact-Jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = dd.perturbed_corpus(docs)
+    return dd.minhash_dedup_pairs(corpus)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
+h AS (SELECT doc_id, list_transform(words, x -> {duck_hash('x')}) AS hs FROM w)
+SELECT doc_id, ({_duck_simhash_expr()}) AS simhash FROM h
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash (document fingerprinting for
+    near-dup detection), pure column expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.simhash(F.col("text")).alias("simhash")
+    )
+
+
+@register(
+    "simhash_near_dups",
+    f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)-1, 1)], ' ') AS text
+  FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM base)),
+w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
+h AS (SELECT doc_id, list_transform(words, x -> {duck_hash('x')}) AS hs FROM w),
+s AS (SELECT doc_id, ({_duck_simhash_expr()}) AS sh FROM h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+)
+def simhash_near_dups_q(spark, sf_dir):
+    """SimHash near-dup pairs via the quarter-key bucket join; the
+    oracle brute-forces ALL pairs — equality proves the candidate
+    scheme is complete for hamming<=3, not just plausible."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    corpus = dd.perturbed_corpus(docs)
+    return dd.simhash_near_dups(corpus, max_hamming=3)
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)-1, 1)], ' ') AS text
+  FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM documents WHERE doc_id < 50)),
+{DUCK_SHINGLES_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.5
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """All-pairs n-gram Jaccard on a small slice (the exact-verify
+    kernel of the dedup family, run standalone)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    corpus = dd.perturbed_corpus(docs)
+    sh = corpus.select(
+        "doc_id", dd.word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+# ==========================================================================
+# 4. Training-data operators: similarity search
+# ==========================================================================
+@register(
+    "embedding_topk",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv, cv), 4) AS cos
+      FROM q, c WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id))::INT AS rank FROM s)
+WHERE rank <= 5
+""",
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (native zip_with/aggregate dot
+    products; ranks computed on rounded scores so both engines break
+    ties identically)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    # rank on the ROUNDED score so both engines break near-ties the
+    # same way (cross-engine float-summation stability)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _duck_bucket(vec: str, n_planes: int = 6, dim: int = 64) -> str:
+    parts = []
+    for p in range(n_planes):
+        sgn = (
+            f"(CASE WHEN list_sum(list_transform(range(0, {dim}), d -> "
+            f"(CASE WHEN ((d*2654435761 + {p * 40503}) % 97) % 2 = 0 "
+            f"THEN 1 ELSE -1 END) * {vec}[d+1])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+        parts.append(sgn)
+    return "(" + " + ".join(parts) + ")"
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+WITH b AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
+             {_duck_bucket('(embedding::DOUBLE[])')} AS bucket
+           FROM embeddings)
+SELECT l.vid AS vec_a, r.vid AS vec_b,
+  round(list_cosine_similarity(l.v, r.v), 4) AS cos
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
+WHERE round(list_cosine_similarity(l.v, r.v), 4) >= 0.95
+""",
+)
+def embedding_near_dups_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed; the oracle
+    replicates the identical deterministic hyperplanes, so bucket
+    assignment and survivors match exactly."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.embedding_near_dups(emb, threshold=0.95)
+    return out.select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    )
+
+
+@register("ann_lsh_topk")  # approximate by design -> rows-only check;
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path of embedding_topk).
+    No SQL oracle: recall vs brute force is asserted in
+    tests/test_functions.py instead."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_lsh_topk(emb, queries, k=5)
+
+
+# ==========================================================================
+# 5. The crawl engine itself (flagship) + streaming
+# ==========================================================================
+@register(
+    "crawl_doc_tree",
+    """
+WITH RECURSIVE r(doc_id, depth) AS (
+  SELECT 0::BIGINT AS doc_id, 0 AS depth
+  UNION ALL
+  SELECT c.doc_id, r.depth + 1
+  FROM r JOIN documents c
+    ON c.doc_id = r.doc_id * 2 + 1 OR c.doc_id = r.doc_id * 2 + 2)
+SELECT d.doc_id, d.lang, d.n_chars, r.depth::INT AS wave
+FROM r JOIN documents d ON d.doc_id = r.doc_id
+""",
+)
+def crawl_doc_tree_q(spark, sf_dir):
+    """THE ENGINE ORACLE: run the full frontier loop (fetch-join, seen
+    set, native transforms, wave scheduling) over a binary-tree web
+    derived from documents; DuckDB recursively walks the same tree.
+    Row equality incl. the wave column proves BFS scheduling, seen-set
+    exactness, and reachability in one check."""
+    from .plans.doc_pipeline import crawl_doc_tree
+
+    return crawl_doc_tree(spark, sf_dir)
+
+
+@register(
+    "stream_window_counts",
+    """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+  count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_window_counts_q(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation drained
+    synchronously from the parquet source; must equal the batch
+    aggregation (the streaming/batch unification check)."""
+    from .streaming.windows import stream_window_counts
+
+    return stream_window_counts(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine-level training-data operators (no reference analog — spatula
+emits records one at a time and never compares them; mandated by the
+task brief as first-class components). Everything is native Catalyst —
+shingling via ``split``/``transform``/``sequence``, hashing via the
+md5-based :func:`spatula_spark.urls.portable_hash64` so the DuckDB
+oracle reproduces signatures bit-for-bit.
+
+Scale shapes:
+* exact: one hash-aggregate on the fingerprint (map-side partial).
+* MinHash/LSH: per-doc signature (narrow) -> explode bands (xB rows)
+  -> self-join on (band, signature) buckets — the join keys are
+  64-bit, the payload slim; candidate verification re-joins the two
+  shingle arrays only for the candidate sliver.
+* SimHash: explode words -> 32 conditional sums per doc (one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..urls import portable_hash64
+from .text import fingerprint
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical (normalized) text."""
+    return (
+        df.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def normalized_words(text: Column) -> Column:
+    return F.split(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")), " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings (the MinHash feature set)."""
+    w = normalized_words(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    short = F.array(F.array_join(w, " "))  # doc shorter than n words
+    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(short))
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signature(text: Column, num_perms: int, n: int = 3) -> list[Column]:
+    """num_perms MinHash values; permutation i = portable_hash64 of the
+    shingle salted with ':i' (md5-based => DuckDB-replicable)."""
+    sh = word_shingles(text, n)
+    return [
+        F.array_min(
+            F.transform(
+                sh, lambda s: portable_hash64(F.concat(s, F.lit(f":{i}")))
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_perms)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_perms: int = 8, n: int = 3
+) -> DataFrame:
+    return df.select(
+        "doc_id", *minhash_signature(F.col(text_col), num_perms, n)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: equal (band, band-signature) bucket
+    => candidate. Returns distinct (doc_a < doc_b) pairs."""
+    sig = minhash_signatures(df, text_col, num_perms, n)
+    n_bands = num_perms // band_rows
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * band_rows + r}")
+                                for r in range(band_rows)
+                            ],
+                        )
+                    ).alias("bsig"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage)."""
+    sh = df.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> bucket-join
+    -> exact-Jaccard verify."""
+    cands = lsh_candidate_pairs(df, text_col, num_perms, band_rows, n)
+    return jaccard_pairs(df, cands, text_col, n, threshold)
+
+
+def perturbed_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents ∪ near-copies (last word dropped, doc_id + 1_000_000):
+    a deterministic corpus with guaranteed near-duplicates, used so the
+    dedup correctness checks have positives (the synthetic docs
+    themselves are random word soup)."""
+    w = normalized_words(F.col(text_col))
+    copies = df.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " ")
+        .alias(text_col),
+    )
+    return df.select("doc_id", text_col).unionByName(copies)
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-document SimHash: for each bit j, sum +-1 over words by the
+    j-th bit of the word's portable hash; sign -> bit. Pure column
+    expression (aggregate over the words array — no explode/shuffle)."""
+    w = normalized_words(text)
+
+    def bit_contrib(j: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # bit index must be captured by closure, not default arg
+        def merge(a, word):
+            return a + F.when(
+                F.shiftright(portable_hash64(word), j).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(w, F.lit(0).cast("long"), merge)
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            bit_contrib(j) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-limited by
+    8-bit quarter-keys: <=3 flipped bits across 4 disjoint byte bands
+    leave at least one band identical (pigeonhole), so the bucket join
+    is COMPLETE for max_hamming<=3 — the oracle brute-forces all pairs
+    and must agree exactly."""
+    sh = df.select("doc_id", simhash(F.col(text_col)).alias("sh"))
+    quarters = sh.select(
+        "doc_id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(qi).alias("q"),
+                    F.shiftright("sh", 8 * qi).bitwiseAND(F.lit(255))
+                    .alias("key"),
+                )
+                for qi in range(4)
+            ])
+        ).alias("qk"),
+    ).select("doc_id", "sh", "qk.q", "qk.key")
+    l, r = quarters.alias("l"), quarters.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

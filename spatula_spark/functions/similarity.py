@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline (native
+``zip_with``/``aggregate`` dot products — no UDF), and an LSH-bucketed
+ANN variant as the scale path: random-hyperplane signs from the
+deterministic portable hash, so buckets are reproducible across runs
+and engines.
+
+Scale shapes: brute force is queries×corpus — fine for a broadcast
+query set, wrong for all-pairs; the LSH path buckets the corpus once
+(narrow), joins query buckets (shuffle on a short key), and only
+scores within buckets. IVF (k-means coarse quantizer) is the natural
+next step and slots into the same bucket-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    queries is expected small => broadcast; the corpus side streams.
+    Ties broken by neighbor id for full determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <vec, h_plane> where h_plane has deterministic ±1 coords:
+    coordinate d is +1 iff bit 0 of portable-ish hash(plane, d) — here a
+    cheap affine-mod pattern reproducible in any SQL dialect."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: F.when(
+                ((d * 2654435761 + F.lit(plane * 40503)) % 97) % 2 == 0, x
+            ).otherwise(-x),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (signed > 0).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    acc = F.lit(0)
+    for p in range(n_planes):
+        acc = acc + hyperplane_sign(vec, p, dim) * F.lit(1 << p)
+    return acc
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+    Deterministic (hyperplanes derived from index arithmetic); recall
+    is tested against :func:`cosine_topk` in the suite."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
+    scoring only inside buckets (the near-dup analog of ann_lsh_topk)."""
+    b = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.vid") < F.col("r.vid")),
+    ).select(
+        F.col("l.vid").alias("vec_a"),
+        F.col("r.vid").alias("vec_b"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

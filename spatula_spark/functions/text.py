@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines — 100% native.
+
+The reference has no text analytics (its ``process_page`` hooks are
+arbitrary user Python); these are the engine-level operators a
+100 TB document pipeline needs, each expressed as Catalyst column
+functions (whole-stage codegen, no Python) with exact DuckDB-SQL
+equivalents wired in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword lists for the language-ID heuristic; the
+# point is the *operator shape* (vectorized n-gram/marker scoring),
+# not linguistic accuracy
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "que", "de", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
+    splitting is ``F.split`` with the pattern below)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+BPE_SPLIT_PATTERN = r"\s+|(?=[.,!?;:])"
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(
+        F.filter(tokens(text), lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap composite quality heuristic: length band + stopword ratio
+    band - punctuation-spam penalty. Deterministic, pure-native; the
+    exact formula is mirrored in the DuckDB oracle."""
+    n_tok = token_count(text)
+    stop_ratio = stopword_count(text) / F.greatest(n_tok, F.lit(1))
+    punct_ratio = punct_count(text) / F.greatest(F.length(text), F.lit(1))
+    return (
+        F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(0.4))
+        .otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def lang_marker_score(text: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens(text), lambda w: F.lower(w).isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-count language ID: argmax over per-language marker hits,
+    ties resolved in fixed key order, zero hits -> 'und'."""
+    scores = [(lang, lang_marker_score(text, lang)) for lang in LANG_MARKERS]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties (> not >=)
+    for lang, score in reversed(scores):
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text — the exact-dedup key (content-defined rolling-hash chunking
+    is the MinHash shingle path in dedup.py)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: every operator above over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        punct_count(t).alias("n_punct"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
