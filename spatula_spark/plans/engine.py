@@ -444,16 +444,31 @@ class CrawlEngine:
         return self.spark.createDataFrame(rows, schema=schemas.FRONTIER_SCHEMA)
 
     # ------------------------------------------------------------ materialize
-    def _materialize(self, df: DataFrame, label: str) -> DataFrame:
+    def _materialize(
+        self, df: DataFrame, label: str, obs_exprs: list | None = None
+    ):
         """Cut lineage + compute once at a wave boundary (SURVEY §4:
         the iterative-loop pitfall). Parquet spill by default — an
-        Iceberg deployment makes this the snapshot commit."""
+        Iceberg deployment makes this the snapshot commit.
+
+        ``obs_exprs``: optional aggregate expressions piggybacked on the
+        materialization job via ``Observation`` — row counts and
+        emission-kind tallies come for free instead of costing an extra
+        job each per wave."""
+        from pyspark.sql import Observation
+
+        obs = None
+        if obs_exprs:
+            obs = Observation()
+            df = df.observe(obs, *obs_exprs)
         if self.config.materialize == "local":
-            return df.coalesce(self._nparts).localCheckpoint(eager=True)
-        self._spill_n += 1
-        path = os.path.join(self._spill, f"{self._spill_n:05d}_{label}")
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+            out = df.coalesce(self._nparts).localCheckpoint(eager=True)
+        else:
+            self._spill_n += 1
+            path = os.path.join(self._spill, f"{self._spill_n:05d}_{label}")
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+        return (out, obs.get) if obs_exprs else (out, None)
 
     # ---------------------------------------------------------------- crawl
     def crawl(self, seeds: list[dict] | DataFrame) -> CrawlResult:
@@ -464,6 +479,7 @@ class CrawlEngine:
         self._spill_n = 0
         self._spill = cfg.spill_dir or tempfile.mkdtemp(prefix="spatula_spill_")
         os.makedirs(self._spill, exist_ok=True)
+        self._seen_dir = os.path.join(self._spill, "seen_appends")
         frontier = (
             seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
         )
@@ -493,6 +509,10 @@ class CrawlEngine:
                 frontier, seen, results, metrics_rows, start_wave = resumed
                 wave = start_wave
                 self._seen_count = seen.count()
+                if self._seen_count:
+                    # seed the append-only seen dir with the resumed set
+                    seen.write.mode("append").parquet(self._seen_dir)
+                    seen = spark.read.parquet(self._seen_dir)
                 if self._bloom is not None and self._seen_count:
                     # one-time rebuild from the checkpointed seen table
                     self._bloom.add_hashes_df(seen)
@@ -507,9 +527,10 @@ class CrawlEngine:
                       file=sys.stderr, flush=True)
                 t[0] = now
 
+        n_frontier: int | None = None  # None = unknown (seeds / resume)
         while True:
             t = [_time.time()]
-            if frontier.isEmpty():
+            if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
                 break
             _tick("isEmpty", t)
             if cfg.max_waves is not None and wave >= cfg.max_waves + start_wave:
@@ -534,12 +555,15 @@ class CrawlEngine:
             if cfg.dedup_urls:
                 fetchable = self._dedup(fetchable, seen)
             # materialize once: feeds both the fetch join and the
-            # seen-set update without recomputing bloom/window plans
-            fetchable = self._materialize(fetchable, "fetchable")
+            # seen-set update without recomputing bloom/window plans;
+            # the new-URL count rides along as an observed metric
+            fetchable, fmetrics = self._materialize(
+                fetchable, "fetchable",
+                [F.count(F.when(F.col("attempts") == 0, 1)).alias("n_new")],
+            )
+            n_new = int(fmetrics["n_new"])
             _tick("fetchable ckpt", t)
             new_seen = fetchable.filter(F.col("attempts") == 0).select("url_hash")
-            n_new = new_seen.count()
-            _tick("n_new count", t)
 
             fetched = self._fetch(fetchable)
             batch = fetched.unionByName(
@@ -576,16 +600,15 @@ class CrawlEngine:
             # compounds geometrically across waves (7×(P+8) per wave).
             # coalesce is narrow (no shuffle) and caps every wave at
             # nparts.
-            emissions = self._materialize(
-                emissions.coalesce(self._nparts), "emissions"
+            kind_names = ("item", "child", "next", "requeue", "skip_item",
+                          "skip_page", "handled_error", "error", "reject")
+            emissions, emetrics = self._materialize(
+                emissions.coalesce(self._nparts), "emissions",
+                [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
+                 for k in kind_names],
             )
+            kind_counts = {k: int(emetrics[k]) for k in kind_names}
             _tick("emissions ckpt", t)
-
-            kind_counts = {
-                r["emit_kind"]: r["count"]
-                for r in emissions.groupBy("emit_kind").count().collect()
-            }
-            _tick("kind counts", t)
 
             if cfg.scout:
                 wave_items = _scout_projection(emissions, wave)
@@ -619,9 +642,12 @@ class CrawlEngine:
             # attempted URL is never re-fetched). No global distinct —
             # that would reshuffle the whole seen set every wave.
             if n_new:
-                seen = self._materialize(
-                    seen.union(new_seen).coalesce(self._nparts), "seen"
-                )
+                # APPEND-ONLY: each wave adds one small parquet delta to
+                # the seen dir (the Iceberg-append pattern); rewriting
+                # the accumulated seen table per wave would be O(total)
+                # per wave — impossible at 10^10 URLs.
+                new_seen.write.mode("append").parquet(self._seen_dir)
+                seen = spark.read.parquet(self._seen_dir)
                 self._seen_count += n_new
                 if self._bloom is not None:
                     # incremental: OR this wave's shard blobs into the
@@ -642,12 +668,14 @@ class CrawlEngine:
                 F.col("attempts"),
                 F.col("page_seq"),
             )
-            frontier = self._materialize(
+            frontier, frmetrics = self._materialize(
                 enqueue.unionByName(
                     deferred.select(*[f.name for f in schemas.FRONTIER_SCHEMA])
                 ).coalesce(self._nparts),
                 "frontier",
+                [F.count(F.lit(1)).alias("n")],
             )
+            n_frontier = int(frmetrics["n"])
             _tick("frontier ckpt", t)
 
             metrics_rows.append(
@@ -669,7 +697,8 @@ class CrawlEngine:
 
             if cfg.checkpoint_dir:
                 self._checkpoint(
-                    cfg.checkpoint_dir, wave, frontier, seen,
+                    cfg.checkpoint_dir, wave, frontier,
+                    new_seen if n_new else None,
                     wave_items, metrics_rows,
                 )
                 frontier = spark.read.parquet(
@@ -854,16 +883,22 @@ class CrawlEngine:
         return spec.process_page(ctx)
 
     # ----------------------------------------------------------- checkpoint
-    def _checkpoint(self, base, wave, frontier, seen, items, metrics_rows):
-        """Wave-granular snapshot (frontier + seen + results delta +
-        metrics + manifest). With an Iceberg catalog this is one atomic
-        snapshot commit; on plain parquet we emulate atomicity by
-        writing the manifest last."""
+    def _checkpoint(self, base, wave, frontier, seen_delta, items,
+                    metrics_rows):
+        """Wave-granular snapshot: full frontier + this wave's seen
+        DELTA (append-only — the accumulated seen set is the union of
+        all wave deltas, never rewritten) + results delta + metrics +
+        manifest. With an Iceberg catalog this is one atomic snapshot
+        commit; on plain parquet we emulate atomicity by writing the
+        manifest last."""
         d = os.path.join(base, f"wave={wave}")
         if os.path.exists(d):
             shutil.rmtree(d)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        if seen_delta is not None:
+            seen_delta.write.mode("overwrite").parquet(
+                os.path.join(d, "seen_delta")
+            )
         items.write.mode("overwrite").parquet(os.path.join(d, "items"))
         with open(os.path.join(d, "MANIFEST.json"), "w") as f:
             json.dump({"wave": wave, "complete": True,
@@ -884,7 +919,11 @@ class CrawlEngine:
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)
         frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
-        seen = self.spark.read.parquet(os.path.join(d, "seen"))
+        seen = self.spark.createDataFrame([], "url_hash long")
+        for w in sorted(waves):
+            delta = os.path.join(base, f"wave={w}", "seen_delta")
+            if os.path.isdir(delta):
+                seen = seen.union(self.spark.read.parquet(delta))
         results = [
             self.spark.read.parquet(os.path.join(base, f"wave={w}", "items"))
             for w in sorted(waves)
