@@ -27,9 +27,9 @@ from bench import run_crawl_bench
 cores = int(sys.argv[1]); n_urls = int(sys.argv[2])
 spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
                   shuffle_partitions=cores)
-details = max(200, n_urls // 67)
-out = run_crawl_bench(spark, n_hosts=64, details_per_host=details,
-                      details_per_list=500)
+n_hosts = max(8, n_urls // 1003)
+out = run_crawl_bench(spark, n_hosts=n_hosts, details_per_host=1000,
+                      details_per_list=1000, verify=True)
 out["cores"] = cores
 print("SCALING_RESULT " + json.dumps(out))
 """

@@ -88,7 +88,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate pairs: equal (band, band-signature) bucket
     => candidate. Returns distinct (doc_a < doc_b) pairs."""
-    sig = minhash_signatures(df, text_col, num_perms, n)
+    # cache: the self-join reads bands twice; without this the whole
+    # shingle->minhash pipeline recomputes per join side
+    sig = minhash_signatures(df, text_col, num_perms, n).persist()
     n_bands = num_perms // band_rows
     bands = sig.select(
         "doc_id",
@@ -136,7 +138,7 @@ def jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs (verification stage)."""
     sh = df.select(
         "doc_id", word_shingles(F.col(text_col), n).alias("sh")
-    )
+    ).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -219,7 +221,7 @@ def simhash_near_dups(
     leave at least one band identical (pigeonhole), so the bucket join
     is COMPLETE for max_hamming<=3 — the oracle brute-forces all pairs
     and must agree exactly."""
-    sh = df.select("doc_id", simhash(F.col(text_col)).alias("sh"))
+    sh = df.select("doc_id", simhash(F.col(text_col)).alias("sh")).persist()
     quarters = sh.select(
         "doc_id", "sh",
         F.explode(

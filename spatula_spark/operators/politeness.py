@@ -67,17 +67,57 @@ def split_by_host_budget(
     return nullsrc.unionByName(scheduled), deferred
 
 
+ROBOTS_EXPR_MAX_RULES = 5000
+
+
+def robots_allow_expr(rules: list[tuple[str, str, bool]]) -> Column:
+    """Compile robots rules into one Catalyst CASE expression.
+
+    ``rules``: (host, path_prefix, allow) sorted longest-prefix-first,
+    allow-wins on ties — the first matching arm decides. A compiled
+    expression beats a join+window: no shuffle, no per-row sort, and
+    whole-stage codegen evaluates it inline during the frontier scan.
+    Robots corpora are small even web-scale (rules live per *host*,
+    not per URL); beyond ROBOTS_EXPR_MAX_RULES fall back to a
+    broadcast join.
+    """
+    ordered = sorted(rules, key=lambda r: (-len(r[1]), not r[2]))
+    url_path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    expr = F.lit(True)
+    for host, prefix, allow in reversed(ordered):
+        cond = (F.col("host") == host) & url_path.startswith(prefix)
+        expr = F.when(cond, F.lit(bool(allow))).otherwise(expr)
+    return expr
+
+
 def apply_robots(
     frontier: DataFrame, robots: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:
     """Filter disallowed URLs. Returns (allowed, blocked).
 
-    Longest-matching-prefix decides; ties broken allow-wins. The rules
-    table is broadcast (robots corpora are MBs even web-scale).
+    Longest-matching-prefix decides; ties broken allow-wins. Small rule
+    sets compile to a single CASE expression (collected once on the
+    driver, evaluated inline — no join); oversized rule sets fall back
+    to a broadcast join + longest-prefix aggregate.
     """
     if robots is None:
         return frontier, frontier.limit(0)
 
+    rules = [
+        (r["host"], r["path_prefix"], bool(r["allow"]))
+        for r in robots.limit(ROBOTS_EXPR_MAX_RULES + 1).collect()
+    ]
+    if not rules:
+        return frontier, frontier.limit(0)
+    if len(rules) <= ROBOTS_EXPR_MAX_RULES:
+        allowed_col = robots_allow_expr(rules)
+        decided = frontier.withColumn("_allowed", allowed_col)
+        return (
+            decided.filter(F.col("_allowed")).drop("_allowed"),
+            decided.filter(~F.col("_allowed")).drop("_allowed"),
+        )
+
+    # fallback: broadcast join + longest-prefix max_by aggregate
     path_col = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     fr = frontier.withColumn("_path", path_col)
     joined = fr.join(
@@ -86,14 +126,19 @@ def apply_robots(
         & F.col("_path").startswith(F.col("path_prefix")),
         "left",
     )
-    w = Window.partitionBy("path").orderBy(
-        F.length("path_prefix").desc(), F.col("allow").desc()
-    )
+    keep = [c for c in fr.columns]
     decided = (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .withColumn("_allowed", F.coalesce(F.col("allow"), F.lit(True)))
-        .drop("_rk", "r_host", "path_prefix", "allow", "_path")
+        joined.groupBy(*keep)
+        .agg(
+            F.coalesce(
+                F.max_by(
+                    F.col("allow"),
+                    F.struct(F.length("path_prefix"), F.col("allow")),
+                ),
+                F.lit(True),
+            ).alias("_allowed")
+        )
+        .drop("_path")
     )
     allowed = decided.filter(F.col("_allowed")).drop("_allowed")
     blocked = decided.filter(~F.col("_allowed")).drop("_allowed")

@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas
 from ..urls import canonicalize_url, url_hash
+from . import native as N
 from .engine import CrawlConfig, CrawlEngine
 from .pagespec import PageRegistry, PageSpec
 
@@ -61,46 +61,17 @@ def doc_page_store(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_native(ok: DataFrame) -> DataFrame:
-    item = ok.select(
-        F.lit("item").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(F.col("path"), F.lit(schemas.SLOT_CHILD),
-                 F.lit("00000000")).alias("path"),
-        F.col("payload").cast("string").alias("item_json"),
-        F.lit(None).cast("string").alias("child_cls"),
-        F.lit(None).cast("string").alias("child_url"),
-        F.lit(None).cast("string").alias("child_input_json"),
-        F.col("priority"),
-        F.col("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
+def _doc_arr():
+    # item in slot 0, children in slots 1.. (document order)
+    return F.concat(
+        N.one(N.item_emission(F.col("payload").cast("string"), slot=0)),
+        N.children_from_links("DocTreePage", slot_offset=1),
     )
-    children = ok.select(
-        F.posexplode(F.col("links")).alias("pos", "child_url"),
-        "page_cls", "path", "priority",
-    ).select(
-        F.lit("child").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(
-            F.col("path"), F.lit(schemas.SLOT_CHILD),
-            F.lower(F.lpad(F.hex(F.col("pos") + 1), 8, "0")),
-        ).alias("path"),
-        F.lit(None).cast("string").alias("item_json"),
-        F.lit("DocTreePage").alias("child_cls"),
-        F.col("child_url"),
-        F.lit(None).cast("string").alias("child_input_json"),
-        F.col("priority"),
-        F.lit(0).alias("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
-    )
-    return item.unionByName(children)
 
 
 def doc_registry() -> PageRegistry:
     reg = PageRegistry()
-    reg.register(PageSpec(name="DocTreePage", native_emissions=_doc_native))
+    reg.register(PageSpec(name="DocTreePage", native_emit_array=_doc_arr))
     return reg
 
 

@@ -74,6 +74,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
+from . import native as N
 from ..operators import politeness as politeness_ops
 from ..operators import seen as seen_ops
 from ..urls import canonicalize_url, host_of, url_hash
@@ -106,7 +107,7 @@ _EMISSION_COLS = [
 _BATCH_SELECT = [
     "page_cls", "path", "url", "input_json", "payload", "links", "next_url",
     "status", "attempts", "page_seq", "payload_kind", "image_id", "found",
-    "priority", "flaky_rejects",
+    "priority", "flaky_rejects", "url_hash",
 ]
 
 
@@ -127,11 +128,13 @@ class CrawlConfig:
     bloom_fpr: float = 1e-3
     bloom_shards: int = 16
     # fixed per-shard capacity (blob size is set once; OR-merge keeps
-    # it constant). 1M hashes/shard ≈ 1.8 MB/shard at fpr 1e-3.
-    bloom_shard_capacity: int = 1 << 20
+    # it constant). 256k hashes/shard ≈ 460 KB/shard at fpr 1e-3; a
+    # 10^10-URL deployment raises shards+capacity (docs in seen.py).
+    bloom_shard_capacity: int = 1 << 18
     # below this many seen URLs the broadcast-bloom prefilter costs
-    # more than the plain anti-join it saves — skip it
-    bloom_min_seen: int = 4096
+    # more than the plain anti-join it saves (measured: the per-wave
+    # blob broadcast + python UDF outweigh a sub-100k-row anti-join)
+    bloom_min_seen: int = 100_000
     # bloom_exact_confirm=True: bloom is a prefilter, the exact
     # anti-join confirms "maybe seen" rows (parity mode — zero false
     # drops). False: bloom-only (scale mode; FPR-bounded URL loss).
@@ -400,6 +403,17 @@ class CrawlEngine:
         self.spark = spark
         self.registry = registry
         self.robots = robots
+        # compile small robots rule sets ONCE into a Catalyst CASE
+        # expression (politeness.robots_allow_expr); collecting the
+        # rules per wave would cost one job each
+        self._robots_rules = None
+        if robots is not None:
+            rows = robots.limit(
+                politeness_ops.ROBOTS_EXPR_MAX_RULES + 1
+            ).collect()
+            self._robots_rules = [
+                (r["host"], r["path_prefix"], bool(r["allow"])) for r in rows
+            ]
         self.politeness = politeness
         self.config = config or CrawlConfig()
         n = self.config.target_partitions or int(
@@ -497,8 +511,12 @@ class CrawlEngine:
         metrics_rows: list[dict] = []
         dep_values = self._resolve_dependencies()
         specs = self.registry.specs()
-        hook_cls = [n for n, s in specs.items() if s.native_emissions is None]
-        native_cls = [n for n, s in specs.items() if s.native_emissions is not None]
+        hook_cls = [
+            n for n, s in specs.items() if s.native_emit_array is None
+        ]
+        native_cls = [
+            n for n, s in specs.items() if s.native_emit_array is not None
+        ]
         transform = _make_transform(specs, dep_values)
 
         wave = 0
@@ -542,10 +560,16 @@ class CrawlEngine:
             scheduled, deferred = politeness_ops.split_by_host_budget(
                 frontier, self.politeness, cfg.host_budget_per_wave
             )
-            # robots (F6)
-            scheduled, blocked = politeness_ops.apply_robots(
-                scheduled, self.robots
-            )
+            # robots (F6): precompiled CASE expression, no join
+            if self._robots_rules:
+                allowed_col = politeness_ops.robots_allow_expr(
+                    self._robots_rules
+                )
+                decided = scheduled.withColumn("_allowed", allowed_col)
+                scheduled = decided.filter(F.col("_allowed")).drop("_allowed")
+                blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
+            else:
+                blocked = scheduled.limit(0)
 
             fetchable = scheduled.filter(F.col("url").isNotNull()).withColumn(
                 "canon_url", canonicalize_url(F.col("url"))
@@ -554,16 +578,6 @@ class CrawlEngine:
 
             if cfg.dedup_urls:
                 fetchable = self._dedup(fetchable, seen)
-            # materialize once: feeds both the fetch join and the
-            # seen-set update without recomputing bloom/window plans;
-            # the new-URL count rides along as an observed metric
-            fetchable, fmetrics = self._materialize(
-                fetchable, "fetchable",
-                [F.count(F.when(F.col("attempts") == 0, 1)).alias("n_new")],
-            )
-            n_new = int(fmetrics["n_new"])
-            _tick("fetchable ckpt", t)
-            new_seen = fetchable.filter(F.col("attempts") == 0).select("url_hash")
 
             fetched = self._fetch(fetchable)
             batch = fetched.unionByName(
@@ -579,36 +593,68 @@ class CrawlEngine:
                     F.lit(True).alias("found"),
                     "priority",
                     F.lit(0).alias("flaky_rejects"),
+                    F.lit(None).cast("long").alias("url_hash"),
                 )
             ).select(*_BATCH_SELECT)
+            # the per-class emission branches all read `batch`; cache it
+            # so the fetch join executes once, not once per branch
+            batch = batch.persist()
 
-            parts: list[DataFrame] = []
+            # ONE projection builds every native emission: fetched
+            # marker ++ CASE-dispatched per-class arrays, exploded once
+            # (no per-class DataFrame branches — those rescanned the
+            # fetch join up to 7x per wave).
+            marker = F.when(
+                F.col("url").isNotNull() & (F.col("attempts") == 0),
+                N.one(N.emission("fetched", url_hash=F.col("url_hash"),
+                                 attempts=F.col("attempts"))),
+            ).otherwise(N.empty_emissions())
+            cls_arr = None
+            for name in native_cls:
+                arr = self._class_emission_array(specs[name])
+                cond = F.col("page_cls") == name
+                cls_arr = (
+                    F.when(cond, arr) if cls_arr is None
+                    else cls_arr.when(cond, arr)
+                )
+            per_row = marker
+            if cls_arr is not None:
+                per_row = F.concat(
+                    marker, F.coalesce(cls_arr, N.empty_emissions())
+                )
+            native_part = batch.select(
+                F.explode(per_row).alias("e")
+            ).select("e.*")
+            parts: list[DataFrame] = [native_part]
             if hook_cls:
                 parts.append(
                     batch.filter(F.col("page_cls").isin(hook_cls)).mapInPandas(
                         transform, _EMISSION_OUT_SCHEMA
                     )
                 )
-            for name in native_cls:
-                sub = batch.filter(F.col("page_cls") == name)
-                parts.extend(self._native_emissions(specs[name], sub))
             emissions = parts[0]
             for p in parts[1:]:
-                emissions = emissions.unionByName(p)
+                emissions = emissions.unionByName(p, allowMissingColumns=True)
             # bound partition count: a union's partitioning is the SUM of
             # its children's — left unchecked the per-wave union fan-in
             # compounds geometrically across waves (7×(P+8) per wave).
             # coalesce is narrow (no shuffle) and caps every wave at
             # nparts.
             kind_names = ("item", "child", "next", "requeue", "skip_item",
-                          "skip_page", "handled_error", "error", "reject")
+                          "skip_page", "handled_error", "error", "reject",
+                          "fetched")
             emissions, emetrics = self._materialize(
                 emissions.coalesce(self._nparts), "emissions",
                 [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
                  for k in kind_names],
             )
             kind_counts = {k: int(emetrics[k]) for k in kind_names}
+            n_new = kind_counts["fetched"]
+            batch.unpersist()
             _tick("emissions ckpt", t)
+            new_seen = emissions.filter(
+                F.col("emit_kind") == "fetched"
+            ).select("url_hash")
 
             if cfg.scout:
                 wave_items = _scout_projection(emissions, wave)
@@ -649,10 +695,19 @@ class CrawlEngine:
                 new_seen.write.mode("append").parquet(self._seen_dir)
                 seen = spark.read.parquet(self._seen_dir)
                 self._seen_count += n_new
-                if self._bloom is not None:
-                    # incremental: OR this wave's shard blobs into the
-                    # driver-held filter (never a full rebuild)
-                    self._bloom.add_hashes_df(new_seen)
+                if (
+                    self._bloom is not None
+                    and self._seen_count >= cfg.bloom_min_seen
+                ):
+                    if self._bloom.count == 0 and self._seen_count > n_new:
+                        # lazy backfill: the filter only starts paying
+                        # once the seen set crosses the threshold; fold
+                        # in everything accumulated so far, once
+                        self._bloom.add_hashes_df(seen)
+                    else:
+                        # incremental: OR this wave's shard blobs into
+                        # the driver-held filter (never a full rebuild)
+                        self._bloom.add_hashes_df(new_seen)
             _tick("seen update", t)
 
             # next frontier
@@ -681,7 +736,7 @@ class CrawlEngine:
             metrics_rows.append(
                 {
                     "wave": wave,
-                    "fetched": int(n_new),
+                    "fetched": int(n_new),  # fetched-marker count
                     "items": int(kind_counts.get("item", 0)),
                     "children": int(kind_counts.get("child", 0)),
                     "next_pages": int(kind_counts.get("next", 0)),
@@ -710,9 +765,11 @@ class CrawlEngine:
         all_results = spark.createDataFrame([], schemas.RESULT_SCHEMA)
         for df in results:
             all_results = all_results.unionByName(df)
-        all_dead = spark.createDataFrame([], _EMISSION_OUT_SCHEMA)
+        all_dead = spark.createDataFrame(
+            [], _EMISSION_OUT_SCHEMA + ", url_hash long"
+        )
         for df in dead:
-            all_dead = all_dead.unionByName(df)
+            all_dead = all_dead.unionByName(df, allowMissingColumns=True)
         return CrawlResult(
             results=all_results,
             dead=all_dead,
@@ -722,55 +779,61 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------- internals
-    def _native_emissions(self, spec: PageSpec, sub: DataFrame) -> list[DataFrame]:
-        """Error/accept gating + emission generation for a native
-        (pure-Catalyst) spec — no Python anywhere on this path."""
-        parts: list[DataFrame] = []
+    def _class_emission_array(self, spec: PageSpec):
+        """Per-row emission array for a native spec: error/accept gates
+        (reference _fetch_data semantics) folded into one CASE — pure
+        Catalyst, evaluated inline during the batch projection."""
         failed = F.col("url").isNotNull() & (
             ~F.col("found") | (F.col("status") >= 400)
         )
-        err = sub.filter(failed)
-        ok = sub.filter(~failed)
         if spec.handles_errors:
-            parts.append(_emit_native(err, "handled_error",
-                                      error=F.format_string(
-                                          "status=%s", F.col("status"))))
-            # pagination still runs on handled errors (pages.py:210-215)
-            parts.append(_emit_native_next(err.filter(F.col("next_url").isNotNull())))
-        else:
-            parts.append(_emit_native(err, "error",
-                                      error=F.format_string(
-                                          "HTTP error status=%s url=%s",
-                                          F.col("status"), F.col("url"))))
-        if spec.accept_expr is not None:
-            acc = F.expr(spec.accept_expr)
-            rej = ok.filter(~acc)
-            ok = ok.filter(acc)
-            total = spec.total_attempts()
-            requeue = rej.filter(F.col("attempts") + 1 < F.lit(total))
-            reject = rej.filter(F.col("attempts") + 1 >= F.lit(total))
-            parts.append(
-                requeue.select(
-                    F.lit("requeue").alias("emit_kind"),
-                    F.col("page_cls").alias("src_cls"),
-                    F.col("path"),
-                    F.lit(None).cast("string").alias("item_json"),
-                    F.col("page_cls").alias("child_cls"),
-                    F.col("url").alias("child_url"),
-                    F.col("input_json").alias("child_input_json"),
-                    F.col("priority"),
-                    F.col("page_seq"),
-                    (F.col("attempts") + 1).cast("int").alias("attempts"),
-                    F.lit(None).cast("string").alias("error"),
-                )
+            # HandledError: no items, pagination still runs
+            # (pages.py:210-215)
+            err = F.concat(
+                N.one(N.emission(
+                    "handled_error",
+                    error=F.format_string("status=%s", F.col("status")),
+                )),
+                N.paginate_if_next(),
             )
-            parts.append(_emit_native(
-                reject, "reject",
+        else:
+            err = N.one(N.emission(
+                "error",
                 error=F.format_string(
-                    "RejectedResponse after %s attempts: %s",
-                    F.lit(str(total)), F.col("url"))))
-        parts.append(spec.native_emissions(ok))
-        return parts
+                    "HTTP error status=%s url=%s",
+                    F.col("status"), F.col("url"),
+                ),
+            ))
+        ok = spec.native_emit_array()
+        if spec.accept_expr is not None:
+            total = spec.total_attempts()
+            # retry loop (pages.py:168-195): requeue w/ attempts+1 until
+            # exhausted, then RejectedResponse
+            rej = F.when(
+                F.col("attempts") + 1 < F.lit(total),
+                N.one(N.emission(
+                    "requeue",
+                    child_cls=F.col("page_cls"),
+                    child_url=F.col("url"),
+                    child_input_json=F.col("input_json"),
+                    attempts=F.col("attempts") + 1,
+                )),
+            ).otherwise(
+                N.one(N.emission(
+                    "reject",
+                    attempts=F.col("attempts"),
+                    error=F.format_string(
+                        "RejectedResponse after %s attempts: %s",
+                        F.lit(str(total)), F.col("url"),
+                    ),
+                ))
+            )
+            return (
+                F.when(failed, err)
+                .when(~F.expr(spec.accept_expr), rej)
+                .otherwise(ok)
+            )
+        return F.when(failed, err).otherwise(ok)
 
     def _dedup(self, fetchable: DataFrame, seen: DataFrame) -> DataFrame:
         """Seen-set + in-wave dedup (F4 + E5-at-frontier, first-wins).
@@ -782,11 +845,14 @@ class CrawlEngine:
         first_time = fetchable.filter(F.col("attempts") == 0)
         requeues = fetchable.filter(F.col("attempts") > 0)
 
-        w = Window.partitionBy("url_hash").orderBy("path")
+        # first-wins by lineage path. min_by under a hash aggregate —
+        # a row_number window would sort-shuffle into mostly-singleton
+        # url_hash partitions, pure overhead at every scale.
+        cols = [c for c in first_time.columns if c != "url_hash"]
         first_time = (
-            first_time.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            first_time.groupBy("url_hash")
+            .agg(F.min_by(F.struct(*cols), F.col("path")).alias("_r"))
+            .select("url_hash", "_r.*")
         )
 
         if self._seen_count > 0:
@@ -821,10 +887,14 @@ class CrawlEngine:
         identical output schema)."""
         if self.page_store is None:
             raise CrawlError("no page_store configured")
-        fr = politeness_ops.salted_repartition(
-            fetchable, self._nparts, self.config.salt_buckets
-        )
-        joined = fr.join(self.page_store, "url_hash", "left")
+        # NOTE on skew: the equi-join key is xxhash64(canon url) —
+        # uniform by construction, so no salting is needed HERE. The
+        # salted repartition (politeness.salted_repartition) belongs in
+        # front of the real-HTTP fetch variant, where work is grouped
+        # per host and a hot host would pile onto one task. Adding it
+        # before this join would just buy an extra full shuffle — the
+        # join reshuffles on url_hash anyway.
+        joined = fetchable.join(self.page_store, "url_hash", "left")
         return joined.select(
             "page_cls", "path", "url", "input_json", "payload", "links",
             "next_url",
@@ -835,6 +905,7 @@ class CrawlEngine:
             # synthetic flakiness: how many leading attempts the "server"
             # degrades — consumed by accept hooks (retry tests)
             F.coalesce(F.col("flaky_rejects"), F.lit(0)).alias("flaky_rejects"),
+            "url_hash",
         )
 
     def _resolve_dependencies(self) -> dict[str, dict[str, Any]]:
@@ -939,20 +1010,16 @@ class CrawlEngine:
         wrap their own payload, child rows their would-be input."""
         import copy
 
-        cfg = copy.copy(self.config)
+        saved = self.config
+        cfg = copy.copy(saved)
         cfg.scout = True
         cfg.follow_children = False
-        eng = CrawlEngine.__new__(CrawlEngine)
-        eng.spark, eng.registry = self.spark, self.registry
-        eng.robots, eng.politeness = self.robots, self.politeness
-        eng.config, eng._nparts = cfg, self._nparts
-        eng.page_store = self.page_store
-        res = eng.crawl(seeds)
-        rows = (
-            res.results.orderBy("path")
-            .select("item_json")
-            .collect()
-        )
+        self.config = cfg
+        try:
+            res = self.crawl(seeds)
+        finally:
+            self.config = saved
+        rows = res.results.orderBy("path").select("item_json").collect()
         return [json.loads(r["item_json"]) for r in rows]
 
 
@@ -985,41 +1052,3 @@ def _scout_projection(emissions: DataFrame, wave: int) -> DataFrame:
         F.lit(wave).alias("wave"),
     )
     return items.unionByName(children)
-
-
-def _emit_native(df: DataFrame, kind: str, error=None) -> DataFrame:
-    """Project a batch subset to emission rows (native)."""
-    return df.select(
-        F.lit(kind).alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.col("path"),
-        F.lit(None).cast("string").alias("item_json"),
-        F.lit(None).cast("string").alias("child_cls"),
-        F.lit(None).cast("string").alias("child_url"),
-        F.lit(None).cast("string").alias("child_input_json"),
-        F.col("priority"),
-        F.col("page_seq"),
-        F.lit(0).alias("attempts"),
-        (error if error is not None else F.lit(None)).cast("string").alias("error"),
-    )
-
-
-def _emit_native_next(df: DataFrame) -> DataFrame:
-    """Pagination emission from the store's next_url column (native
-    analog of get_next_source, pages.py:318-324)."""
-    return df.select(
-        F.lit("next").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(
-            F.col("path"), F.lit(schemas.SLOT_PAGINATION),
-            F.lower(F.lpad(F.hex(F.col("page_seq") + 1), 8, "0")),
-        ).alias("path"),
-        F.lit(None).cast("string").alias("item_json"),
-        F.col("page_cls").alias("child_cls"),
-        F.col("next_url").alias("child_url"),
-        F.col("input_json").alias("child_input_json"),
-        F.col("priority"),
-        (F.col("page_seq") + 1).cast("int").alias("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
-    )

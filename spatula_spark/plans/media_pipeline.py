@@ -7,11 +7,11 @@ transforms are **100% native Catalyst expressions** — between the Arrow
 boundary of the final pixel-verification UDF and the parquet scan,
 nothing runs in Python:
 
-* ``MediaListPage``: children = ``posexplode`` of the page's link
-  array (the native analog of ``SimilarLink`` extraction — the store
-  materializes absolutized hrefs like the reference's lxml
-  ``make_links_absolute``, pages.py:343-344); pagination from the
-  ``next_url`` column (``get_next_source``, pages.py:318-324).
+* ``MediaListPage``: children from the page's link array (the native
+  analog of ``SimilarLink`` extraction — the store materializes
+  absolutized hrefs like the reference's lxml ``make_links_absolute``,
+  pages.py:343-344); pagination from ``next_url``
+  (``get_next_source``, pages.py:318-324).
 * ``MediaDetailPage``: item = the page's JSON payload; flaky
   responses retried via the native accept predicate
   ``attempts >= flaky_rejects`` (retry loop, pages.py:168-195);
@@ -25,90 +25,88 @@ caption equality, BASELINE.json input_hint) in one Arrow-batched
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .. import schemas
 from ..functions.images import VERIFY_SCHEMA, decode_verify_iter
+from . import native as N
 from .pagespec import PageRegistry, PageSpec
 
 
-def _list_native(ok: DataFrame) -> DataFrame:
-    children = ok.select(
-        F.posexplode(F.col("links")).alias("pos", "child_url"),
-        "page_cls", "path", "priority", "page_seq", "input_json",
-    ).select(
-        F.lit("child").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(
-            F.col("path"), F.lit(schemas.SLOT_CHILD),
-            F.lower(F.lpad(F.hex(F.col("pos")), 8, "0")),
-        ).alias("path"),
-        F.lit(None).cast("string").alias("item_json"),
-        F.lit("MediaDetailPage").alias("child_cls"),
-        F.col("child_url"),
-        F.lit(None).cast("string").alias("child_input_json"),
-        F.col("priority"),
-        F.lit(0).alias("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
+def _list_arr():
+    return F.concat(
+        N.children_from_links("MediaDetailPage"),
+        N.paginate_if_next(),
     )
-    nexts = ok.filter(F.col("next_url").isNotNull()).select(
-        F.lit("next").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(
-            F.col("path"), F.lit(schemas.SLOT_PAGINATION),
-            F.lower(F.lpad(F.hex(F.col("page_seq") + 1), 8, "0")),
-        ).alias("path"),
-        F.lit(None).cast("string").alias("item_json"),
-        F.col("page_cls").alias("child_cls"),
-        F.col("next_url").alias("child_url"),
-        F.col("input_json").alias("child_input_json"),
-        F.col("priority"),
-        (F.col("page_seq") + 1).cast("int").alias("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
-    )
-    return children.unionByName(nexts)
 
 
-def _detail_native(ok: DataFrame) -> DataFrame:
-    # item = the JSON payload enriched with url; stays native via
-    # string/JSON expressions (no from_json->to_json roundtrip needed:
-    # payload is already canonical JSON from the store)
-    return ok.select(
-        F.lit("item").alias("emit_kind"),
-        F.col("page_cls").alias("src_cls"),
-        F.concat(
-            F.col("path"), F.lit(schemas.SLOT_CHILD), F.lit("00000000")
-        ).alias("path"),
-        F.to_json(
-            F.struct(
-                F.get_json_object(F.col("payload").cast("string"), "$.doc")
-                .cast("long").alias("doc"),
-                F.col("image_id"),
-                F.col("url"),
-            )
-        ).alias("item_json"),
-        F.lit(None).cast("string").alias("child_cls"),
-        F.lit(None).cast("string").alias("child_url"),
-        F.lit(None).cast("string").alias("child_input_json"),
-        F.col("priority"),
-        F.col("page_seq"),
-        F.lit(0).alias("attempts"),
-        F.lit(None).cast("string").alias("error"),
+def _detail_arr():
+    item_json = F.to_json(
+        F.struct(
+            F.get_json_object(F.col("payload").cast("string"), "$.doc")
+            .cast("long").alias("doc"),
+            F.col("image_id"),
+            F.col("url"),
+        )
     )
+    return N.one(N.item_emission(item_json))
 
 
 def media_registry() -> PageRegistry:
     reg = PageRegistry()
-    reg.register(PageSpec(name="MediaListPage", native_emissions=_list_native))
+    reg.register(PageSpec(name="MediaListPage", native_emit_array=_list_arr))
     reg.register(
         PageSpec(
             name="MediaDetailPage",
-            native_emissions=_detail_native,
+            native_emit_array=_detail_arr,
             accept_expr="attempts >= flaky_rejects",
             retries=2,
+            handles_errors=True,
+        )
+    )
+    return reg
+
+
+def _verify_detail(ctx):
+    """Decode-as-you-ingest detail hook (runs Arrow-batched): decode
+    the fetched image payload, verify the input_hint invariant inline
+    (pixels allclose / PSNR>=40dB for lossy), emit phash."""
+    import numpy as np
+
+    from ..functions.images import (
+        average_phash,
+        decode_image,
+        psnr,
+        synth_pixels,
+    )
+
+    idx = int(ctx.image_id[4:])
+    fmt = "png" if idx % 2 == 0 else "jpeg"
+    px = decode_image(ctx.payload, fmt)
+    ref = synth_pixels(idx, px.shape[1], px.shape[0])
+    if fmt == "png":
+        ok = bool(np.array_equal(px, ref))
+    else:
+        ok = bool(psnr(px, ref) >= 40.0)
+    return {
+        "image_id": ctx.image_id,
+        "url": ctx.url,
+        "phash": int(average_phash(px)),
+        "pixels_ok": ok,
+    }
+
+
+def media_verify_registry() -> PageRegistry:
+    """Full-pipeline variant: detail payloads are image bytes
+    (synthweb.page_store_with_media) and the detail transform decodes +
+    verifies inline — fetch-join, scheduling, seen-set all identical,
+    plus the mandated pixel work inside the wave."""
+    reg = PageRegistry()
+    reg.register(PageSpec(name="MediaListPage", native_emit_array=_list_arr))
+    reg.register(
+        PageSpec(
+            name="MediaDetailPage",
+            process_page=_verify_detail,
             handles_errors=True,
         )
     )

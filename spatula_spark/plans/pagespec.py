@@ -161,11 +161,12 @@ class PageSpec:
     # custom item enumeration (reference: a hand-written process_page
     # that feeds _process_or_skip_loop, tests/test_page_base.py:266-284)
     items_fn: Callable[[PageCtx], list] | None = None
-    # THE scale path: a pure-Catalyst transform. Takes this class's
-    # fetched-batch DataFrame, returns an emissions DataFrame (engine
-    # _EMISSION_OUT_SCHEMA). When set, no Python executes for this page
-    # class at all — parsing/extraction stays in whole-stage codegen.
-    native_emissions: Callable[..., Any] | None = None
+    # THE scale path: a pure-Catalyst transform. A zero-arg callable
+    # returning an array<emission struct> Column built from the batch
+    # row's columns (see plans/native.py builders). The engine folds
+    # every native class into ONE CASE-dispatched projection + explode;
+    # no Python executes for this page class at all.
+    native_emit_array: Callable[[], Any] | None = None
     # native accept predicate: SQL boolean expr over batch columns
     # (e.g. "attempts >= flaky_rejects"); evaluated engine-side,
     # rejected rows requeue per the reference retry loop

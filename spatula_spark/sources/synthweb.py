@@ -140,6 +140,34 @@ class SynthWeb:
             .withColumn("url_hash", url_hash(F.col("canon_url")))
         )
 
+    def page_store_with_media(
+        self, spark: SparkSession, media: DataFrame | None = None
+    ) -> DataFrame:
+        """Page store whose detail payloads ARE the encoded image bytes
+        (payload_kind 'bin') — the full-pipeline variant where the crawl
+        decodes + verifies as it ingests (north-star shape)."""
+        if media is None:
+            media = self.media(spark)
+        details = self._detail_pages(spark).drop("payload", "payload_kind")
+        details = details.join(
+            media.select(
+                "image_id", F.col("bytes").alias("payload"),
+                F.col("fmt").alias("_fmt"),
+            ),
+            "image_id",
+            "left",
+        ).withColumn("payload_kind", F.concat(F.lit("img/"), F.col("_fmt")))
+        details = details.drop("_fmt").select(
+            "url", "host", "kind", "status", "payload_kind", "payload",
+            "links", "next_url", "image_id", "flaky_rejects",
+        )
+        lists = self._list_pages(spark)
+        store = details.unionByName(lists)
+        return (
+            store.withColumn("canon_url", canonicalize_url(F.col("url")))
+            .withColumn("url_hash", url_hash(F.col("canon_url")))
+        )
+
     def _host_col(self, k: F.Column) -> F.Column:
         return F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
 

@@ -1,0 +1,158 @@
+"""Training-data operator tests: dedup / similarity / text / multimodal.
+
+Correctness strategy: inject deterministic positives (perturbed
+corpora), verify recall against brute force, and cross-check against
+DuckDB where entry_queries already wires an oracle (those run in
+scratch/check_oracles.py + the driver; here we assert semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatula_spark.functions import dedup as dd
+from spatula_spark.functions import multimodal as mm
+from spatula_spark.functions import similarity as sim
+from spatula_spark.functions import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+
+
+def test_exact_dedup_finds_injected_copies(docs):
+    base = docs.select("doc_id", "text")
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    out = dd.exact_dedup(corpus).collect()
+    assert all(r["n_dups"] == 2 for r in out)
+    assert all(r["keep_doc_id"] < 10_000 for r in out)
+
+
+def test_minhash_lsh_recall_on_near_copies(docs):
+    corpus = dd.perturbed_corpus(docs.limit(100))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_dedup_pairs(corpus, threshold=0.8).collect()
+    }
+    # every (doc, doc+1M) near-copy pair whose true jaccard >= 0.8
+    # must be found (banded LSH w/ 4 bands of 2 rows has >99.9%
+    # probability at j>=0.9; dropped-last-word copies are j ~ 0.95+)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(
+            corpus,
+            corpus.select(F.col("doc_id").alias("doc_a")).crossJoin(
+                corpus.select(F.col("doc_id").alias("doc_b"))
+            ).filter(
+                (F.col("doc_b") == F.col("doc_a") + 1_000_000)
+            ),
+            threshold=0.8,
+        ).collect()
+    }
+    assert expected  # fixture actually has positives
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.95, (recall, len(expected))
+
+
+def test_simhash_quarter_keys_complete(docs, spark):
+    """Candidate scheme completeness: quarter-key join == brute force
+    for hamming <= 3."""
+    corpus = dd.perturbed_corpus(docs.limit(80))
+    fast = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_near_dups(corpus, max_hamming=3).collect()
+    }
+    sh = corpus.select("doc_id", dd.simhash(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("int").alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert fast == brute
+    assert brute  # positives exist
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    approx = sim.ann_lsh_topk(emb, queries, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 6 hyperplanes -> 64 buckets over 500 vectors; bucketed search is
+    # approximate but must beat random (5/499 ~ 1%) by a wide margin
+    assert recall >= 0.2, recall
+    # and every approx neighbor must share the query's bucket scoring
+    # path, i.e. scores are true cosines: spot-check monotone ranks
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True), (q, rows)
+
+
+def test_cosine_topk_self_excluded_and_ordered(emb):
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] != 0 for r in out)
+    assert [r["rank"] for r in sorted(out, key=lambda r: -r["cos"])] == [1, 2, 3]
+
+
+def test_text_profile_shapes(docs):
+    out = tx.text_profile(docs.limit(20)).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert 0 <= r["quality"] <= 1.0
+        assert len(r["fp"]) == 32
+
+
+def test_image_features_and_resize(spark):
+    from spatula_spark.sources.synthweb import SynthWeb
+
+    media = SynthWeb(n_hosts=1, details_per_host=8, skew=1).media(spark)
+    feats = mm.image_features(media).collect()
+    assert len(feats) == 8
+    assert all(0.0 < r["brightness"] < 1.0 for r in feats)
+    thumbs = mm.resize_images(media, 8, 8).collect()
+    from spatula_spark.functions.images import png_decode
+
+    for r in thumbs:
+        px = png_decode(bytes(r["thumb"]))
+        assert px.shape == (8, 8, 3)
+
+
+def test_audio_video_stub_plumbing(spark):
+    clips = spark.createDataFrame(
+        [("c1", bytes(range(256)) * 4), ("c2", b"\x80" * 100)],
+        "clip_id string, bytes binary",
+    )
+    rows = {r["clip_id"]: r for r in mm.audio_features(clips).collect()}
+    assert rows["c1"]["n_samples"] == 1024
+    assert rows["c2"]["rms"] == 0.0  # constant-128 fake waveform
+    vids = spark.createDataFrame(
+        [("v1", bytes(5120))], "video_id string, bytes binary"
+    )
+    frames = mm.sample_video_frames(vids, every_n=5, frame_bytes=256).collect()
+    assert [r["frame_no"] for r in frames] == [0, 5, 10, 15]
+    assert all(len(bytes(r["frame"])) == 256 for r in frames)
