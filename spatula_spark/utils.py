@@ -1,0 +1,63 @@
+"""Display/debug helpers (reference ``utils.py:17-42`` ``_display`` /
+``_display_element``) and the single-page debug runner (reference
+``spatula test``, ``cli.py:283-370``)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Any
+
+
+def display_element(el: ET.Element, max_len: int = 100) -> str:
+    """Short element repr for error messages / CLI output
+    (reference ``utils.py:27-42``)."""
+    s = ET.tostring(el, encoding="unicode").strip()
+    return s if len(s) <= max_len else s[: max_len - 3] + "..."
+
+
+def display(obj: Any, max_len: int = 100) -> str:
+    if isinstance(obj, ET.Element):
+        return display_element(obj, max_len)
+    s = repr(obj)
+    return s if len(s) <= max_len else s[: max_len - 3] + "..."
+
+
+def debug_run(
+    engine,
+    page_cls: str,
+    input: Any = None,
+    url: str | None = None,
+    follow_pagination: bool = True,
+    max_waves: int | None = None,
+) -> list[dict]:
+    """The ``spatula test`` loop (cli.py:283-370): run ONE page class
+    with a synthesized/overridden input and source, never following
+    children ("would continue with <Page>" semantics), optionally
+    following pagination; returns the scout-style projections with
+    continuous numbering across pages (tests/test_cli.py:146-157)."""
+    import copy
+
+    spec = engine.registry[page_cls]
+    if input is None:
+        input = spec.example_input
+    saved = engine.config
+    cfg = copy.copy(saved)
+    cfg.scout = True
+    cfg.follow_children = False
+    # pagination rides the 'next' emission kind; --no-pagination is a
+    # one-wave run (cli.py:359-370 prints a notice and stops)
+    if not follow_pagination:
+        cfg.max_waves = 1
+    elif max_waves is not None:
+        cfg.max_waves = max_waves
+    engine.config = cfg
+    try:
+        res = engine.crawl(
+            [{"page_cls": page_cls, "input": input, "url": url}]
+        )
+        import json as _json
+
+        rows = res.results.orderBy("path").select("item_json").collect()
+        return [_json.loads(r["item_json"]) for r in rows]
+    finally:
+        engine.config = saved
