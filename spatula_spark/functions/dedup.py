@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 from ..urls import portable_hash64
 from .text import fingerprint
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive in 1-2 partitions; the per-row hashing
+    here is CPU-heavy, so spread to the session's parallelism first
+    (a tiny shuffle buying full-width compute)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
 # ------------------------------------------------------------------- exact
 
 
@@ -74,7 +82,7 @@ def minhash_signature(text: Column, num_perms: int, n: int = 3) -> list[Column]:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_perms: int = 8, n: int = 3
 ) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         "doc_id", *minhash_signature(F.col(text_col), num_perms, n)
     )
 
@@ -136,7 +144,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification stage)."""
-    sh = df.select(
+    sh = _spread(df).select(
         "doc_id", word_shingles(F.col(text_col), n).alias("sh")
     ).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -164,6 +172,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket-join
     -> exact-Jaccard verify."""
+    df = df.persist()  # read by both the signature and the verify stage
     cands = lsh_candidate_pairs(df, text_col, num_perms, band_rows, n)
     return jaccard_pairs(df, cands, text_col, n, threshold)
 
@@ -221,7 +230,9 @@ def simhash_near_dups(
     leave at least one band identical (pigeonhole), so the bucket join
     is COMPLETE for max_hamming<=3 — the oracle brute-forces all pairs
     and must agree exactly."""
-    sh = df.select("doc_id", simhash(F.col(text_col)).alias("sh")).persist()
+    sh = _spread(df).select(
+        "doc_id", simhash(F.col(text_col)).alias("sh")
+    ).persist()
     quarters = sh.select(
         "doc_id", "sh",
         F.explode(

@@ -1,0 +1,90 @@
+"""CLI parity (reference tests/test_cli.py): scrape writes one JSON
+file per item, scout writes scout.json, test prints numbered items."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spatula_spark.__main__ import main
+from spatula_spark.urls import canonicalize_url, url_hash
+
+
+def _store(spark, tmp_path):
+    base = "http://f.example.com"
+    rows = [
+        (
+            f"{base}/list", "f.example.com", "list", 200, "html",
+            (
+                '<html><body>'
+                f'<a href="{base}/d/apple">apple</a>'
+                f'<a href="{base}/d/kiwi">kiwi</a>'
+                "</body></html>"
+            ).encode(),
+            None, None, None, 0,
+        ),
+        (f"{base}/d/apple", "f.example.com", "detail", 200, "json",
+         json.dumps({"color": "red"}).encode(), None, None, None, 0),
+        (f"{base}/d/kiwi", "f.example.com", "detail", 200, "json",
+         json.dumps({"color": "green"}).encode(), None, None, None, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, host string, kind string, status int, "
+        "payload_kind string, payload binary, links array<string>, "
+        "next_url string, image_id string, flaky_rejects int",
+    ).withColumn("canon_url", canonicalize_url(F.col("url"))).withColumn(
+        "url_hash", url_hash(F.col("canon_url"))
+    )
+    path = str(tmp_path / "store.parquet")
+    df.write.parquet(path)
+    return path
+
+
+def test_cli_scrape_json_files(spark, tmp_path, capsys):
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "items")
+    rc = main([
+        "scrape", "tests.cli_fixture", "FruitList",
+        "--store", store, "--url", "http://f.example.com/list",
+        "-o", out, "--cores", "8",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert len(files) == 2  # reference golden: one file per item
+    items = [json.load(open(os.path.join(out, f))) for f in files]
+    assert items == [
+        {"name": "apple", "color": "red"},
+        {"name": "kiwi", "color": "green"},
+    ]
+
+
+def test_cli_scout(spark, tmp_path, capsys):
+    store = _store(spark, tmp_path)
+    out = str(tmp_path / "scout.json")
+    rc = main([
+        "scout", "tests.cli_fixture", "FruitList",
+        "--store", store, "--url", "http://f.example.com/list",
+        "-o", out, "--cores", "8",
+    ])
+    assert rc == 0
+    data = json.load(open(out))
+    assert data == [
+        {"data": {"name": "apple"},
+         "__next__": "FruitDetail source=http://f.example.com/d/apple"},
+        {"data": {"name": "kiwi"},
+         "__next__": "FruitDetail source=http://f.example.com/d/kiwi"},
+    ]
+
+
+def test_cli_test_command(spark, tmp_path, capsys):
+    store = _store(spark, tmp_path)
+    rc = main([
+        "test", "tests.cli_fixture", "FruitList",
+        "--store", store, "--url", "http://f.example.com/list",
+        "--cores", "8", "--no-pagination",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1:" in out and "2:" in out
+    assert "pagination not followed" in out
