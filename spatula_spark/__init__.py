@@ -33,6 +33,19 @@ from .operators.selectors import (
     XPath,
     SimilarLink,
 )
+from .pages import (
+    page,
+    html_page,
+    xml_page,
+    json_page,
+    pdf_page,
+    list_page,
+    html_list_page,
+    xml_list_page,
+    json_list_page,
+    csv_list_page,
+    excel_list_page,
+)
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -53,5 +66,16 @@ __all__ = [
     "CSS",
     "XPath",
     "SimilarLink",
+    "page",
+    "html_page",
+    "xml_page",
+    "json_page",
+    "pdf_page",
+    "list_page",
+    "html_list_page",
+    "xml_list_page",
+    "json_list_page",
+    "csv_list_page",
+    "excel_list_page",
     "get_spark",
 ]

@@ -232,6 +232,10 @@ def _run_process(spec: PageSpec, ctx: PageCtx) -> list[Any]:
             items = ctx.csv_rows
         elif ctx.payload_kind == "json":
             items = ctx.json if isinstance(ctx.json, list) else [ctx.json]
+        elif ctx.payload_kind == "excel":
+            from ..operators.parsers import parse_excel
+
+            items = parse_excel(ctx.payload)  # raises: lib absent here
         elif spec.selector is not None:
             items = spec.selector.match(ctx.root)
         else:
@@ -279,7 +283,7 @@ def _make_transform(
             next_url=row.next_url,
             attempts=attempts,
             page_seq=int(row.page_seq),
-            payload_kind=row.payload_kind,
+            payload_kind=spec.page_kind or row.payload_kind,
             image_id=row.image_id,
             flaky_rejects=int(row.flaky_rejects or 0),
             deps=dep_values.get(spec.name, {}),

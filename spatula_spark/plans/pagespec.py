@@ -178,6 +178,10 @@ class PageSpec:
     dependencies: dict[str, str] = field(default_factory=dict)
     input_type: Any = None
     example_input: Any = None
+    # force the parse kind regardless of the store/content-type value —
+    # the reference encodes this in the class (HtmlPage parses HTML no
+    # matter what the server said, pages.py:327-344)
+    page_kind: str | None = None
 
     def total_attempts(self) -> int:
         # reference: (source.retries or REJECTED_RESPONSE_RETRIES) + 1

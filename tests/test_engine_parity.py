@@ -325,3 +325,33 @@ def test_missing_url_is_404(engine, spark, tiny_store):
                       config=CrawlConfig(use_bloom=False))
     with pytest.raises(CrawlError, match="status=404"):
         eng.crawl([{"page_cls": "Nowhere"}])
+
+
+def test_page_factories_force_parse_kind(engine, spark, tiny_store):
+    """html_page parses HTML regardless of served kind (reference:
+    the class decides, pages.py:327-344); factories mirror the
+    reference's public class vocabulary."""
+    from spatula_spark import html_list_page, json_page
+    from spatula_spark.operators.selectors import CSS as _CSS
+    from spatula_spark.operators.parsers import element_text
+
+    reg = _registry()
+    reg.register(html_list_page(
+        "ForcedHtmlList",
+        selector=_CSS("li"),
+        process_item=lambda el, ctx: element_text(el),
+        source="http://html.example.com/list",
+    ))
+    reg.register(json_page(
+        "PlainJson",
+        source="http://dep.example.com/awards",
+        process_page=lambda ctx: ctx.json,
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    assert eng.crawl([{"page_cls": "ForcedHtmlList"}]).items() == [
+        "one", "two", "three",
+    ]
+    assert eng.crawl([{"page_cls": "PlainJson"}]).items() == [
+        {"award": "gold"},
+    ]
