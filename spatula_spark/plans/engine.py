@@ -502,7 +502,7 @@ class CrawlEngine:
         self._spill_n = 0
         self._spill = cfg.spill_dir or tempfile.mkdtemp(prefix="spatula_spill_")
         os.makedirs(self._spill, exist_ok=True)
-        self._seen_dir = os.path.join(self._spill, "seen_appends")
+        self._seen_slices: list[DataFrame] = []
         frontier = (
             seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
         )
@@ -537,9 +537,8 @@ class CrawlEngine:
                 wave = start_wave
                 self._seen_count = seen.count()
                 if self._seen_count:
-                    # seed the append-only seen dir with the resumed set
-                    seen.write.mode("append").parquet(self._seen_dir)
-                    seen = spark.read.parquet(self._seen_dir)
+                    seen, _ = self._materialize(seen, "seen_resume")
+                    self._seen_slices.append(seen)
                 if self._bloom is not None and self._seen_count:
                     # one-time rebuild from the checkpointed seen table
                     self._bloom.add_hashes_df(seen)
@@ -697,12 +696,29 @@ class CrawlEngine:
             # attempted URL is never re-fetched). No global distinct —
             # that would reshuffle the whole seen set every wave.
             if n_new:
-                # APPEND-ONLY: each wave adds one small parquet delta to
-                # the seen dir (the Iceberg-append pattern); rewriting
-                # the accumulated seen table per wave would be O(total)
-                # per wave — impossible at 10^10 URLs.
-                new_seen.write.mode("append").parquet(self._seen_dir)
-                seen = spark.read.parquet(self._seen_dir)
+                # APPEND-ONLY with zero extra writes: the wave's new
+                # hashes already live in the materialized emissions
+                # (the 'fetched' marker rows); the seen "table" is the
+                # union of those per-wave slices — parquet column
+                # pruning + the emit_kind predicate keep each scan to
+                # one slim column. (An Iceberg deployment appends to a
+                # real table instead; rewriting the accumulated set per
+                # wave would be O(total)/wave — impossible at 10^10.)
+                self._seen_slices.append(new_seen)
+                if len(self._seen_slices) > 8:
+                    # compact: deep crawls would otherwise anti-join
+                    # against O(waves) small scans every wave (the
+                    # Iceberg analog is snapshot compaction)
+                    u = self._seen_slices[0]
+                    for sl in self._seen_slices[1:]:
+                        u = u.union(sl)
+                    u, _ = self._materialize(
+                        u.coalesce(self._nparts), "seen_compact"
+                    )
+                    self._seen_slices = [u]
+                seen = self._seen_slices[0]
+                for sl in self._seen_slices[1:]:
+                    seen = seen.union(sl)
                 self._seen_count += n_new
                 if (
                     self._bloom is not None
