@@ -274,8 +274,16 @@ def _make_transform(
         attempts = int(row.attempts)
         payload = bytes(row.payload) if row.payload is not None else None
         links = list(row.links) if row.links is not None else None
+        inp = load_input(row.input_json)
+        extra_deps = {}
+        if isinstance(inp, dict):
+            # per-input dependency results ride reserved input keys
+            # (PageRegistry._rewrite_per_input_deps); lift into deps
+            pfx = PageRegistry.DEP_INPUT_PREFIX
+            for k in [k for k in inp if k.startswith(pfx)]:
+                extra_deps[k[len(pfx):]] = inp.pop(k)
         ctx = PageCtx(
-            input=load_input(row.input_json),
+            input=inp,
             url=row.url,
             status=int(row.status),
             payload=payload,
@@ -286,7 +294,7 @@ def _make_transform(
             payload_kind=spec.page_kind or row.payload_kind,
             image_id=row.image_id,
             flaky_rejects=int(row.flaky_rejects or 0),
-            deps=dep_values.get(spec.name, {}),
+            deps={**dep_values.get(spec.name, {}), **extra_deps},
         )
 
         def paginate() -> None:

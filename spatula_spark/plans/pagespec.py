@@ -176,6 +176,13 @@ class PageSpec:
     handles_errors: bool = False
     retries: int | None = None
     dependencies: dict[str, str] = field(default_factory=dict)
+    # per-input ("class") dependencies: the reference re-instantiates a
+    # dep CLASS with each consumer page's input and never caches it
+    # (pages.py:141-147 ``dep = dep(self.input)``). Registered through
+    # PageRegistry.register as a dataflow rewrite: an intermediate shim
+    # page fetches the dep first, then enqueues the consumer with the
+    # dep result riding in a reserved input key -> ctx.deps.
+    per_input_dependencies: dict[str, str] = field(default_factory=dict)
     input_type: Any = None
     example_input: Any = None
     # force the parse kind regardless of the store/content-type value —
@@ -212,9 +219,57 @@ class PageRegistry:
     def __init__(self) -> None:
         self._specs: dict[str, PageSpec] = {}
 
+    DEP_INPUT_PREFIX = "__dep__"
+
     def register(self, spec: PageSpec) -> PageSpec:
+        if spec.per_input_dependencies:
+            spec = self._rewrite_per_input_deps(spec)
         self._specs[spec.name] = spec
         return spec
+
+    def _rewrite_per_input_deps(self, spec: PageSpec) -> PageSpec:
+        """Per-input dep as a page chain: consumer C with dep (key, D)
+        becomes shim C -> fetches D's source for this input, runs D's
+        process_page, enqueues the real C with the result stashed in
+        ``__dep__<key>`` (the engine lifts those into ctx.deps). The
+        reference's behavior — dep fetched per page, no cache — falls
+        out of normal frontier mechanics."""
+        import dataclasses
+
+        inner = dataclasses.replace(
+            spec, name=f"{spec.name}__resolved", per_input_dependencies={}
+        )
+        self._specs[inner.name] = inner
+        items = list(spec.per_input_dependencies.items())
+
+        def make_shim(dep_attr: str, dep_cls: str, next_cls: str) -> PageSpec:
+            def shim_process(ctx, _attr=dep_attr, _dep=dep_cls, _nxt=next_cls):
+                dep_spec = self[_dep]
+                result = dep_spec.process_page(ctx)
+                inp = dict(ctx.input or {})
+                inp[PageRegistry.DEP_INPUT_PREFIX + _attr] = result
+                return ChildPage(_nxt, inp)
+
+            dep_spec = self[dep_cls]
+            return PageSpec(
+                name=spec.name,
+                source=dep_spec.source,
+                source_from_input=dep_spec.source_from_input,
+                page_kind=dep_spec.page_kind,
+                handles_errors=dep_spec.handles_errors,
+                retries=dep_spec.retries,
+                process_page=shim_process,
+            )
+
+        # single-dep chains cover the reference's usage; multiple deps
+        # would chain additional shims
+        if len(items) != 1:
+            raise NotImplementedError(
+                "per_input_dependencies currently supports one dep; "
+                "chain pages for more"
+            )
+        attr, dep_cls = items[0]
+        return make_shim(attr, dep_cls, inner.name)
 
     def __getitem__(self, name: str) -> PageSpec:
         return self._specs[name]

@@ -355,3 +355,34 @@ def test_page_factories_force_parse_kind(engine, spark, tiny_store):
     assert eng.crawl([{"page_cls": "PlainJson"}]).items() == [
         {"award": "gold"},
     ]
+
+
+def test_per_input_dependency(spark, tiny_store):
+    """Class-level dependency (reference pages.py:141-147): the dep is
+    re-fetched per consumer input — dep result attached per page."""
+    reg = PageRegistry()
+    reg.register(PageSpec(
+        name="AwardLookup",
+        source_from_input=lambda inp: "http://dep.example.com/awards",
+        process_page=lambda ctx: ctx.json["award"] + f"-{ctx.input['n']}",
+    ))
+    reg.register(PageSpec(
+        name="Detail",
+        source=NullSource(),
+        per_input_dependencies={"award": "AwardLookup"},
+        process_page=lambda ctx: {"n": ctx.input["n"], "award": ctx.award},
+    ))
+    reg.register(PageSpec(
+        name="Root",
+        source=NullSource(),
+        process_page=lambda ctx: [
+            ChildPage("Detail", {"n": i}) for i in (1, 2)
+        ],
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False, dedup_urls=False))
+    res = eng.crawl([{"page_cls": "Root"}])
+    assert res.items() == [
+        {"n": 1, "award": "gold-1"},
+        {"n": 2, "award": "gold-2"},
+    ]
