@@ -83,9 +83,12 @@ def crawl_doc_tree(
     equal floor(log2(doc_id+1)) (oracle-verified)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     store = doc_page_store(docs)
+    # the doc store is small and the tree is deep (log2(N) waves of
+    # <=N/2 rows): narrow partitioning halves wall-clock vs full width
+    # (per-task/per-file overhead, see BENCH findings)
     eng = CrawlEngine(
         spark, doc_registry(), page_store=store,
-        config=config or CrawlConfig(),
+        config=config or CrawlConfig(target_partitions=8),
     )
     res = eng.crawl(
         [{"page_cls": "DocTreePage",
