@@ -83,14 +83,30 @@ def _duck_minhash_cols(num_perms: int) -> str:
 
 
 def _duck_simhash_expr(bits: int = dd.SIMHASH_BITS) -> str:
+    """DuckDB mirror of dedup.simhash: bits 0-31 from hs (hash(word)),
+    32-63 from hs2 (hash(word||':b')). Bit 63's literal is min-bigint
+    (2^63 overflows); disjoint-bit terms sum without overflow."""
     terms = []
     for j in range(bits):
+        arr, jj = ("hs", j) if j < 32 else ("hs2", j - 32)
+        lit = (
+            "(-9223372036854775807 - 1)" if j == 63 else f"{1 << j}::BIGINT"
+        )
         terms.append(
-            "(CASE WHEN list_sum(list_transform(hs, v -> CASE WHEN (v >> "
-            f"{j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j}::BIGINT "
+            f"(CASE WHEN list_sum(list_transform({arr}, v -> CASE WHEN (v >> "
+            f"{jj}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {lit} "
             "ELSE 0::BIGINT END)"
         )
     return " + ".join(terms)
+
+
+# the two per-word hash arrays every simhash oracle needs
+DUCK_SIMHASH_H_CTE = (
+    "h AS (SELECT doc_id, "
+    f"list_transform(words, x -> {duck_hash('x')}) AS hs, "
+    f"""list_transform(words, x -> {duck_hash("x || ':b'")}) AS hs2 """
+    "FROM w)"
+)
 
 
 # ==========================================================================
@@ -577,12 +593,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
-h AS (SELECT doc_id, list_transform(words, x -> {duck_hash('x')}) AS hs FROM w)
+{DUCK_SIMHASH_H_CTE}
 SELECT doc_id, ({_duck_simhash_expr()}) AS simhash FROM h
 """,
 )
 def dedup_simhash(spark, sf_dir):
-    """Per-document 32-bit SimHash (document fingerprinting for
+    """Per-document 64-bit SimHash (document fingerprinting for
     near-dup detection), pure column expressions."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -602,7 +618,7 @@ corpus AS (
          array_to_string(words[1:greatest(len(words)-1, 1)], ' ') AS text
   FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM base)),
 w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
-h AS (SELECT doc_id, list_transform(words, x -> {duck_hash('x')}) AS hs FROM w),
+{DUCK_SIMHASH_H_CTE},
 s AS (SELECT doc_id, ({_duck_simhash_expr()}) AS sh FROM h)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   bit_count(xor(a.sh, b.sh))::INT AS hamming
@@ -611,9 +627,9 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
 )
 def simhash_near_dups_q(spark, sf_dir):
-    """SimHash near-dup pairs via the quarter-key bucket join; the
-    oracle brute-forces ALL pairs — equality proves the candidate
-    scheme is complete for hamming<=3, not just plausible."""
+    """64-bit SimHash near-dup pairs via the 16-bit quarter-key bucket
+    join; the oracle brute-forces ALL pairs — equality proves the
+    candidate scheme is complete for hamming<=3, not just plausible."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     corpus = dd.perturbed_corpus(docs)
     return dd.simhash_near_dups(corpus, max_hamming=3)
@@ -709,38 +725,70 @@ def embedding_topk(spark, sf_dir):
     )
 
 
-def _duck_bucket(vec: str, n_planes: int = 6, dim: int = 64) -> str:
+def _duck_bucket(
+    vec: str, first_plane: int = 0, n_planes: int = 6, dim: int = 64
+) -> str:
     parts = []
     for p in range(n_planes):
+        plane = first_plane + p
         sgn = (
             f"(CASE WHEN list_sum(list_transform(range(0, {dim}), d -> "
-            f"(CASE WHEN ((d*2654435761 + {p * 40503}) % 97) % 2 = 0 "
+            f"(CASE WHEN ((d*2654435761 + {plane * 40503}) % 97) % 2 = 0 "
             f"THEN 1 ELSE -1 END) * {vec}[d+1])) > 0 THEN {1 << p} ELSE 0 END)"
         )
         parts.append(sgn)
     return "(" + " + ".join(parts) + ")"
 
 
+_DUCK_ND_TABLES = 4
+_DUCK_ND_PLANES = 8
+_DUCK_ND_BUCKET_COLS = ", ".join(
+    f"{_duck_bucket('v', t * _DUCK_ND_PLANES, _DUCK_ND_PLANES)} AS b{t}"
+    for t in range(_DUCK_ND_TABLES)
+)
+_DUCK_ND_MATCH = " OR ".join(
+    f"l.b{t} = r.b{t}" for t in range(_DUCK_ND_TABLES)
+)
+# the vector analog of DUCK_PERTURBED_CORPUS (similarity.perturbed_embeddings)
+_DUCK_PERTURBED_EMB = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(0, 64),
+           d -> v[d+1] * (1.0 + ((d*37) % 5 - 2) * 0.01)) AS v
+  FROM base)
+"""
+
+
 @register(
     "embedding_near_dups",
     f"""
-WITH b AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v,
-             {_duck_bucket('(embedding::DOUBLE[])')} AS bucket
-           FROM embeddings)
-SELECT l.vid AS vec_a, r.vid AS vec_b,
-  round(list_cosine_similarity(l.v, r.v), 4) AS cos
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vid < r.vid
-WHERE round(list_cosine_similarity(l.v, r.v), 4) >= 0.95
+WITH {_DUCK_PERTURBED_EMB},
+b AS (SELECT vec_id AS vid, v, {_DUCK_ND_BUCKET_COLS} FROM corpus),
+cand AS (
+  SELECT DISTINCT l.vid AS vec_a, r.vid AS vec_b
+  FROM b l JOIN b r ON l.vid < r.vid AND ({_DUCK_ND_MATCH}))
+SELECT vec_a, vec_b,
+  round(round(list_cosine_similarity(a.v, bb.v), 6), 4) AS cos
+FROM cand JOIN b a ON a.vid = vec_a JOIN b bb ON bb.vid = vec_b
+WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.95
 """,
 )
 def embedding_near_dups_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, LSH-bucketed; the oracle
-    replicates the identical deterministic hyperplanes, so bucket
-    assignment and survivors match exactly."""
+    """Embedding-cosine near-dup pairs over a corpus with PLANTED
+    ε-perturbed near-duplicates, multi-table banded hyperplane LSH +
+    exact-cosine verify. The oracle replicates the hyperplane buckets
+    (verifying candidate arithmetic + survivors exactly); recall vs
+    brute force with the planted positives is asserted separately in
+    tests/test_functions.py — and unlike round 1 (0 rows at sf0.001)
+    this query demonstrably finds the planted near-dups."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    out = sim.embedding_near_dups(emb, threshold=0.95)
+    corpus = sim.perturbed_embeddings(emb)
+    out = sim.embedding_near_dups(corpus, threshold=0.95)
     return out.select(
         "vec_a", "vec_b", F.round("cos", 4).alias("cos")
     )

@@ -193,32 +193,46 @@ def perturbed_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ----------------------------------------------------------------- simhash
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Per-document SimHash: for each bit j, sum +-1 over words by the
-    j-th bit of the word's portable hash; sign -> bit. Pure column
-    expression (aggregate over the words array — no explode/shuffle)."""
-    w = normalized_words(text)
+    """Per-document 64-bit SimHash: for each bit j, sum +-1 over words
+    by bit j of the word's hash; sign -> bit. Pure column expression
+    (aggregates over the words array — no explode/shuffle).
 
-    def bit_contrib(j: int):
+    Two salted hashes per word fill the 64 bits (portable_hash64 is
+    60-bit — 15 hex chars of md5 — so one hash can't): bits 0-31 come
+    from hash(word), bits 32-63 from hash(word || ':b'). Each hash is
+    computed ONCE per word (a transform), then the 64 bit-aggregates
+    run over the precomputed hash arrays — cheap long arithmetic, not
+    64 md5 evaluations per word."""
+    w = normalized_words(text)
+    h_lo = F.transform(w, lambda s: portable_hash64(s))
+    h_hi = F.transform(
+        w, lambda s: portable_hash64(F.concat(s, F.lit(":b")))
+    )
+
+    def bit_contrib(arr: Column, j: int) -> Column:
         # closure factory: pyspark introspects lambda arity, so the
         # bit index must be captured by closure, not default arg
-        def merge(a, word):
+        def merge(a, hv):
             return a + F.when(
-                F.shiftright(portable_hash64(word), j).bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1),
+                F.shiftright(hv, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
 
-        return F.aggregate(w, F.lit(0).cast("long"), merge)
+        return F.aggregate(arr, F.lit(0).cast("long"), merge)
 
     acc = F.lit(0).cast("long")
     for j in range(bits):
-        acc = acc + F.when(
-            bit_contrib(j) > 0, F.lit(1 << j).cast("long")
+        arr, jj = (h_lo, j) if j < 32 else (h_hi, j - 32)
+        # shiftleft(1L, 63) natively yields the sign bit — no literal
+        # overflow; disjoint bits combine with OR
+        bit = F.when(
+            bit_contrib(arr, jj) > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
         ).otherwise(F.lit(0).cast("long"))
+        acc = acc.bitwiseOR(bit)
     return acc
 
 
@@ -226,10 +240,15 @@ def simhash_near_dups(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-limited by
-    8-bit quarter-keys: <=3 flipped bits across 4 disjoint byte bands
-    leave at least one band identical (pigeonhole), so the bucket join
-    is COMPLETE for max_hamming<=3 — the oracle brute-forces all pairs
-    and must agree exactly."""
+    16-bit quarter-keys: <=3 flipped bits across 4 disjoint 16-bit
+    bands leave at least one band identical (pigeonhole), so the bucket
+    join is COMPLETE for max_hamming<=3 — the oracle brute-forces all
+    pairs and must agree exactly.
+
+    Scale: 65,536 buckets per band (vs 256 with the round-1 8-bit keys
+    over a 32-bit hash, which degenerated toward all-pairs beyond ~10^5
+    docs) — expected within-bucket candidates shrink ~N^2/65536 per
+    band."""
     sh = _spread(df).select(
         "doc_id", simhash(F.col(text_col)).alias("sh")
     ).persist()
@@ -239,7 +258,7 @@ def simhash_near_dups(
             F.array(*[
                 F.struct(
                     F.lit(qi).alias("q"),
-                    F.shiftright("sh", 8 * qi).bitwiseAND(F.lit(255))
+                    F.shiftright("sh", 16 * qi).bitwiseAND(F.lit(0xFFFF))
                     .alias("key"),
                 )
                 for qi in range(4)

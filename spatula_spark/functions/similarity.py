@@ -170,29 +170,84 @@ def ann_lsh_topk(
     )
 
 
+def perturbed_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """corpus ∪ ε-perturbed copies (vec_id + 1_000_000) — deterministic
+    planted near-duplicates (cos ≈ 0.9996), the vector analog of
+    ``dedup.perturbed_corpus``: near-dup queries and recall tests get
+    guaranteed positives instead of hoping random vectors collide.
+    Coordinate d is scaled by 1 + ((d*37 mod 5) - 2)/100 — pure
+    arithmetic, reproducible in any SQL dialect for the oracle."""
+    pert = df.select(
+        (F.col(id_col) + 1_000_000).alias(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: x * (F.lit(1.0) + (d * 37 % 5 - 2) * 0.01),
+        ).alias(vec_col),
+    )
+    return df.select(id_col, vec_col).unionByName(pert)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_tables: int = 4,
+    n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: all-pairs
-    scoring only inside buckets (the near-dup analog of ann_lsh_topk)."""
-    b = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE banded
+    hyperplane LSH (the ann_lsh_topk shape): candidates = pairs sharing
+    (table, bucket) in ANY of ``n_tables`` independent tables, deduped,
+    then exact-cosine verified — only the candidate sliver is scored.
+
+    Scale: buckets per table = 2^n_planes; raise ``n_planes`` with the
+    corpus (16 planes -> 65,536 buckets/table for 10^9+ rows). The
+    round-1 single-table/6-plane variant had 64 buckets total —
+    quadratic within-bucket and unmeasured recall; multi-table banding
+    compounds recall across tables while keeping buckets narrow
+    (recall asserted vs planted positives in tests/test_functions.py).
+    """
+    slim = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).persist()
+    b = slim.select(
+        "vid",
+        F.posexplode(
+            lsh_buckets(F.col("v"), n_tables, n_planes, dim)
+        ).alias("table", "bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l.vid") < F.col("r.vid")),
-    ).select(
-        F.col("l.vid").alias("vec_a"),
-        F.col("r.vid").alias("vec_b"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+    cands = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b")
+        )
+        .distinct()  # dedup BEFORE scoring: a pair may share many tables
+    )
+    pairs = (
+        cands.join(
+            slim.select(F.col("vid").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            slim.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
     )
     return pairs.filter(F.col("cos") >= threshold)

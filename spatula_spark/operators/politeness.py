@@ -42,15 +42,23 @@ def split_by_host_budget(
     """
     if default_budget is None and politeness is None:
         return frontier, frontier.limit(0)
+    if default_budget is not None and default_budget < 1:
+        # budget 0 would defer every row every wave => the crawl loop
+        # never drains; None is the documented "disabled" spelling
+        raise ValueError(
+            "host budget must be >= 1 (use None to disable the limiter)"
+        )
 
     fetchable = frontier.filter(F.col("url").isNotNull())
     nullsrc = frontier.filter(F.col("url").isNull())
 
     if politeness is not None:
         fetchable = fetchable.join(F.broadcast(politeness), "host", "left")
-        budget_col = F.coalesce(
-            F.col("budget_per_wave"), F.lit(default_budget or 2**31 - 1)
-        )
+        # explicit None check — `or` would turn a (validated-away) 0
+        # into "unlimited"; hosts absent from the table fall back to
+        # default_budget, or unlimited when no default is set
+        fallback = 2**31 - 1 if default_budget is None else default_budget
+        budget_col = F.coalesce(F.col("budget_per_wave"), F.lit(fallback))
     else:
         budget_col = F.lit(default_budget)
 
@@ -117,7 +125,16 @@ def apply_robots(
             decided.filter(~F.col("_allowed")).drop("_allowed"),
         )
 
-    # fallback: broadcast join + longest-prefix max_by aggregate
+    return robots_broadcast_join(frontier, robots)
+
+
+def robots_broadcast_join(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Oversized-rule-set path: broadcast join + longest-prefix max_by
+    aggregate. Used by the engine when the rule count exceeds
+    ROBOTS_EXPR_MAX_RULES — the CASE expression would otherwise
+    silently truncate to an arbitrary subset."""
     path_col = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     fr = frontier.withColumn("_path", path_col)
     joined = fr.join(

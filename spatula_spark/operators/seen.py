@@ -205,8 +205,15 @@ class ShardedBloom:
         self.m, self.k = proto.m, proto.k
         self.words: dict[int, np.ndarray] = {}
         self.count = 0
+        # broadcast lifecycle: one live broadcast at a time. Re-broadcast
+        # only when the filter changed since the last one, and unpersist
+        # the stale blob (hundreds of waves would otherwise accrete
+        # stale broadcasts on driver+executors).
+        self._bc = None
+        self._dirty = False
+        self.broadcasts_created = 0
 
-    def add_hashes_df(self, new_hashes_df) -> None:
+    def add_hashes_df(self, new_hashes_df, key_col: str = "url_hash") -> None:
         """One Spark job: shard-group the wave's new hashes, build one
         blob per shard (vectorized), collect, OR into state."""
         from pyspark.sql import functions as F
@@ -215,16 +222,16 @@ class ShardedBloom:
 
         def _build(pdf: pd.DataFrame) -> pd.DataFrame:
             bf = BloomFilter(cap, fpr)
-            bf.add(pdf["url_hash"].to_numpy(dtype=np.int64))
+            bf.add(pdf["key"].to_numpy(dtype=np.int64))
             return pd.DataFrame(
                 {"shard": [int(pdf["shard"].iloc[0])], "blob": [bf.to_bytes()],
                  "n": [len(pdf)]}
             )
 
         rows = (
-            new_hashes_df.select("url_hash")
+            new_hashes_df.select(F.col(key_col).alias("key"))
             .withColumn(
-                "shard", F.pmod(F.col("url_hash"), F.lit(self.n_shards)).cast("int")
+                "shard", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
             )
             .groupBy("shard")
             .applyInPandas(_build, schema="shard int, blob binary, n long")
@@ -238,20 +245,28 @@ class ShardedBloom:
             else:
                 self.words[s] = w.copy()
             self.count += int(r["n"])
+        if rows:
+            self._dirty = True
 
     def membership_udf(self, spark):
-        """Arrow-batched ``maybe_seen(url_hash) -> boolean``. False =>
+        """Arrow-batched ``maybe_seen(key) -> boolean``. False =>
         definitely unseen (skips the exact anti-join)."""
         from pyspark.sql import functions as F
 
-        blobs = {s: w.tobytes() for s, w in self.words.items()}
         k, m, n_shards = self.k, self.m, self.n_shards
-        bc = spark.sparkContext.broadcast(blobs)
+        if self._bc is None or self._dirty:
+            if self._bc is not None:
+                self._bc.unpersist(blocking=False)
+            blobs = {s: w.tobytes() for s, w in self.words.items()}
+            self._bc = spark.sparkContext.broadcast(blobs)
+            self.broadcasts_created += 1
+            self._dirty = False
+        bc = self._bc
 
         @F.pandas_udf("boolean")
-        def maybe_seen(url_hash: pd.Series) -> pd.Series:
+        def maybe_seen(key: pd.Series) -> pd.Series:
             local = bc.value
-            h = url_hash.to_numpy(dtype=np.int64)
+            h = key.to_numpy(dtype=np.int64)
             out = np.zeros(len(h), dtype=bool)
             shards = np.mod(h, n_shards)
             shards = np.where(shards < 0, shards + n_shards, shards)
@@ -278,3 +293,4 @@ class ShardedBloom:
             for s, b in rows
         }
         self.count = count
+        self._dirty = True

@@ -10,8 +10,9 @@ one at a time, this engine keeps it in a DataFrame and processes one
       └─ wave k:
            politeness select (per-host budget window; overflow deferred)
            robots filter (broadcast prefix rules)
-           URL-seen dedup (bloom prefilter -> exact anti-join)
-           in-wave first-wins dedup (window rn=1 on url_hash by path)
+           URL-seen dedup (bloom prefilter -> exact anti-join) keyed on
+             page identity seen_key = (page_cls, url_hash, input)
+           in-wave first-wins dedup (min_by path per seen_key)
            fetch = equi-join against the page-store on xxhash64(canon url)
            per-class transform:
              * native specs -> pure Catalyst column exprs (JVM only)
@@ -107,7 +108,7 @@ _EMISSION_COLS = [
 _BATCH_SELECT = [
     "page_cls", "path", "url", "input_json", "payload", "links", "next_url",
     "status", "attempts", "page_seq", "payload_kind", "image_id", "found",
-    "priority", "flaky_rejects", "url_hash",
+    "priority", "flaky_rejects", "url_hash", "seen_key",
 ]
 
 
@@ -424,13 +425,21 @@ class CrawlEngine:
         # expression (politeness.robots_allow_expr); collecting the
         # rules per wave would cost one job each
         self._robots_rules = None
+        self._robots_join = False
         if robots is not None:
             rows = robots.limit(
                 politeness_ops.ROBOTS_EXPR_MAX_RULES + 1
             ).collect()
-            self._robots_rules = [
-                (r["host"], r["path_prefix"], bool(r["allow"])) for r in rows
-            ]
+            if len(rows) > politeness_ops.ROBOTS_EXPR_MAX_RULES:
+                # oversized rule set: the CASE expression would silently
+                # truncate to an arbitrary subset; use the broadcast-join
+                # longest-prefix path per wave instead
+                self._robots_join = True
+            else:
+                self._robots_rules = [
+                    (r["host"], r["path_prefix"], bool(r["allow"]))
+                    for r in rows
+                ]
         self.politeness = politeness
         self.config = config or CrawlConfig()
         n = self.config.target_partitions or int(
@@ -514,7 +523,7 @@ class CrawlEngine:
         frontier = (
             seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
         )
-        seen = spark.createDataFrame([], "url_hash long")
+        seen = spark.createDataFrame([], "seen_key long")
         self._seen_count = 0
         self._bloom = (
             seen_ops.ShardedBloom(
@@ -549,7 +558,7 @@ class CrawlEngine:
                     self._seen_slices.append(seen)
                 if self._bloom is not None and self._seen_count:
                     # one-time rebuild from the checkpointed seen table
-                    self._bloom.add_hashes_df(seen)
+                    self._bloom.add_hashes_df(seen, key_col="seen_key")
 
         import sys
         import time as _time
@@ -588,7 +597,10 @@ class CrawlEngine:
             scheduled, deferred = politeness_ops.split_by_host_budget(
                 frontier, self.politeness, cfg.host_budget_per_wave
             )
-            # robots (F6): precompiled CASE expression, no join
+            # robots (F6): precompiled CASE expression when the rule set
+            # is small; broadcast-join longest-prefix path when it isn't
+            # (never a silent truncation). Blocked rows become 'blocked'
+            # emissions so the count rides the wave Observation for free.
             if self._robots_rules:
                 allowed_col = politeness_ops.robots_allow_expr(
                     self._robots_rules
@@ -596,12 +608,29 @@ class CrawlEngine:
                 decided = scheduled.withColumn("_allowed", allowed_col)
                 scheduled = decided.filter(F.col("_allowed")).drop("_allowed")
                 blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
+            elif self._robots_join:
+                scheduled, blocked = politeness_ops.robots_broadcast_join(
+                    scheduled, self.robots
+                )
             else:
-                blocked = scheduled.limit(0)
+                blocked = None
 
             fetchable = scheduled.filter(F.col("url").isNotNull()).withColumn(
                 "canon_url", canonicalize_url(F.col("url"))
-            ).withColumn("url_hash", url_hash(F.col("canon_url")))
+            ).withColumn(
+                "url_hash", url_hash(F.col("canon_url"))
+            ).withColumn(
+                # page identity = (class, canonical URL, input): the
+                # reference processes every Page instance — its response
+                # cache only skips the HTTP call, not processing — so
+                # the seen set / first-wins dedup must NOT collapse
+                # distinct (cls, input) pairs sharing one URL.
+                "seen_key",
+                F.xxhash64(
+                    F.col("page_cls"), F.col("url_hash"),
+                    F.coalesce(F.col("input_json"), F.lit("\x00")),
+                ),
+            )
             nullsrc = scheduled.filter(F.col("url").isNull())
 
             if cfg.dedup_urls:
@@ -622,6 +651,7 @@ class CrawlEngine:
                     "priority",
                     F.lit(0).alias("flaky_rejects"),
                     F.lit(None).cast("long").alias("url_hash"),
+                    F.lit(None).cast("long").alias("seen_key"),
                 )
             ).select(*_BATCH_SELECT)
             # the per-class emission branches all read `batch`; cache it
@@ -635,6 +665,7 @@ class CrawlEngine:
             marker = F.when(
                 F.col("url").isNotNull() & (F.col("attempts") == 0),
                 N.one(N.emission("fetched", url_hash=F.col("url_hash"),
+                                 seen_key=F.col("seen_key"),
                                  attempts=F.col("attempts"))),
             ).otherwise(N.empty_emissions())
             cls_arr = None
@@ -660,6 +691,21 @@ class CrawlEngine:
                         transform, _EMISSION_OUT_SCHEMA
                     )
                 )
+            if blocked is not None:
+                # robots-blocked rows ride the emissions stream so the
+                # count lands in the Observation (no extra job) and the
+                # rows themselves reach the dead-letter output
+                parts.append(blocked.select(
+                    F.lit("blocked").alias("emit_kind"),
+                    F.col("page_cls").alias("src_cls"),
+                    "path",
+                    F.lit(None).cast("string").alias("item_json"),
+                    F.lit(None).cast("string").alias("child_cls"),
+                    F.col("url").alias("child_url"),
+                    F.col("input_json").alias("child_input_json"),
+                    "priority", "page_seq", "attempts",
+                    F.lit("robots.txt disallow").alias("error"),
+                ))
             emissions = parts[0]
             for p in parts[1:]:
                 emissions = emissions.unionByName(p, allowMissingColumns=True)
@@ -670,7 +716,7 @@ class CrawlEngine:
             # nparts.
             kind_names = ("item", "child", "next", "requeue", "skip_item",
                           "skip_page", "handled_error", "error", "reject",
-                          "fetched")
+                          "fetched", "blocked")
             emissions, emetrics = self._materialize(
                 emissions.coalesce(self._wave_parts), "emissions",
                 [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
@@ -682,7 +728,7 @@ class CrawlEngine:
             _tick("emissions ckpt", t)
             new_seen = emissions.filter(
                 F.col("emit_kind") == "fetched"
-            ).select("url_hash")
+            ).select("seen_key")
 
             if cfg.scout:
                 wave_items = _scout_projection(emissions, wave)
@@ -698,13 +744,15 @@ class CrawlEngine:
             results.append(wave_items)
 
             wave_dead = emissions.filter(
-                F.col("emit_kind").isin("error", "reject")
+                F.col("emit_kind").isin("error", "reject", "blocked")
             )
             n_dead = int(
                 kind_counts.get("error", 0) + kind_counts.get("reject", 0)
             )
             if cfg.fail_fast and n_dead:
-                samples = wave_dead.select("error").take(3)
+                samples = wave_dead.filter(
+                    F.col("emit_kind").isin("error", "reject")
+                ).select("error").take(3)
                 raise CrawlError(
                     f"wave {wave}: {[s['error'] for s in samples]}"
                 )
@@ -748,11 +796,11 @@ class CrawlEngine:
                         # lazy backfill: the filter only starts paying
                         # once the seen set crosses the threshold; fold
                         # in everything accumulated so far, once
-                        self._bloom.add_hashes_df(seen)
+                        self._bloom.add_hashes_df(seen, key_col="seen_key")
                     else:
                         # incremental: OR this wave's shard blobs into
                         # the driver-held filter (never a full rebuild)
-                        self._bloom.add_hashes_df(new_seen)
+                        self._bloom.add_hashes_df(new_seen, key_col="seen_key")
             _tick("seen update", t)
 
             # next frontier
@@ -792,6 +840,7 @@ class CrawlEngine:
                     "dead": int(
                         kind_counts.get("error", 0) + kind_counts.get("reject", 0)
                     ),
+                    "blocked": int(kind_counts.get("blocked", 0)),
                 }
             )
 
@@ -811,7 +860,7 @@ class CrawlEngine:
         for df in results:
             all_results = all_results.unionByName(df)
         all_dead = spark.createDataFrame(
-            [], _EMISSION_OUT_SCHEMA + ", url_hash long"
+            [], _EMISSION_OUT_SCHEMA + ", url_hash long, seen_key long"
         )
         for df in dead:
             all_dead = all_dead.unionByName(df, allowMissingColumns=True)
@@ -883,6 +932,12 @@ class CrawlEngine:
     def _dedup(self, fetchable: DataFrame, seen: DataFrame) -> DataFrame:
         """Seen-set + in-wave dedup (F4 + E5-at-frontier, first-wins).
 
+        Keyed on ``seen_key`` = (page_cls, url_hash, input) — page
+        *identity*, not URL: the reference processes every Page
+        instance (its scrapelib cache only skips the HTTP call), so
+        distinct classes/inputs over one URL all process; only true
+        duplicate instances collapse.
+
         Requeued rows (attempts>0) bypass the seen filter — their URL
         is legitimately being re-fetched (retry loop pages.py:168-195).
         """
@@ -892,12 +947,12 @@ class CrawlEngine:
 
         # first-wins by lineage path. min_by under a hash aggregate —
         # a row_number window would sort-shuffle into mostly-singleton
-        # url_hash partitions, pure overhead at every scale.
-        cols = [c for c in first_time.columns if c != "url_hash"]
+        # seen_key partitions, pure overhead at every scale.
+        cols = [c for c in first_time.columns if c != "seen_key"]
         first_time = (
-            first_time.groupBy("url_hash")
+            first_time.groupBy("seen_key")
             .agg(F.min_by(F.struct(*cols), F.col("path")).alias("_r"))
-            .select("url_hash", "_r.*")
+            .select("seen_key", "_r.*")
         )
 
         if self._seen_count > 0:
@@ -909,20 +964,20 @@ class CrawlEngine:
             if use_bloom:
                 maybe_seen = self._bloom.membership_udf(self.spark)
                 flagged = first_time.withColumn(
-                    "_maybe", maybe_seen(F.col("url_hash"))
+                    "_maybe", maybe_seen(F.col("seen_key"))
                 )
                 definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
                 if cfg.bloom_exact_confirm:
                     confirmed_new = (
                         flagged.filter(F.col("_maybe"))
                         .drop("_maybe")
-                        .join(seen, "url_hash", "left_anti")
+                        .join(seen, "seen_key", "left_anti")
                     )
                     first_time = definitely_new.unionByName(confirmed_new)
                 else:
                     first_time = definitely_new
             else:
-                first_time = first_time.join(seen, "url_hash", "left_anti")
+                first_time = first_time.join(seen, "seen_key", "left_anti")
         return first_time.unionByName(requeues)
 
     def _fetch(self, fetchable: DataFrame) -> DataFrame:
@@ -961,7 +1016,7 @@ class CrawlEngine:
             # synthetic flakiness: how many leading attempts the "server"
             # degrades — consumed by accept hooks (retry tests)
             F.coalesce(F.col("flaky_rejects"), F.lit(0)).alias("flaky_rejects"),
-            "url_hash",
+            "url_hash", "seen_key",
         )
 
     def _resolve_dependencies(self) -> dict[str, dict[str, Any]]:
@@ -1046,7 +1101,7 @@ class CrawlEngine:
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)
         frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
-        seen = self.spark.createDataFrame([], "url_hash long")
+        seen = self.spark.createDataFrame([], "seen_key long")
         for w in sorted(waves):
             delta = os.path.join(base, f"wave={w}", "seen_delta")
             if os.path.isdir(delta):
@@ -1079,6 +1134,17 @@ class CrawlEngine:
         return [json.loads(r["item_json"]) for r in rows]
 
 
+def _json_string_literal(col) -> "F.Column":
+    """Render a string column as a JSON string literal, escaping
+    backslash, double quote, and control chars (raw concatenation would
+    produce malformed JSON for a URL/class containing a quote)."""
+    escaped = F.regexp_replace(col, r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', '\\\\"')
+    for ch, rep in (("\n", "\\\\n"), ("\r", "\\\\r"), ("\t", "\\\\t")):
+        escaped = F.regexp_replace(escaped, ch, rep)
+    return F.concat(F.lit('"'), escaped, F.lit('"'))
+
+
 def _scout_projection(emissions: DataFrame, wave: int) -> DataFrame:
     """Native scout projection (reference ``_to_scout_result``
     pages.py:19-30): items -> {data, __next__: null}; would-be children
@@ -1093,17 +1159,20 @@ def _scout_projection(emissions: DataFrame, wave: int) -> DataFrame:
         ).alias("item_json"),
         F.lit(wave).alias("wave"),
     )
+    next_str = F.concat(
+        F.col("child_cls"),
+        F.lit(" source="),
+        F.coalesce(F.col("child_url"), F.lit("NullSource")),
+    )
     children = emissions.filter(F.col("emit_kind") == "child").select(
         "path",
         F.col("src_cls").alias("page_cls"),
         F.concat(
             F.lit('{"data": '),
             F.coalesce(F.col("child_input_json"), F.lit("null")),
-            F.lit(', "__next__": "'),
-            F.col("child_cls"),
-            F.lit(" source="),
-            F.coalesce(F.col("child_url"), F.lit("NullSource")),
-            F.lit('"}'),
+            F.lit(', "__next__": '),
+            _json_string_literal(next_str),
+            F.lit("}"),
         ).alias("item_json"),
         F.lit(wave).alias("wave"),
     )

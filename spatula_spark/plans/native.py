@@ -37,6 +37,12 @@ EMISSION_FIELDS = (
     ("attempts", "int"),
     ("error", "string"),
     ("url_hash", "bigint"),
+    # page-identity key: xxhash64(page_cls, url_hash, input_json) — the
+    # seen set and first-wins dedup key. The reference processes every
+    # Page *instance*; scrapelib's cache only skips the HTTP call
+    # (/root/reference/src/spatula/cli.py:91-93), so two classes/inputs
+    # over one URL must both process. url_hash alone would collapse them.
+    ("seen_key", "bigint"),
 )
 
 EMISSION_STRUCT_DDL = (

@@ -192,11 +192,13 @@ class PageSpec:
 
     def total_attempts(self) -> int:
         # reference: (source.retries or REJECTED_RESPONSE_RETRIES) + 1
-        # (pages.py:168-171)
+        # (pages.py:168-171) — note the *falsy* check: an explicit
+        # retries=0 falls back to the default there too, so we mirror
+        # that (parity over intuition)
         r = self.retries
-        if r is None and isinstance(self.source, URL):
+        if not r and isinstance(self.source, URL):
             r = self.source.retries
-        if r is None:
+        if not r:
             r = REJECTED_RESPONSE_RETRIES
         return r + 1
 
@@ -242,17 +244,24 @@ class PageRegistry:
         self._specs[inner.name] = inner
         items = list(spec.per_input_dependencies.items())
 
-        def make_shim(dep_attr: str, dep_cls: str, next_cls: str) -> PageSpec:
+        def make_shim(
+            dep_attr: str, dep_cls: str, next_cls: str, shim_name: str
+        ) -> PageSpec:
             def shim_process(ctx, _attr=dep_attr, _dep=dep_cls, _nxt=next_cls):
                 dep_spec = self[_dep]
                 result = dep_spec.process_page(ctx)
                 inp = dict(ctx.input or {})
+                # deps resolved by earlier shims in the chain arrived in
+                # ctx.deps (the engine lifts __dep__ keys out of input);
+                # re-stash them so they survive to the next hop
+                for k, v in ctx.deps.items():
+                    inp[PageRegistry.DEP_INPUT_PREFIX + k] = v
                 inp[PageRegistry.DEP_INPUT_PREFIX + _attr] = result
                 return ChildPage(_nxt, inp)
 
             dep_spec = self[dep_cls]
             return PageSpec(
-                name=spec.name,
+                name=shim_name,
                 source=dep_spec.source,
                 source_from_input=dep_spec.source_from_input,
                 page_kind=dep_spec.page_kind,
@@ -261,15 +270,21 @@ class PageRegistry:
                 process_page=shim_process,
             )
 
-        # single-dep chains cover the reference's usage; multiple deps
-        # would chain additional shims
-        if len(items) != 1:
-            raise NotImplementedError(
-                "per_input_dependencies currently supports one dep; "
-                "chain pages for more"
-            )
-        attr, dep_cls = items[0]
-        return make_shim(attr, dep_cls, inner.name)
+        # N deps become a chain of N shims (reference allows several
+        # class deps, pages.py:141-147): the first shim keeps the public
+        # name; each fetches one dep, stashes its result, and enqueues
+        # the next hop; the last hop is the real (inner) page.
+        next_name = inner.name
+        first = None
+        for i in reversed(range(len(items))):
+            attr, dep_cls = items[i]
+            shim_name = spec.name if i == 0 else f"{spec.name}__dep{i}"
+            shim = make_shim(attr, dep_cls, next_name, shim_name)
+            if i > 0:
+                self._specs[shim_name] = shim
+            next_name = shim_name
+            first = shim
+        return first
 
     def __getitem__(self, name: str) -> PageSpec:
         return self._specs[name]

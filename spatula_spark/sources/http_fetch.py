@@ -35,7 +35,8 @@ FETCHED_SCHEMA = (
     "page_cls string, path string, url string, input_json string, "
     "payload binary, links array<string>, next_url string, status int, "
     "attempts int, page_seq int, payload_kind string, image_id string, "
-    "found boolean, priority int, flaky_rejects int, url_hash long"
+    "found boolean, priority int, flaky_rejects int, url_hash long, "
+    "seen_key long"
 )
 
 
@@ -98,7 +99,7 @@ def make_http_fetcher(
                     payload, None, None, status,
                     int(row.attempts), int(row.page_seq), kind, None,
                     status != 0, int(row.priority),
-                    0, int(row.url_hash),
+                    0, int(row.url_hash), int(row.seen_key),
                 ))
                 if delay_per_request:
                     time.sleep(delay_per_request)
@@ -106,7 +107,7 @@ def make_http_fetcher(
                 "page_cls", "path", "url", "input_json", "payload",
                 "links", "next_url", "status", "attempts", "page_seq",
                 "payload_kind", "image_id", "found", "priority",
-                "flaky_rejects", "url_hash",
+                "flaky_rejects", "url_hash", "seen_key",
             ])
 
     return fetch

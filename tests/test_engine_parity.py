@@ -379,10 +379,125 @@ def test_per_input_dependency(spark, tiny_store):
             ChildPage("Detail", {"n": i}) for i in (1, 2)
         ],
     ))
+    # default config: dedup keys on page identity (cls, url, input), so
+    # the two Detail shims sharing one dep URL must BOTH process
     eng = CrawlEngine(spark, reg, page_store=tiny_store,
-                      config=CrawlConfig(use_bloom=False, dedup_urls=False))
+                      config=CrawlConfig(use_bloom=False))
     res = eng.crawl([{"page_cls": "Root"}])
     assert res.items() == [
         {"n": 1, "award": "gold-1"},
         {"n": 2, "award": "gold-2"},
     ]
+
+
+def test_multi_per_input_dependencies(spark, tiny_store):
+    """Two class-level deps chain shims; both values land in ctx.deps
+    (reference pages.py:141-147 allows several class deps)."""
+    reg = PageRegistry()
+    reg.register(PageSpec(
+        name="AwardLookup",
+        source_from_input=lambda inp: "http://dep.example.com/awards",
+        process_page=lambda ctx: ctx.json["award"] + f"-{ctx.input['n']}",
+    ))
+    reg.register(PageSpec(
+        name="ShoutLookup",
+        source_from_input=lambda inp: "http://dep.example.com/awards",
+        process_page=lambda ctx: ctx.json["award"].upper(),
+    ))
+    reg.register(PageSpec(
+        name="Detail2",
+        source=NullSource(),
+        per_input_dependencies={"award": "AwardLookup",
+                                "shout": "ShoutLookup"},
+        process_page=lambda ctx: {
+            "n": ctx.input["n"], "award": ctx.award, "shout": ctx.shout,
+        },
+    ))
+    reg.register(PageSpec(
+        name="Root2",
+        source=NullSource(),
+        process_page=lambda ctx: [
+            ChildPage("Detail2", {"n": i}) for i in (1, 2)
+        ],
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    res = eng.crawl([{"page_cls": "Root2"}])
+    assert res.items() == [
+        {"n": 1, "award": "gold-1", "shout": "GOLD"},
+        {"n": 2, "award": "gold-2", "shout": "GOLD"},
+    ]
+
+
+def test_dedup_is_page_identity_not_url(spark, tiny_store):
+    """Two different page classes over the SAME URL both process (the
+    reference's cache only skips HTTP, never processing); exact
+    duplicate (cls, url, input) instances collapse to one."""
+    reg = PageRegistry()
+    reg.register(PageSpec(
+        name="AwardA",
+        source="http://dep.example.com/awards",
+        process_page=lambda ctx: {"who": "a", "award": ctx.json["award"]},
+    ))
+    reg.register(PageSpec(
+        name="AwardB",
+        source="http://dep.example.com/awards",
+        process_page=lambda ctx: {"who": "b", "award": ctx.json["award"]},
+    ))
+    reg.register(PageSpec(
+        name="Fan",
+        source=NullSource(),
+        process_page=lambda ctx: [
+            ChildPage("AwardA"), ChildPage("AwardB"),
+            ChildPage("AwardA"),  # exact dup: collapses
+        ],
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    res = eng.crawl([{"page_cls": "Fan"}])
+    assert res.items() == [
+        {"who": "a", "award": "gold"},
+        {"who": "b", "award": "gold"},
+    ]
+
+
+def test_retries_zero_parity():
+    """reference pages.py:168-171: (source.retries or DEFAULT) + 1 —
+    retries=0 is falsy and falls back to the default (2 attempts)."""
+    from spatula_spark.plans.pagespec import REJECTED_RESPONSE_RETRIES
+
+    assert PageSpec(name="Z", retries=0).total_attempts() == \
+        REJECTED_RESPONSE_RETRIES + 1
+    assert PageSpec(name="Z", retries=3).total_attempts() == 4
+    assert PageSpec(name="Z").total_attempts() == REJECTED_RESPONSE_RETRIES + 1
+
+
+def test_zero_host_budget_rejected(spark, tiny_store):
+    """budget=0 would defer every row forever (infinite loop); must be
+    rejected up front."""
+    from spatula_spark.operators.politeness import split_by_host_budget
+
+    with pytest.raises(ValueError, match="host budget"):
+        split_by_host_budget(tiny_store.limit(0), None, 0)
+
+
+def test_scout_escapes_json(spark, tiny_store):
+    """A child URL containing a double quote must not break the scout
+    projection's JSON."""
+    reg = PageRegistry()
+    reg.register(PageSpec(name="Leaf", source=NullSource(),
+                          process_page=lambda ctx: {"x": 1}))
+    reg.register(PageSpec(
+        name="Evil",
+        source=NullSource(),
+        process_page=lambda ctx: [ChildPage(
+            "Leaf", source='http://e.example.com/a"b\\c',
+        )],
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    out = eng.scout([{"page_cls": "Evil"}])
+    assert out == [{
+        "data": None,
+        "__next__": 'Leaf source=http://e.example.com/a"b\\c',
+    }]

@@ -91,6 +91,67 @@ def test_simhash_quarter_keys_complete(docs, spark):
     assert brute  # positives exist
 
 
+def test_simhash_bucket_load_factor(docs):
+    """16-bit quarter keys must spread candidates: the max bucket
+    (band, key) population stays far below the corpus size (round-1
+    8-bit keys had 256 buckets/band => near-degenerate)."""
+    corpus = dd.perturbed_corpus(docs)  # 1000 docs
+    n = corpus.count()
+    sh = corpus.select("doc_id", dd.simhash(F.col("text")).alias("sh"))
+    loads = (
+        sh.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qi).alias("q"),
+                    F.shiftright("sh", 16 * qi).bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for qi in range(4)
+            ])).alias("qk")
+        )
+        .groupBy("qk.q", "qk.key")
+        .count()
+    )
+    max_load = loads.agg(F.max("count")).collect()[0][0]
+    # similar docs legitimately cluster (that is simhash's job), but
+    # the hot bucket must stay far below corpus size — and far below
+    # what the round-1 8-bit keys produce on the same corpus
+    loads8 = (
+        sh.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qi).alias("q"),
+                    F.shiftright("sh", 8 * qi).bitwiseAND(F.lit(255))
+                    .alias("key"),
+                )
+                for qi in range(4)
+            ])).alias("qk")
+        )
+        .groupBy("qk.q", "qk.key")
+        .count()
+    )
+    max_load8 = loads8.agg(F.max("count")).collect()[0][0]
+    assert max_load <= n // 10, (max_load, n)
+    assert max_load < max_load8 / 2, (max_load, max_load8)
+
+
+def test_embedding_near_dups_finds_planted(emb):
+    """Planted ε-perturbed copies must be recovered: recall >= 0.9 vs
+    the known positives, and every reported pair is exact-verified
+    (cos >= threshold by construction of the verify stage)."""
+    base = emb.limit(200)
+    corpus = sim.perturbed_embeddings(base)
+    out = sim.embedding_near_dups(corpus, threshold=0.95).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in base.select("vec_id").collect()
+    }
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, recall
+    assert all(r["cos"] >= 0.95 for r in out)
+
+
 def test_ann_lsh_recall(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).collect()
