@@ -12,8 +12,9 @@ container has no lxml, so the HTML/XML element tree is stdlib
 (``html.parser`` / ``xml.etree``): a tolerant HTML parser building an
 ElementTree that our Selector operators query. JSON payloads on the
 *structured* path avoid Python entirely via ``F.from_json`` (see
-engine docs). Excel/PDF are gated behind import-try (libs absent) and
-raise ``NotImplementedError`` with the Spark-side plumbing in place.
+engine docs). Excel is a stdlib xlsx reader (zip + XML, no openpyxl
+needed); PDF is a minimal pure-Python text extractor (zlib FlateDecode
++ Tj/TJ text operators — the pdftotext stand-in).
 """
 
 from __future__ import annotations
@@ -106,22 +107,180 @@ def parse_csv(content: bytes | str) -> list[dict[str, str]]:
     return list(csv.DictReader(io.StringIO(content)))
 
 
-def parse_excel(content: bytes):  # pragma: no cover - lib absent
-    """Reference ``ExcelListPage`` (pages.py:475-486). openpyxl is not in
-    this container; plumbing kept, decode stubbed."""
-    try:
-        from openpyxl import load_workbook
-    except ImportError as e:
-        raise NotImplementedError("openpyxl unavailable in this environment") from e
-    wb = load_workbook(io.BytesIO(content))
-    ws = wb.active
-    return [list(r) for r in ws.values]
+def _col_index(ref: str) -> int:
+    """'A1' -> 0, 'BC7' -> 54 (0-based column index from a cell ref)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - 64)
+    return n - 1
 
 
-def parse_pdf(content: bytes):  # pragma: no cover - lib absent
-    """Reference ``PdfPage`` shells out to pdftotext (pages.py:393-417);
-    neither pdftotext nor pypdf exists here — stubbed."""
-    raise NotImplementedError("pdftotext/pypdf unavailable in this environment")
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def parse_excel(content: bytes) -> list[list]:
+    """Active-sheet rows as value lists — the reference's
+    ``ExcelListPage`` semantics (``pages.py:475-486``: openpyxl
+    ``worksheet.values``). Stdlib implementation (xlsx = zip + XML:
+    no openpyxl in this container): shared strings resolved, numbers
+    as int/float, booleans as bool, empty cells None, every row padded
+    to the sheet's max column like openpyxl does."""
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    names = zf.namelist()
+
+    # shared strings (t="s" cells index into this table)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.findall(f"{_XLSX_NS}si"):
+            # plain <t> or rich-text runs <r><t>
+            shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+
+    # first worksheet = the default active sheet for files we ingest
+    sheet_names = sorted(
+        n for n in names
+        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+    )
+    if not sheet_names:
+        raise ValueError("xlsx has no worksheets")
+    root = ET.fromstring(zf.read(sheet_names[0]))
+
+    rows: list[dict[int, Any]] = []
+    max_col = 0
+    for row_el in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, Any] = {}
+        for i, c in enumerate(row_el.findall(f"{_XLSX_NS}c")):
+            ref = c.get("r")
+            col = _col_index(ref) if ref else i
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                is_el = c.find(f"{_XLSX_NS}is")
+                val: Any = (
+                    "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
+                    if is_el is not None else None
+                )
+            else:
+                v = c.find(f"{_XLSX_NS}v")
+                if v is None or v.text is None:
+                    val = None
+                elif ctype == "s":
+                    val = shared[int(v.text)]
+                elif ctype == "b":
+                    val = v.text == "1"
+                elif ctype == "str":
+                    val = v.text
+                else:  # numeric
+                    f = float(v.text)
+                    val = int(f) if f.is_integer() else f
+            cells[col] = val
+            max_col = max(max_col, col)
+        rows.append(cells)
+    return [
+        [cells.get(c) for c in range(max_col + 1)] for cells in rows
+    ]
+
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_string(raw: bytes) -> str:
+    """Decode a PDF literal string body: backslash escapes + octal."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        ch = raw[i:i + 1]
+        if ch == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: drop
+            continue
+        out += ch
+        i += 1
+    return out.decode("latin-1")
+
+
+def parse_pdf(content: bytes, preserve_layout: bool = False) -> str:
+    """Reference ``PdfPage`` shells out to pdftotext
+    (``pages.py:393-417``); no pdftotext/pypdf in this container, so
+    this is a minimal pure-Python extractor: FlateDecode (zlib) content
+    streams, BT/ET text blocks, ``Tj``/``'``/``TJ`` show operators,
+    newline on ``Td/TD/T*``. ``preserve_layout`` mirrors the
+    ``-layout`` flag's spirit: large negative TJ kerning gaps become
+    spaces (best-effort — full column reconstruction needs glyph
+    metrics). Handles simple text PDFs; image-only/encrypted PDFs
+    yield empty text like pdftotext would."""
+    import re
+    import zlib
+
+    texts: list[str] = []
+    # every stream object; FlateDecode'd or raw
+    for m in re.finditer(
+        rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", content, re.S
+    ):
+        d, body = m.group(1), m.group(2)
+        if b"/FlateDecode" in d:
+            try:
+                # decompressobj tolerates trailing newline/garbage
+                # before `endstream`
+                body = zlib.decompressobj().decompress(body)
+            except zlib.error:
+                continue
+        elif b"/Filter" in d:
+            continue  # unsupported filter (DCT etc.)
+        if b"BT" not in body:
+            continue
+        out: list[str] = []
+        # tokenize the text operators inside BT..ET
+        for bt in re.finditer(rb"BT(.*?)ET", body, re.S):
+            block = bt.group(1)
+            pos = 0
+            line_open = False
+            tok = re.compile(
+                rb"\((?P<str>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|')"
+                rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"
+                rb"|(?P<nl>T\*|-?[\d.]+\s+-?[\d.]+\s+T[dD])"
+            )
+            for t in tok.finditer(block):
+                if t.group("nl") is not None:
+                    if line_open:
+                        out.append("\n")
+                        line_open = False
+                    continue
+                if t.group("str") is not None:
+                    out.append(_pdf_string(t.group("str")))
+                    line_open = True
+                    continue
+                arr = t.group("arr")
+                for part in re.finditer(
+                    rb"\((?P<s>(?:\\.|[^\\()])*)\)|(?P<k>-?[\d.]+)", arr
+                ):
+                    if part.group("s") is not None:
+                        out.append(_pdf_string(part.group("s")))
+                        line_open = True
+                    elif preserve_layout and float(part.group("k")) < -180:
+                        out.append(" ")
+            if line_open:
+                out.append("\n")
+        if out:
+            texts.append("".join(out))
+    return "\f".join(texts)
 
 
 def element_text(el: ET.Element) -> str:

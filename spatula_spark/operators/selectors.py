@@ -19,10 +19,14 @@ Differences by design, not omission:
   ``from_json``, ``filter(links, x -> x rlike pat)``,
   order-preserving ``array_distinct``) over any of this; this module
   is the HTML/XML escape hatch.
-* The element tree is stdlib ``xml.etree`` (no lxml in container), so
-  ``XPath`` supports ElementTree's path subset and ``CSS`` a practical
-  selector subset (tag, ``.class``, ``#id``, ``[attr]``, descendant
-  combinators) — sufficient for the reference's test grammar.
+* The element tree is stdlib ``xml.etree`` (no lxml/cssselect in
+  container), so ``XPath`` supports ElementTree's path subset while
+  ``CSS`` is a compiled-grammar engine covering the selectors real
+  scrapers use: compound simple selectors (tag ``.class`` ``#id``
+  ``[attr]`` with ``= ^= $= *= ~= |=`` operators), the ``>`` ``+``
+  ``~`` and descendant combinators, ``:first-child`` ``:last-child``
+  ``:nth-child(an+b|odd|even)``, and comma-separated selector lists
+  (results in document order, deduped).
 """
 
 from __future__ import annotations
@@ -36,6 +40,19 @@ from collections.abc import Iterator
 class SelectorError(ValueError):
     """Raised when a cardinality constraint is not met
     (reference ``selectors.py:8-13``)."""
+
+
+def _display_element(el: ET.Element) -> str:
+    """Reference ``utils._display_element`` (utils.py:17-27) minus the
+    lxml ``sourceline`` (ElementTree does not track line numbers)."""
+    s = f"<{el.tag} "
+    if id_str := el.get("id"):
+        s += f"id='{id_str}'"
+    elif class_str := el.get("class"):
+        s += f"class='{class_str}'"
+    else:
+        s += " ".join(f"{k}='{v}'" for k, v in el.attrib.items())
+    return f"{s.strip()}>"
 
 
 class Selector(ABC):
@@ -63,17 +80,24 @@ class Selector(ABC):
         max_items = self.max_items if max_items is None else max_items
         min_items = self.min_items if min_items is None else min_items
 
+        where = (
+            _display_element(element)
+            if isinstance(element, ET.Element) else str(element)
+        )
         if num_items is not None and len(items) != num_items:
             raise SelectorError(
-                f"{self} got {len(items)} results, expected {num_items}"
+                f"{self} on {where} got {len(items)} results, "
+                f"expected {num_items}"
             )
         if min_items is not None and len(items) < min_items:
             raise SelectorError(
-                f"{self} got {len(items)} results, expected at least {min_items}"
+                f"{self} on {where} got {len(items)} results, "
+                f"expected at least {min_items}"
             )
         if max_items is not None and len(items) > max_items:
             raise SelectorError(
-                f"{self} got {len(items)} results, expected at most {max_items}"
+                f"{self} on {where} got {len(items)} results, "
+                f"expected at most {max_items}"
             )
         return items
 
@@ -105,73 +129,250 @@ class XPath(Selector):
         return f"XPath({self.xpath})"
 
 
-_CSS_PART = re.compile(
-    r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
-    r"(?P<id>#[\w-]+)?"
-    r"(?P<classes>(?:\.[\w-]+)+)?"
-    r"(?P<attr>\[[\w-]+(?:=[^\]]+)?\])?"
+# one simple-selector component: tag | #id | .class | [attr op val] |
+# :pseudo(args)
+_CSS_COMPONENT = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*|\*)"
+    r"|#(?P<id>[\w-]+)"
+    r"|\.(?P<cls>[\w-]+)"
+    r"|\[(?P<attr>[^\]]+)\]"
+    r"|:(?P<pseudo>[\w-]+)(?:\((?P<args>[^)]*)\))?"
+)
+_CSS_ATTR = re.compile(r"([\w-]+)\s*(?:([~^$*|]?=)\s*(.*))?$")
+_CSS_TOKENS = re.compile(
+    r"(?P<compound>(?:[a-zA-Z][\w-]*|\*|#[\w-]+|\.[\w-]+|\[[^\]]*\]"
+    r"|:[\w-]+(?:\([^)]*\))?)+)"
+    r"|\s*(?P<comb>[>+~,])\s*"
+    r"|(?P<ws>\s+)"
 )
 
 
+def _parse_nth(args: str):
+    """'an+b' | 'odd' | 'even' | 'b' -> (a, b)."""
+    s = args.strip().lower().replace(" ", "")
+    if s == "odd":
+        return 2, 1
+    if s == "even":
+        return 2, 0
+    m = re.fullmatch(r"([+-]?\d*)n([+-]\d+)?", s)
+    if m:
+        a_str = m.group(1)
+        a = int(a_str) if a_str not in ("", "+", "-") else (-1 if a_str == "-" else 1)
+        return a, int(m.group(2) or 0)
+    return 0, int(s)
+
+
 class CSS(Selector):
-    """CSS selector subset (reference ``selectors.py:151-175`` uses
-    cssselect; unavailable here). Supports compound simple selectors
-    joined by descendant combinators: ``ul li.cls``, ``#id``, ``a[href]``.
+    """Compiled CSS selector engine (the reference gets cssselect for
+    free, ``selectors.py:151-175``; unavailable here). Grammar:
+
+    * compound simple selectors: ``tag``, ``*``, ``.class`` (several),
+      ``#id``, ``[attr]``, ``[attr=v]``, ``[attr^=v]``, ``[attr$=v]``,
+      ``[attr*=v]``, ``[attr~=v]``, ``[attr|=v]``
+    * pseudo-classes ``:first-child``, ``:last-child``,
+      ``:nth-child(an+b | odd | even | k)``
+    * combinators: descendant (space), child ``>``, adjacent sibling
+      ``+``, general sibling ``~``
+    * selector lists: ``a, b`` — union, document order, deduped
+
+    The scope element itself is never matched (cssselect/lxml
+    behavior); structural pseudo-classes use a parent map built per
+    ``get_items`` call (ElementTree has no parent pointers).
     """
 
     def __init__(self, css_selector: str, **kw):
         super().__init__(**kw)
         self.css_selector = css_selector
-        self._steps = [self._compile(p) for p in css_selector.split()]
+        self._groups = self._parse(css_selector)
 
-    @staticmethod
-    def _compile(part: str):
-        m = _CSS_PART.fullmatch(part)
-        if not m or not any(m.groups()):
-            raise ValueError(f"unsupported CSS selector part: {part!r}")
-        tag = m.group("tag")
-        want_id = m.group("id")[1:] if m.group("id") else None
-        classes = (
-            set(m.group("classes")[1:].split(".")) if m.group("classes") else set()
-        )
-        attr_name = attr_val = None
-        if m.group("attr"):
-            body = m.group("attr")[1:-1]
-            if "=" in body:
-                attr_name, attr_val = body.split("=", 1)
-                attr_val = attr_val.strip("'\"")
+    # ------------------------------------------------------------ parsing
+    @classmethod
+    def _parse(cls, sel: str):
+        """-> list of groups; group = list of (combinator, preds)."""
+        groups: list[list] = [[]]
+        pending_comb = " "
+        pos = 0
+        sel = sel.strip()
+        while pos < len(sel):
+            m = _CSS_TOKENS.match(sel, pos)
+            if not m:
+                raise ValueError(f"unsupported CSS selector: {sel!r} @ {pos}")
+            pos = m.end()
+            if m.group("compound"):
+                groups[-1].append(
+                    (pending_comb, cls._compile_compound(m.group("compound")))
+                )
+                pending_comb = " "
+            elif m.group("comb"):
+                c = m.group("comb")
+                if c == ",":
+                    if not groups[-1]:
+                        raise ValueError(f"empty selector in list: {sel!r}")
+                    groups.append([])
+                    pending_comb = " "
+                else:
+                    pending_comb = c
+            # bare whitespace: descendant combinator (already default)
+        if not groups[-1]:
+            raise ValueError(f"unsupported CSS selector: {sel!r}")
+        return groups
+
+    @classmethod
+    def _compile_compound(cls, part: str):
+        """One compound simple selector -> predicate(el, ctx) where ctx
+        provides (parent, index, n_siblings)."""
+        tag = want_id = None
+        classes: set[str] = set()
+        attrs: list[tuple[str, str | None, str | None]] = []
+        pseudos: list[tuple[str, tuple]] = []
+        pos = 0
+        while pos < len(part):
+            m = _CSS_COMPONENT.match(part, pos)
+            if not m:
+                raise ValueError(f"unsupported CSS selector part: {part!r}")
+            pos = m.end()
+            if m.group("tag"):
+                tag = m.group("tag")
+            elif m.group("id"):
+                want_id = m.group("id")
+            elif m.group("cls"):
+                classes.add(m.group("cls"))
+            elif m.group("attr") is not None:
+                am = _CSS_ATTR.fullmatch(m.group("attr").strip())
+                if not am:
+                    raise ValueError(f"bad attribute selector: {part!r}")
+                name, op, val = am.groups()
+                if val is not None:
+                    val = val.strip().strip("'\"")
+                attrs.append((name, op, val))
             else:
-                attr_name = body
+                name = m.group("pseudo")
+                if name == "nth-child":
+                    pseudos.append(("nth", _parse_nth(m.group("args") or "")))
+                elif name == "first-child":
+                    pseudos.append(("nth", (0, 1)))
+                elif name == "last-child":
+                    pseudos.append(("last", ()))
+                else:
+                    raise ValueError(f"unsupported pseudo-class: :{name}")
 
-        def pred(el: ET.Element) -> bool:
+        def pred(el: ET.Element, parent, idx: int, nsib: int) -> bool:
             if tag and tag != "*" and el.tag != tag:
                 return False
             if want_id and el.get("id") != want_id:
                 return False
             if classes and not classes <= set((el.get("class") or "").split()):
                 return False
-            if attr_name is not None:
-                v = el.get(attr_name)
-                if v is None or (attr_val is not None and v != attr_val):
+            for name, op, val in attrs:
+                v = el.get(name)
+                if v is None:
                     return False
+                if op is None:
+                    continue
+                if op == "=" and v != val:
+                    return False
+                if op == "^=" and not v.startswith(val):
+                    return False
+                if op == "$=" and not v.endswith(val):
+                    return False
+                if op == "*=" and val not in v:
+                    return False
+                if op == "~=" and val not in v.split():
+                    return False
+                if op == "|=" and not (v == val or v.startswith(val + "-")):
+                    return False
+            for kind, arg in pseudos:
+                if kind == "last":
+                    if idx != nsib:
+                        return False
+                else:
+                    a, b = arg
+                    # 1-based child index must equal a*k+b for k>=0
+                    if a == 0:
+                        if idx != b:
+                            return False
+                    else:
+                        k, rem = divmod(idx - b, a)
+                        if rem != 0 or k < 0:
+                            return False
             return True
 
         return pred
 
+    # ----------------------------------------------------------- matching
     def get_items(self, element: ET.Element) -> Iterator[ET.Element]:
-        frontier = [element]
-        for step in self._steps:
-            nxt: list[ET.Element] = []
-            seen_ids: set[int] = set()
-            for scope in frontier:
-                for el in scope.iter():
-                    if el is scope:
-                        continue
-                    if step(el) and id(el) not in seen_ids:
-                        seen_ids.add(id(el))
+        # structural maps (ElementTree has no parent pointers)
+        parent: dict[int, ET.Element] = {}
+        kids: dict[int, list[ET.Element]] = {id(element): list(element)}
+        order: dict[int, int] = {id(element): 0}
+        n = 1
+        for el in element.iter():
+            if el is not element:
+                order[id(el)] = n
+                n += 1
+            ch = list(el)
+            kids[id(el)] = ch
+            for c in ch:
+                parent[id(c)] = el
+
+        def ctx(el: ET.Element):
+            p = parent.get(id(el))
+            if p is None:
+                return None, 1, 1
+            sibs = kids[id(p)]
+            return p, sibs.index(el) + 1, len(sibs)
+
+        def run_pred(p, el):
+            par, idx, nsib = ctx(el)
+            return p(el, par, idx, nsib)
+
+        results: set[int] = set()
+        keep: dict[int, ET.Element] = {}
+        for group in self._groups:
+            current: list[ET.Element] | None = None  # None = scope root
+            for comb, p in group:
+                if current is None:
+                    # first step: search the whole scope (descendants)
+                    current = [
+                        el for el in element.iter()
+                        if el is not element and run_pred(p, el)
+                    ]
+                    continue
+                nxt: list[ET.Element] = []
+                seen: set[int] = set()
+
+                def add(el):
+                    if id(el) not in seen and run_pred(p, el):
+                        seen.add(id(el))
                         nxt.append(el)
-            frontier = nxt
-        yield from frontier
+
+                for base in current:
+                    if comb == " ":
+                        for el in base.iter():
+                            if el is not base:
+                                add(el)
+                    elif comb == ">":
+                        for el in kids[id(base)]:
+                            add(el)
+                    else:
+                        par = parent.get(id(base))
+                        if par is None:
+                            continue
+                        sibs = kids[id(par)]
+                        i = sibs.index(base)
+                        if comb == "+":
+                            if i + 1 < len(sibs):
+                                add(sibs[i + 1])
+                        else:  # '~'
+                            for el in sibs[i + 1:]:
+                                add(el)
+                current = nxt
+            for el in current or []:
+                if id(el) not in results:
+                    results.add(id(el))
+                    keep[id(el)] = el
+        # document order across the whole selector list
+        yield from sorted(keep.values(), key=lambda e: order.get(id(e), 0))
 
     def __str__(self) -> str:
         return f"CSS({self.css_selector})"

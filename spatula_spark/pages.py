@@ -44,11 +44,13 @@ def json_page(name: str, **kw: Any) -> PageSpec:
     return PageSpec(name=name, page_kind="json", **kw)
 
 
-def pdf_page(name: str, **kw: Any) -> PageSpec:
-    """``PdfPage`` (pages.py:376-417). Parsing raises
-    NotImplementedError in this container (no pdftotext) — plumbing
-    only, like parsers.parse_pdf."""
-    return PageSpec(name=name, page_kind="pdf", **kw)
+def pdf_page(name: str, *, preserve_layout: bool = False, **kw: Any) -> PageSpec:
+    """``PdfPage`` (pages.py:376-417): ``ctx.text`` is the extracted
+    text (pure-Python pdftotext stand-in, parsers.parse_pdf);
+    ``preserve_layout`` mirrors the ``-layout`` flag."""
+    return PageSpec(
+        name=name, page_kind="pdf", preserve_layout=preserve_layout, **kw
+    )
 
 
 def list_page(name: str, **kw: Any) -> PageSpec:
@@ -93,8 +95,10 @@ def csv_list_page(name: str, *, process_item=None, **kw) -> PageSpec:
 
 
 def excel_list_page(name: str, *, process_item=None, **kw) -> PageSpec:
-    """``ExcelListPage`` (pages.py:475-486) — openpyxl absent here;
-    parsing raises NotImplementedError (parsers.parse_excel)."""
+    """``ExcelListPage`` (pages.py:475-486): items = active-sheet rows
+    as value lists (stdlib xlsx reader, parsers.parse_excel)."""
     return PageSpec(
-        name=name, page_kind="excel", process_item=process_item, **kw,
+        name=name, page_kind="excel", process_item=process_item or (
+            lambda item, ctx: item
+        ), **kw,
     )

@@ -236,7 +236,7 @@ def _run_process(spec: PageSpec, ctx: PageCtx) -> list[Any]:
         elif ctx.payload_kind == "excel":
             from ..operators.parsers import parse_excel
 
-            items = parse_excel(ctx.payload)  # raises: lib absent here
+            items = parse_excel(ctx.payload)
         elif spec.selector is not None:
             items = spec.selector.match(ctx.root)
         else:
@@ -296,6 +296,7 @@ def _make_transform(
             image_id=row.image_id,
             flaky_rejects=int(row.flaky_rejects or 0),
             deps={**dep_values.get(spec.name, {}), **extra_deps},
+            pdf_preserve_layout=spec.preserve_layout,
         )
 
         def paginate() -> None:

@@ -112,9 +112,11 @@ class PageCtx:
     # degrades (drives accept_response retry fixtures, pages.py:168-195)
     flaky_rejects: int = 0
     deps: dict[str, Any] = field(default_factory=dict)
+    pdf_preserve_layout: bool = False
     _root: Any = None
     _json: Any = None
     _csv: Any = None
+    _text: Any = None
 
     def __getattr__(self, name: str) -> Any:  # dependency attribute access
         deps = object.__getattribute__(self, "deps")
@@ -143,6 +145,20 @@ class PageCtx:
         if self._csv is None and self.payload is not None:
             self._csv = parsers.parse_csv(self.payload)
         return self._csv
+
+    @property
+    def text(self):
+        """Extracted text — the reference ``PdfPage.text``
+        (pages.py:376-417) for pdf pages; the decoded payload
+        otherwise."""
+        if self._text is None and self.payload is not None:
+            if self.payload_kind == "pdf":
+                self._text = parsers.parse_pdf(
+                    self.payload, self.pdf_preserve_layout
+                )
+            else:
+                self._text = self.payload.decode("utf-8", "replace")
+        return self._text
 
 
 @dataclass
@@ -189,6 +205,9 @@ class PageSpec:
     # the reference encodes this in the class (HtmlPage parses HTML no
     # matter what the server said, pages.py:327-344)
     page_kind: str | None = None
+    # PdfPage.preserve_layout (pages.py:382-388, the pdftotext -layout
+    # flag); consumed by ctx.text for pdf pages
+    preserve_layout: bool = False
 
     def total_attempts(self) -> int:
         # reference: (source.retries or REJECTED_RESPONSE_RETRIES) + 1

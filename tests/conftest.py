@@ -46,6 +46,21 @@ def tiny_store(spark):
             "<li>three</li></ul></body></html>",
         ),
     ]
+    from fixtures_binary import make_pdf, make_xlsx
+
+    rows.append(row(
+        "http://pdf.example.com/doc",
+        payload_kind="pdf",
+        payload=make_pdf(
+            b"BT /F1 12 Tf 72 720 Td (Hello World) Tj "
+            b"0 -14 Td [(Col1) -500 (Col2)] TJ ET"
+        ),
+    ))
+    rows.append(row(
+        "http://xlsx.example.com/data",
+        payload_kind="excel",
+        payload=make_xlsx([["a", "b", "c"], [1, 2, 3], [4, 5, 6]]),
+    ))
     df = spark.createDataFrame(
         rows,
         "url string, host string, kind string, status int, "

@@ -357,6 +357,49 @@ def test_page_factories_force_parse_kind(engine, spark, tiny_store):
     ]
 
 
+def test_pdf_page_golden(spark, tiny_store):
+    """PdfPage parity (reference pages.py:376-417): ctx.text is the
+    extracted text; preserve_layout spaces large TJ kerning gaps."""
+    from spatula_spark import pdf_page
+
+    reg = PageRegistry()
+    reg.register(pdf_page(
+        "PdfDoc",
+        source="http://pdf.example.com/doc",
+        process_page=lambda ctx: {"text": ctx.text},
+    ))
+    reg.register(pdf_page(
+        "PdfDocLayout",
+        source="http://pdf.example.com/doc",
+        preserve_layout=True,
+        process_page=lambda ctx: {"text": ctx.text},
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    assert eng.crawl([{"page_cls": "PdfDoc"}]).items() == [
+        {"text": "Hello World\nCol1Col2\n"}
+    ]
+    assert eng.crawl([{"page_cls": "PdfDocLayout"}]).items() == [
+        {"text": "Hello World\nCol1 Col2\n"}
+    ]
+
+
+def test_excel_list_golden(spark, tiny_store):
+    """ExcelListPage parity (reference pages.py:475-486): items are
+    active-sheet rows as value lists."""
+    from spatula_spark import excel_list_page
+
+    reg = PageRegistry()
+    reg.register(excel_list_page(
+        "XlsxList", source="http://xlsx.example.com/data",
+    ))
+    eng = CrawlEngine(spark, reg, page_store=tiny_store,
+                      config=CrawlConfig(use_bloom=False))
+    assert eng.crawl([{"page_cls": "XlsxList"}]).items() == [
+        ["a", "b", "c"], [1, 2, 3], [4, 5, 6],
+    ]
+
+
 def test_per_input_dependency(spark, tiny_store):
     """Class-level dependency (reference pages.py:141-147): the dep is
     re-fetched per consumer input — dep result attached per page."""

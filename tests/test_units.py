@@ -179,6 +179,71 @@ def test_xpath():
     ]
 
 
+GRAMMAR_HTML = (
+    "<html><body>"
+    '<div id="main" class="wrap outer">'
+    '<p class="first">intro <b>one</b></p>'
+    "<ul>"
+    '<li class="x a">1</li><li class="x">2</li><li>3</li>'
+    '<li data-k="v-w" lang="en-US">4</li><li>5</li>'
+    "</ul>"
+    '<a href="https://x.test/page">A</a>'
+    '<a href="http://y.test/other.pdf">B</a>'
+    "</div>"
+    '<div class="wrap"><p>tail <b>two</b></p><span>s</span></div>'
+    "</body></html>"
+)
+
+
+def _g():
+    return parse_html(GRAMMAR_HTML)
+
+
+@pytest.mark.parametrize("sel,expected", [
+    # reference tests/test_selectors.py:89-92 shape: ".first b"
+    (".first b", ["one"]),
+    ("div > p", ["intro one", "tail two"]),          # child combinator
+    ("ul > li.x", ["1", "2"]),
+    ("li.x + li", ["2", "3"]),                       # adjacent sibling
+    ("li.x ~ li", ["2", "3", "4", "5"]),             # general sibling
+    ("p + ul > li:first-child", ["1"]),
+    ("li:first-child", ["1"]),
+    ("li:last-child", ["5"]),
+    ("li:nth-child(2)", ["2"]),
+    ("li:nth-child(odd)", ["1", "3", "5"]),
+    ("li:nth-child(even)", ["2", "4"]),
+    ("li:nth-child(2n+1)", ["1", "3", "5"]),
+    ("li:nth-child(n+4)", ["4", "5"]),
+    ("a[href^='https']", ["A"]),                     # attr operators
+    ("a[href$='.pdf']", ["B"]),
+    ("a[href*='y.test']", ["B"]),
+    ("div[class~='outer'] p", ["intro one"]),
+    ("li[lang|='en']", ["4"]),
+    ("li[data-k=v-w]", ["4"]),
+    ("p, span", ["intro one", "tail two", "s"]),     # list, doc order
+    ("li.a, li:last-child, li.a", ["1", "5"]),       # dedup
+    ("#main .first", ["intro one"]),
+    ("*[id]", ["intro one12345AB"]),                 # div#main subtree text
+    ("div.wrap.outer > ul li", ["1", "2", "3", "4", "5"]),
+])
+def test_css_grammar(sel, expected):
+    got = [element_text(e) for e in CSS(sel).match(_g(), min_items=0)]
+    assert got == expected, (sel, got)
+
+
+def test_css_unsupported_raises():
+    with pytest.raises(ValueError):
+        CSS("li::before")
+    with pytest.raises(ValueError):
+        CSS("li:hover")
+
+
+def test_selector_error_mentions_element():
+    # reference parity: error text carries the element (selectors.py:57-71)
+    with pytest.raises(SelectorError, match="on <ul"):
+        CSS("li").match_one(_g().find(".//ul"))
+
+
 def test_similar_link_first_wins_dedup():
     # reference selectors.py:136-144 + tests/test_selectors.py:99-101:
     # 2 of 3 https-ish links, first occurrence wins, order kept
