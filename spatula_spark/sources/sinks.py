@@ -30,12 +30,17 @@ def to_json_files(
     results: DataFrame,
     out_dir: str,
     get_filename: Callable[[dict], str] | None = None,
+    dump: Callable | None = None,
 ) -> int:
     """Reference-parity sink: one JSON file per item
     (cli.py:424-430). Filenames default to the lineage path key —
-    deterministic where the reference used uuid4 (cli.py:179-183)."""
+    deterministic where the reference used uuid4 (cli.py:179-183).
+    ``dump`` is the reference's custom dump function hook
+    (cli.py:382,420-429): called as ``dump(item_dict, file)``; defaults
+    to ``json.dump``."""
     os.makedirs(out_dir, exist_ok=True)
     n = 0
+    dump = dump or json.dump
     for row in results.select("path", "item_json").toLocalIterator():
         item = json.loads(row["item_json"])
         name = (
@@ -43,7 +48,7 @@ def to_json_files(
             else f"{row['path']}.json"
         )
         with open(os.path.join(out_dir, name), "w") as f:
-            json.dump(item, f)
+            dump(item, f)
         n += 1
     return n
 

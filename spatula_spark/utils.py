@@ -22,6 +22,55 @@ def display(obj: Any, max_len: int = 100) -> str:
     return s if len(s) <= max_len else s[: max_len - 3] + "..."
 
 
+def synthesize_input(
+    spec,
+    data_pairs: list[str] | None = None,
+    interactive: bool = False,
+    prompt_fn=None,
+    echo=print,
+) -> Any:
+    """Reference ``_get_fake_input`` (cli.py:221-257): build the page
+    input for ``spatula test`` from ``-d key=value`` pairs, falling
+    back per field to an interactive prompt (``--interactive``) or a
+    ``~field`` placeholder; ``example_input`` wins when present
+    (overridden key-by-key by the pairs)."""
+    fake_input: dict[str, Any] = {}
+    for item in data_pairs or []:
+        k, _, v = item.partition("=")
+        fake_input[k] = v
+
+    if spec.example_input is not None:
+        example = spec.example_input
+        for k, v in fake_input.items():
+            if isinstance(example, dict):
+                example[k] = v
+            else:
+                setattr(example, k, v)
+        return example
+
+    input_type = spec.input_type
+    if input_type is not None:
+        import dataclasses
+
+        echo(f"{spec.name} expects input ({input_type.__name__}): ")
+        if dataclasses.is_dataclass(input_type):
+            fields = [f.name for f in dataclasses.fields(input_type)]
+        elif hasattr(input_type, "__attrs_attrs__"):
+            fields = [a.name for a in input_type.__attrs_attrs__]
+        else:
+            fields = []
+        for name in fields:
+            if name in fake_input:
+                echo(f"  {name}: {fake_input[name]}")
+            elif interactive:
+                fake_input[name] = (prompt_fn or input)(f"  {name}: ")
+            else:
+                fake_input[name] = f"~{name}"
+                echo(f"  {name}: ~{name}")
+        return input_type(**fake_input)
+    return fake_input
+
+
 def debug_run(
     engine,
     page_cls: str,

@@ -88,3 +88,84 @@ def test_cli_test_command(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1:" in out and "2:" in out
     assert "pagination not followed" in out
+
+
+def test_cli_test_data_pairs_and_placeholders(spark, tmp_path, capsys):
+    """Reference tests/test_cli.py:186-224 shapes: -d name=value pairs
+    fill input_type fields; missing fields get ~field placeholders."""
+    store = _store(spark, tmp_path)
+    rc = main([
+        "test", "tests.cli_fixture", "TypedInputPage",
+        "--store", store, "--cores", "8",
+        "-d", "name=apple",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TypedInputPage expects input (FruitInput):" in out
+    assert "name: apple" in out
+    assert "region: ~region" in out
+    assert '"region": "~region"' in out  # placeholder reached the page
+
+
+def test_cli_test_example_input_override(spark, tmp_path, capsys):
+    store = _store(spark, tmp_path)
+    rc = main([
+        "test", "tests.cli_fixture", "ExampleInputPage",
+        "--store", store, "--cores", "8",
+        "-d", "region=poles",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"name": "banana"' in out
+    assert '"region": "poles"' in out
+
+
+def test_cli_test_interactive_prompt(spark, tmp_path, capsys, monkeypatch):
+    store = _store(spark, tmp_path)
+    monkeypatch.setattr("builtins.input", lambda prompt="": "prompted")
+    rc = main([
+        "test", "tests.cli_fixture", "TypedInputPage",
+        "--store", store, "--cores", "8",
+        "-d", "name=apple", "--interactive",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"region": "prompted"' in out
+
+
+def test_cli_scrape_custom_dump(spark, tmp_path, capsys):
+    store = _store(spark, tmp_path)
+    out_dir = str(tmp_path / "dumped")
+    rc = main([
+        "scrape", "tests.cli_fixture", "FruitList",
+        "--store", store, "--url", "http://f.example.com/list",
+        "-o", out_dir, "--cores", "8",
+        "--dump", "tests.cli_fixture:upper_dump",
+    ])
+    assert rc == 0
+    files = sorted(os.listdir(out_dir))
+    items = [json.load(open(os.path.join(out_dir, f))) for f in files]
+    assert items == [
+        {"NAME": "apple", "COLOR": "red"},
+        {"NAME": "kiwi", "COLOR": "green"},
+    ]
+
+
+def test_cli_shell_locals(spark, tmp_path):
+    """spatula shell (reference cli.py:192-216): url/resp/root bound,
+    selectors importable — namespace asserted without a console."""
+    import argparse
+
+    from spatula_spark.__main__ import build_shell_locals
+
+    store = _store(spark, tmp_path)
+    args = argparse.Namespace(
+        url="http://f.example.com/list", store=store, live=False,
+        verb="GET", user_agent="t", header=[], timeout=5.0, cores="8",
+    )
+    ns = build_shell_locals(args)
+    assert ns["resp"]["status"] == 200
+    assert [a.get("href") for a in ns["CSS"]("a").match(ns["root"])] == [
+        "http://f.example.com/d/apple", "http://f.example.com/d/kiwi",
+    ]
+    assert ns["root"].tag == "html"

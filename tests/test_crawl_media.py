@@ -76,6 +76,39 @@ def test_politeness_budget_defers_not_drops(spark, web, store):
     assert res.waves > unlimited.waves
 
 
+def test_robots_oversized_ruleset_uses_join(spark, web, store, monkeypatch):
+    """Rule sets beyond the CASE-expression cap must NOT be silently
+    truncated: the engine falls back to the broadcast-join path and
+    still blocks (ADVICE r1)."""
+    from spatula_spark.operators import politeness as pol
+    from spatula_spark.plans.engine import CrawlEngine as CE
+
+    monkeypatch.setattr(pol, "ROBOTS_EXPR_MAX_RULES", 2)
+    # 3 real rules + the web's own -> over the (patched) cap
+    import pyspark.sql.functions as F  # noqa: F401
+
+    extra = spark.createDataFrame(
+        [("h1.example.com", "/detail/13", False),
+         ("h0.example.com", "/detail/7", False),
+         ("nowhere.example.com", "/x", False),
+         ("nowhere.example.com", "/y", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    eng = CE(spark, media_registry(), page_store=store, robots=extra,
+             config=CrawlConfig())
+    assert eng._robots_join and eng._robots_rules is None
+    res = eng.crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    blocked = {u for u in expected_detail_urls(web)
+               if ("h1.example.com/detail/13" in u
+                   or "h0.example.com/detail/7" in u)}
+    assert blocked
+    assert got == expected_detail_urls(web) - blocked
+    assert int(res.metrics["blocked"].sum()) == len(blocked)
+    # blocked rows land in the dead-letter stream, tagged
+    assert res.dead.filter("emit_kind = 'blocked'").count() == len(blocked)
+
+
 def test_robots_blocks_prefix(spark, web, store):
     eng = CrawlEngine(spark, media_registry(), page_store=store,
                       robots=web.robots(spark), config=CrawlConfig())

@@ -27,8 +27,18 @@ class _Site(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet
         pass
 
+    hits = {}  # path -> count (fastmode cache assertions)
+
     def do_GET(self):
-        if self.path.startswith("/list"):
+        _Site.hits[self.path] = _Site.hits.get(self.path, 0) + 1
+        if self.path == "/echo-header":
+            self._send(
+                200,
+                json.dumps({"x_custom": self.headers.get("X-Custom", ""),
+                            "ua": self.headers.get("User-Agent", "")}),
+                "application/json",
+            )
+        elif self.path.startswith("/list"):
             page = int(self.path.split("=")[-1]) if "=" in self.path else 0
             chunk = EMPLOYEES[page * PER_PAGE:(page + 1) * PER_PAGE]
             rows = "".join(
@@ -110,6 +120,48 @@ def test_real_http_crawl(spark, site):
     # every URL fetched exactly once (8 pages + 7 details... list pages
     # are 3; seen set = 3 list + 7 detail = 10)
     assert res.seen.count() == 10
+
+
+def test_http_headers_and_user_agent(spark, site):
+    """--header / --user-agent parity (reference scraper_params,
+    cli.py:27-93): custom headers reach every request."""
+    reg = PageRegistry()
+    reg.register(PageSpec(name="Echo", process_page=lambda ctx: ctx.json))
+    eng = CrawlEngine(
+        spark, reg,
+        fetch_fn=make_http_fetcher(
+            user_agent="spatula-test 9.9", headers={"X-Custom": "yes"},
+        ),
+        config=CrawlConfig(use_bloom=False),
+    )
+    res = eng.crawl([{"page_cls": "Echo", "url": f"{site}/echo-header"}])
+    assert res.items() == [{"x_custom": "yes", "ua": "spatula-test 9.9"}]
+
+
+def test_http_fastmode_cache(spark, site, tmp_path):
+    """--fastmode parity (reference SQLiteCache, cli.py:91-93): the
+    second crawl serves from the response cache — zero new hits."""
+    cache = str(tmp_path / "rcache")
+    reg = PageRegistry()
+    reg.register(PageSpec(name="Echo", process_page=lambda ctx: ctx.json))
+
+    def run():
+        eng = CrawlEngine(
+            spark, reg,
+            fetch_fn=make_http_fetcher(
+                user_agent="c", headers={"X-Custom": "c"}, cache_dir=cache,
+            ),
+            config=CrawlConfig(use_bloom=False),
+        )
+        return eng.crawl([{"page_cls": "Echo", "url": f"{site}/echo-header"}])
+
+    _Site.hits.pop("/echo-header", None)
+    r1 = run()
+    hits_after_first = _Site.hits.get("/echo-header", 0)
+    assert hits_after_first >= 1
+    r2 = run()
+    assert _Site.hits.get("/echo-header", 0) == hits_after_first  # cached
+    assert r1.items() == r2.items()
 
 
 def test_http_404_dead_letter(spark, site):

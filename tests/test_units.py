@@ -258,6 +258,27 @@ def test_similar_link_first_wins_dedup():
     assert links == ["https://a/1", "http://b/2"]
 
 
+def test_sharded_bloom_broadcast_bounded(spark):
+    """Broadcast lifecycle (r1 verdict): one live broadcast, reused
+    while the filter is unchanged, replaced (old unpersisted) only on
+    change — a long crawl must not accrete stale blobs."""
+    from spatula_spark.operators.seen import ShardedBloom
+
+    sb = ShardedBloom(4, 1 << 12, 1e-3)
+    df = spark.range(1000).selectExpr("xxhash64(id) AS url_hash")
+    sb.add_hashes_df(df)
+    sb.membership_udf(spark)
+    sb.membership_udf(spark)  # unchanged -> reuse
+    assert sb.broadcasts_created == 1
+    first_bc = sb._bc
+    sb.add_hashes_df(
+        spark.range(1000, 1200).selectExpr("xxhash64(id) AS k"), key_col="k"
+    )
+    sb.membership_udf(spark)
+    assert sb.broadcasts_created == 2
+    assert sb._bc is not first_bc
+
+
 # -------------------------------------------------------------- record norm
 def test_obj_to_dict():
     # reference tests/test_utils.py:46-80
