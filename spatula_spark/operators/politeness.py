@@ -39,6 +39,15 @@ def split_by_host_budget(
     ``politeness``: optional DataFrame (host, budget_per_wave)
     overriding ``default_budget``. Null-source rows (no fetch) are
     always scheduled. ``default_budget=None`` disables the limiter.
+
+    Plan shape (the scale-critical part): a naive ``row_number() over
+    (partition by host)`` sorts the ENTIRE frontier every wave. Instead
+    a per-host count aggregate (map-side combine => tiny) finds the
+    hosts actually over budget; only THOSE hosts' rows go through the
+    ranking window, everything else passes straight through a broadcast
+    hash join (no sort, no extra shuffle). The hot set is bounded by
+    ``frontier_size / budget`` rows — thousands, not billions — so the
+    broadcast is safe at any frontier size with sane budgets.
     """
     if default_budget is None and politeness is None:
         return frontier, frontier.limit(0)
@@ -52,8 +61,9 @@ def split_by_host_budget(
     fetchable = frontier.filter(F.col("url").isNotNull())
     nullsrc = frontier.filter(F.col("url").isNull())
 
+    counts = fetchable.groupBy("host").agg(F.count("*").alias("_hn"))
     if politeness is not None:
-        fetchable = fetchable.join(F.broadcast(politeness), "host", "left")
+        counts = counts.join(F.broadcast(politeness), "host", "left")
         # explicit None check — `or` would turn a (validated-away) 0
         # into "unlimited"; hosts absent from the table fall back to
         # default_budget, or unlimited when no default is set
@@ -61,18 +71,23 @@ def split_by_host_budget(
         budget_col = F.coalesce(F.col("budget_per_wave"), F.lit(fallback))
     else:
         budget_col = F.lit(default_budget)
+    hot = counts.filter(F.col("_hn") > budget_col).select(
+        "host", budget_col.cast("long").alias("_budget")
+    )
+
+    flagged = fetchable.join(F.broadcast(hot), "host", "left")
+    cold = flagged.filter(F.col("_budget").isNull()).drop("_budget")
+    hot_rows = flagged.filter(F.col("_budget").isNotNull())
 
     w = Window.partitionBy("host").orderBy("priority", "path")
-    ranked = fetchable.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_budget", budget_col
-    )
-    scheduled = ranked.filter(F.col("_rn") <= F.col("_budget")).drop(
-        "_rn", "_budget", "budget_per_wave"
+    ranked = hot_rows.withColumn("_rn", F.row_number().over(w))
+    sched_hot = ranked.filter(F.col("_rn") <= F.col("_budget")).drop(
+        "_rn", "_budget"
     )
     deferred = ranked.filter(F.col("_rn") > F.col("_budget")).drop(
-        "_rn", "_budget", "budget_per_wave"
+        "_rn", "_budget"
     )
-    return nullsrc.unionByName(scheduled), deferred
+    return nullsrc.unionByName(cold).unionByName(sched_hot), deferred
 
 
 ROBOTS_EXPR_MAX_RULES = 5000

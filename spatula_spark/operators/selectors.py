@@ -111,18 +111,44 @@ class Selector(ABC):
 class XPath(Selector):
     """ElementTree-path selector (reference ``selectors.py:88-112``).
 
-    Accepts ElementTree's XPath subset (``.//li``, ``tag[@attr]``...).
-    Leading ``//`` is normalized to ``.//`` for lxml-style inputs.
+    Accepts ElementTree's XPath subset (``.//li``, ``tag[@attr]``,
+    ``tag[@attr='v']``, ``[.='text']``, positions) plus the lxml value
+    forms real scrapers lean on: a trailing ``/text()`` yields each
+    matched element's text nodes (own text + descendant tails, like
+    lxml) and ``/@attr`` yields attribute values — both return
+    *strings*, exactly as lxml XPath does. Leading ``//`` is
+    normalized to ``.//``.
     """
+
+    _TEXT_SUFFIX = re.compile(r"^(.*?)/text\(\)$")
+    _ATTR_SUFFIX = re.compile(r"^(.*?)/@([\w:-]+)$")
 
     def __init__(self, xpath: str, **kw):
         super().__init__(**kw)
         self.xpath = xpath
 
-    def get_items(self, element: ET.Element) -> Iterator[ET.Element]:
+    def get_items(self, element: ET.Element):
         path = self.xpath
         if path.startswith("//"):
             path = "." + path
+        if m := self._TEXT_SUFFIX.match(path):
+            base = m.group(1) or "."
+            for el in element.iterfind(base):
+                # lxml text(): the element's direct text node(s) —
+                # own .text plus each child's .tail
+                if el.text:
+                    yield el.text
+                for child in el:
+                    if child.tail:
+                        yield child.tail
+            return
+        if m := self._ATTR_SUFFIX.match(path):
+            base, attr = m.group(1) or ".", m.group(2)
+            for el in element.iterfind(base):
+                v = el.get(attr)
+                if v is not None:
+                    yield v
+            return
         yield from element.iterfind(path)
 
     def __str__(self) -> str:

@@ -521,10 +521,13 @@ class CrawlEngine:
         self._spill = cfg.spill_dir or tempfile.mkdtemp(prefix="spatula_spill_")
         os.makedirs(self._spill, exist_ok=True)
         self._seen_slices: list[DataFrame] = []
+        # seed lists are built with attempts=0; DataFrame seeds or a
+        # resume may carry in-flight requeues — be conservative there
+        self._requeues_possible = isinstance(seeds, DataFrame)
         frontier = (
             seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
         )
-        seen = spark.createDataFrame([], "seen_key long")
+        seen = spark.createDataFrame([], "url_hash long, seen_key long")
         self._seen_count = 0
         self._bloom = (
             seen_ops.ShardedBloom(
@@ -553,6 +556,7 @@ class CrawlEngine:
             if resumed is not None:
                 frontier, seen, results, metrics_rows, start_wave = resumed
                 wave = start_wave
+                self._requeues_possible = True  # in-flight retries unknown
                 self._seen_count = seen.count()
                 if self._seen_count:
                     seen, _ = self._materialize(seen, "seen_resume")
@@ -707,6 +711,22 @@ class CrawlEngine:
                     "priority", "page_seq", "attempts",
                     F.lit("robots.txt disallow").alias("error"),
                 ))
+            # politeness-deferred rows ride the emissions stream too:
+            # ONE materialization per wave carries everything — the
+            # next frontier is then a narrow filter over the written
+            # parquet instead of a second write+read job (measured:
+            # the two jobs were the per-wave fixed-cost floor)
+            parts.append(deferred.select(
+                F.lit("deferred").alias("emit_kind"),
+                F.col("page_cls").alias("src_cls"),
+                "path",
+                F.lit(None).cast("string").alias("item_json"),
+                F.col("page_cls").alias("child_cls"),
+                F.col("url").alias("child_url"),
+                F.col("input_json").alias("child_input_json"),
+                "priority", "page_seq", "attempts",
+                F.lit(None).cast("string").alias("error"),
+            ))
             emissions = parts[0]
             for p in parts[1:]:
                 emissions = emissions.unionByName(p, allowMissingColumns=True)
@@ -717,19 +737,29 @@ class CrawlEngine:
             # nparts.
             kind_names = ("item", "child", "next", "requeue", "skip_item",
                           "skip_page", "handled_error", "error", "reject",
-                          "fetched", "blocked")
+                          "fetched", "blocked", "deferred")
             emissions, emetrics = self._materialize(
                 emissions.coalesce(self._wave_parts), "emissions",
                 [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
-                 for k in kind_names],
+                 for k in kind_names]
+                + [F.count(F.when(
+                    (F.col("emit_kind") == "deferred")
+                    & (F.col("attempts") > 0), 1,
+                )).alias("_deferred_requeues")],
             )
             kind_counts = {k: int(emetrics[k]) for k in kind_names}
             n_new = kind_counts["fetched"]
+            # next wave needs the requeue split only if it can actually
+            # contain attempts>0 rows (fresh requeues or deferred ones)
+            self._requeues_possible = bool(
+                kind_counts.get("requeue", 0)
+                or int(emetrics["_deferred_requeues"])
+            )
             batch.unpersist()
             _tick("emissions ckpt", t)
             new_seen = emissions.filter(
                 F.col("emit_kind") == "fetched"
-            ).select("seen_key")
+            ).select("url_hash", "seen_key")
 
             if cfg.scout:
                 wave_items = _scout_projection(emissions, wave)
@@ -804,11 +834,15 @@ class CrawlEngine:
                         self._bloom.add_hashes_df(new_seen, key_col="seen_key")
             _tick("seen update", t)
 
-            # next frontier
-            kinds = ["next", "requeue"]
+            # next frontier: a narrow filter over the ALREADY
+            # materialized emissions parquet — no second write+read.
+            # Lineage stays bounded: every wave's frontier derives from
+            # exactly one parquet scan (deferred rows were folded into
+            # the emissions write above).
+            kinds = ["next", "requeue", "deferred"]
             if cfg.follow_children:
                 kinds.append("child")
-            enqueue = emissions.filter(F.col("emit_kind").isin(kinds)).select(
+            frontier = emissions.filter(F.col("emit_kind").isin(kinds)).select(
                 F.col("child_cls").alias("page_cls"),
                 F.col("child_url").alias("url"),
                 F.col("child_input_json").alias("input_json"),
@@ -817,15 +851,8 @@ class CrawlEngine:
                 F.col("attempts"),
                 F.col("page_seq"),
             )
-            frontier, frmetrics = self._materialize(
-                enqueue.unionByName(
-                    deferred.select(*[f.name for f in schemas.FRONTIER_SCHEMA])
-                ).coalesce(self._wave_parts),
-                "frontier",
-                [F.count(F.lit(1)).alias("n")],
-            )
-            n_frontier = int(frmetrics["n"])
-            _tick("frontier ckpt", t)
+            n_frontier = sum(kind_counts.get(k, 0) for k in kinds)
+            _tick("frontier derive", t)
 
             metrics_rows.append(
                 {
@@ -842,6 +869,7 @@ class CrawlEngine:
                         kind_counts.get("error", 0) + kind_counts.get("reject", 0)
                     ),
                     "blocked": int(kind_counts.get("blocked", 0)),
+                    "deferred": int(kind_counts.get("deferred", 0)),
                 }
             )
 
@@ -939,22 +967,55 @@ class CrawlEngine:
         distinct classes/inputs over one URL all process; only true
         duplicate instances collapse.
 
+        Plan shape: seen_key functionally determines url_hash, so the
+        first-wins dedup groups by ``url_hash`` (THE fetch-join key)
+        and dedups per seen_key *inside* each group with an array sort
+        — groups are tiny (a URL is shared by at most a few classes/
+        inputs). One shuffle, whose HashPartitioning(url_hash) the
+        seen anti-join (equi-keys url_hash+seen_key — a superset, so
+        the partitioning satisfies it) and the page-store fetch join
+        both REUSE: the wave's whole dedup+fetch pipeline rides a
+        single exchange of the frontier.
+
         Requeued rows (attempts>0) bypass the seen filter — their URL
         is legitimately being re-fetched (retry loop pages.py:168-195).
+        The requeue split (whose union would break the partitioning
+        reuse) only happens in waves that can actually contain
+        requeues, tracked from the previous wave's emission counts.
         """
         cfg = self.config
-        first_time = fetchable.filter(F.col("attempts") == 0)
-        requeues = fetchable.filter(F.col("attempts") > 0)
+        requeues = None
+        first_time = fetchable
+        if self._requeues_possible:
+            first_time = fetchable.filter(F.col("attempts") == 0)
+            requeues = fetchable.filter(F.col("attempts") > 0)
 
-        # first-wins by lineage path. min_by under a hash aggregate —
-        # a row_number window would sort-shuffle into mostly-singleton
-        # seen_key partitions, pure overhead at every scale.
-        cols = [c for c in first_time.columns if c != "seen_key"]
-        first_time = (
-            first_time.groupBy("seen_key")
-            .agg(F.min_by(F.struct(*cols), F.col("path")).alias("_r"))
-            .select("seen_key", "_r.*")
+        rest = [
+            c for c in first_time.columns
+            if c not in ("url_hash", "seen_key", "path")
+        ]
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("seen_key"), F.col("path"),
+                         *[F.col(c) for c in rest])
+            )
         )
+        grouped = first_time.groupBy("url_hash").agg(arr.alias("_a"))
+        # keep the first (min path) struct of each seen_key run; the
+        # array is sorted by (seen_key, path) so runs are adjacent.
+        # CASE guards element_at's 1-based index (lazy per-row branch).
+        first_time = grouped.select(
+            "url_hash",
+            F.explode(
+                F.filter(
+                    F.col("_a"),
+                    lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+                        F.element_at(F.col("_a"), i)["seen_key"]
+                        != x["seen_key"]
+                    ),
+                )
+            ).alias("_r"),
+        ).select("url_hash", "_r.*")
 
         if self._seen_count > 0:
             use_bloom = (
@@ -962,24 +1023,34 @@ class CrawlEngine:
                 and self._bloom is not None
                 and self._seen_count >= cfg.bloom_min_seen
             )
+            anti_keys = ["url_hash", "seen_key"]
             if use_bloom:
                 maybe_seen = self._bloom.membership_udf(self.spark)
                 flagged = first_time.withColumn(
                     "_maybe", maybe_seen(F.col("seen_key"))
                 )
-                definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
                 if cfg.bloom_exact_confirm:
-                    confirmed_new = (
-                        flagged.filter(F.col("_maybe"))
-                        .drop("_maybe")
-                        .join(seen, "seen_key", "left_anti")
+                    # left join + filter instead of split/anti/union:
+                    # same rows survive ("definitely unseen" kept
+                    # outright, "maybe" kept only without an exact
+                    # match), but the left side's url_hash partitioning
+                    # flows through to the fetch join — a union of the
+                    # two slivers would discard it
+                    marked = flagged.join(
+                        seen.select(*anti_keys)
+                        .withColumn("_seen", F.lit(True)),
+                        anti_keys, "left",
                     )
-                    first_time = definitely_new.unionByName(confirmed_new)
+                    first_time = marked.filter(
+                        (~F.col("_maybe")) | F.col("_seen").isNull()
+                    ).drop("_maybe", "_seen")
                 else:
-                    first_time = definitely_new
+                    first_time = flagged.filter(~F.col("_maybe")).drop("_maybe")
             else:
-                first_time = first_time.join(seen, "seen_key", "left_anti")
-        return first_time.unionByName(requeues)
+                first_time = first_time.join(seen, anti_keys, "left_anti")
+        if requeues is not None:
+            first_time = first_time.unionByName(requeues)
+        return first_time
 
     def _fetch(self, fetchable: DataFrame) -> DataFrame:
         """The fetch stage: an equi-join against the synthetic page-store
@@ -1102,7 +1173,7 @@ class CrawlEngine:
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)
         frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
-        seen = self.spark.createDataFrame([], "seen_key long")
+        seen = self.spark.createDataFrame([], "url_hash long, seen_key long")
         for w in sorted(waves):
             delta = os.path.join(base, f"wave={w}", "seen_delta")
             if os.path.isdir(delta):

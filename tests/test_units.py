@@ -179,6 +179,19 @@ def test_xpath():
     ]
 
 
+def test_xpath_text_and_attr_values():
+    # lxml value forms: //b/text() -> strings; //a/@href -> attr values
+    g = _g()
+    assert XPath("//b/text()").match(g) == ["one", "two"]
+    assert XPath("//a/@href").match(g) == [
+        "https://x.test/page", "http://y.test/other.pdf",
+    ]
+    assert XPath("//li[@lang='en-US']/@data-k").match(g) == ["v-w"]
+    # text() includes child tails (lxml direct-text-node semantics)
+    frag = parse_html("<div><p>pre <b>mid</b> post</p></div>")
+    assert XPath("//p/text()").match(frag) == ["pre ", " post"]
+
+
 GRAMMAR_HTML = (
     "<html><body>"
     '<div id="main" class="wrap outer">'
