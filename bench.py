@@ -26,7 +26,8 @@ import time
 
 
 def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
-                    details_per_list: int, verify: bool = False) -> dict:
+                    details_per_list: int, verify: bool = False,
+                    img_scale: int = 1) -> dict:
     """Crawl the wide synthetic web.
 
     ``verify=False``: pure frontier-scheduling loop (scheduling
@@ -55,24 +56,35 @@ def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
         skew=4,
         with_errors=False,
         with_flaky=False,
+        img_scale=img_scale,
     )
     if verify:
-        media = web.media(spark)
-        media.persist().count()  # generation excluded; decode measured
-        store = web.page_store_with_media(spark, media)
+        # VIRTUAL web: the fetch stage derives every payload from the
+        # URL alone (the synthetic stand-in for the network) — memory-
+        # flat at any URL count, and the whole pipeline including
+        # payload arrival is inside the timed window. Equivalence with
+        # the page-store join variant is pinned by
+        # tests/test_crawl_media.py::test_virtual_fetcher_matches_store.
+        store = None
         registry = media_verify_registry()
+        eng = CrawlEngine(
+            spark,
+            registry,
+            fetch_fn=web.fetcher(),
+            robots=web.robots(spark),
+            config=CrawlConfig(host_budget_per_wave=10**9),
+        )
     else:
-        media = None
         store = web.page_store(spark)
         registry = media_registry()
-    store.persist().count()  # exclude generation from the timing
-    eng = CrawlEngine(
-        spark,
-        registry,
-        page_store=store,
-        robots=web.robots(spark),
-        config=CrawlConfig(host_budget_per_wave=10**9),
-    )
+        store.persist().count()  # exclude generation from the timing
+        eng = CrawlEngine(
+            spark,
+            registry,
+            page_store=store,
+            robots=web.robots(spark),
+            config=CrawlConfig(host_budget_per_wave=10**9),
+        )
     t0 = time.time()
     res = eng.crawl(web.seeds())
     n_fetched = int(res.metrics["fetched"].sum())
@@ -92,9 +104,13 @@ def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
     wall = time.time() - t0
     out["wall_sec"] = round(wall, 3)
     out["urls_per_sec"] = round(n_fetched / wall, 1)
-    store.unpersist()
-    if media is not None:
-        media.unpersist()
+    if store is not None:
+        store.unpersist()
+    # drop the run's parquet wave snapshots (results consumed above);
+    # repeated bench runs would otherwise accrete gigabytes in /tmp
+    import shutil
+
+    shutil.rmtree(eng._spill, ignore_errors=True)
     return out
 
 
@@ -109,8 +125,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "simhash_near_dups",
     "embedding_topk",
+    "embedding_near_dups",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "stream_window_counts",
     "crawl_doc_tree",
 ]

@@ -794,6 +794,50 @@ def embedding_near_dups_q(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_topk",
+    """
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+cents AS (SELECT cid AS cent_id, cv AS centv FROM c WHERE cid % 16 = 0),
+sc AS (SELECT cid, cv, cent_id,
+         round(list_cosine_similarity(cv, centv), 6) AS cs FROM c, cents),
+assigned AS (
+  SELECT cid, cv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+             ORDER BY cs DESC, cent_id) AS rn FROM sc)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+qs AS (SELECT query_id, qv, cent_id,
+         round(list_cosine_similarity(qv, centv), 6) AS cs FROM q, cents),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, cent_id) AS pr FROM qs)
+  WHERE pr <= 4),
+s AS (SELECT query_id, cid AS neighbor_id,
+        round(list_cosine_similarity(qv, cv), 6) AS cos
+      FROM assigned JOIN probes USING (cent_id)
+      WHERE cid <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id))::INT AS rank FROM s)
+WHERE rank <= 5
+""",
+)
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF coarse-quantizer ANN (inverted lists + nprobe probing).
+    Deterministic centroid pick => the oracle replicates the ENTIRE
+    pipeline (assignment, probes, scoring) — a full value-hash check,
+    unlike LSH's rows-only; nprobe==n_centroids equality with brute
+    force is asserted in tests/test_functions.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=5, centroid_stride=16, nprobe=4)
+
+
 @register("ann_lsh_topk")  # approximate by design -> rows-only check;
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of embedding_topk).

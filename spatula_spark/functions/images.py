@@ -172,6 +172,47 @@ def average_phash(pixels: np.ndarray) -> int:
     return int(np.int64(np.uint64(val)))  # wrap to signed for LongType
 
 
+def dct_phash(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash — the standard pHash construction:
+    grayscale -> 32x32 block-mean resize -> 2D DCT-II -> keep the 8x8
+    low-frequency block (skipping the DC term for the threshold) ->
+    bit = coefficient > median. Robust to resize/recompress in a way
+    the block-mean average hash is not; this is the fingerprint the
+    ingest pipeline emits for downstream near-dup joins."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    # block-mean resize to 32x32 via an integral image (vectorized —
+    # no per-block Python loop); images smaller than 32 on a side are
+    # pixel-repeated up first so every block is non-empty
+    if gray.shape[0] < 32:
+        gray = np.repeat(gray, -(-32 // gray.shape[0]), axis=0)
+    if gray.shape[1] < 32:
+        gray = np.repeat(gray, -(-32 // gray.shape[1]), axis=1)
+    h, w = gray.shape
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    integ = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=integ[1:, 1:])
+    sums = (
+        integ[np.ix_(ys[1:], xs[1:])] - integ[np.ix_(ys[:-1], xs[1:])]
+        - integ[np.ix_(ys[1:], xs[:-1])] + integ[np.ix_(ys[:-1], xs[:-1])]
+    )
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    small = sums / areas
+    n = 32
+    k = np.arange(n)
+    # DCT-II basis (orthonormal not needed for thresholding)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    coeffs = basis @ small @ basis.T
+    block = coeffs[:8, :8].flatten()
+    med = np.median(block[1:])  # skip DC
+    bits = block > med
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    # to signed 64-bit (Spark LongType)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def synth_pixels(idx: int, w: int, h: int) -> np.ndarray:
     """Deterministic synthetic image — pure function of (idx, w, h).
 

@@ -170,6 +170,82 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path next to :func:`ann_lsh_topk`.
+
+    Centroids are every ``centroid_stride``-th corpus vector by id —
+    deterministic (no RNG, so the DuckDB oracle replicates the whole
+    pipeline exactly); a k-means refinement would slot into the same
+    list mechanics. Build: each corpus vector joins the broadcast
+    centroid set once and keeps its nearest centroid (one narrow
+    broadcast join + hash aggregate — the inverted lists). Query: probe
+    the ``nprobe`` nearest centroids, score exactly ONLY the vectors in
+    those lists (~nprobe/n_centroids of the corpus), top-k.
+
+    Scale shape: lists are bucketed by ``cent_id`` (an Iceberg
+    deployment partitions on it), so a probe reads nprobe partitions —
+    candidate generation never shuffles the corpus, and with
+    ``nprobe == n_centroids`` the result provably equals
+    :func:`cosine_topk` (asserted in tests)."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    cents = c.filter(F.col("cid") % centroid_stride == 0).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("centv")
+    )
+    scored_c = c.crossJoin(F.broadcast(cents)).select(
+        "cid", "cv", "cent_id",
+        F.round(cosine(F.col("cv"), F.col("centv")), 6).alias("_cs"),
+    )
+    # nearest centroid per corpus vector; ties -> smaller cent_id
+    assigned = scored_c.groupBy("cid").agg(
+        F.min_by(
+            F.col("cent_id"), F.struct(-F.col("_cs"), F.col("cent_id"))
+        ).alias("cent_id"),
+        F.first("cv").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_qs").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cent_id",
+            F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("_qs"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def perturbed_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

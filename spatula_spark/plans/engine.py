@@ -8,18 +8,21 @@ one at a time, this engine keeps it in a DataFrame and processes one
 
     seeds
       └─ wave k:
-           politeness select (per-host budget window; overflow deferred)
-           robots filter (broadcast prefix rules)
-           URL-seen dedup (bloom prefilter -> exact anti-join) keyed on
+           politeness select (hot-host-only ranking window; overflow
+             rides the emissions stream as 'deferred')
+           robots filter (compiled CASE / broadcast-join fallback)
+           URL-seen dedup (bloom prefilter -> exact check) keyed on
              page identity seen_key = (page_cls, url_hash, input)
-           in-wave first-wins dedup (min_by path per seen_key)
-           fetch = equi-join against the page-store on xxhash64(canon url)
-           per-class transform:
+           in-wave first-wins dedup (min_by path per (url_hash, seen_key))
+           fetch = broadcast-frontier probe of the page-store on
+             xxhash64(canon url) (shuffle join above broadcast_fetch_max)
+           per-class transform, exactly one pass per row:
              * native specs -> pure Catalyst column exprs (JVM only)
-             * hook specs   -> one Arrow mapInPandas dispatch
-           route emissions: items -> results, children/next/requeues ->
-             frontier k+1 (+ deferred), errors -> dead letter
-           seen ∪= fetched hashes;  metrics row;  checkpoint
+             * hook specs   -> one Arrow mapInPandas dispatch (emits
+               its own fetched markers — no shared batch cache)
+           ONE parquet snapshot per wave carries every emission kind;
+             the next frontier is a narrow filter over it
+           seen ∪= fetched keys;  metrics via Observation;  checkpoint
 
 Depth-first emission order is reconstructed, not executed: every row
 carries a lexicographically sortable lineage ``path`` (schemas.py), and
@@ -47,19 +50,24 @@ Semantics matrix carried over from the reference:
 
 Scale notes (the part that must survive 100 TB / 10^10 URLs):
 
-* Between waves: politeness window (shuffle on host), fetch join
-  (shuffle on url_hash; page-store pre-partitioned on the key so only
-  the slim frontier side moves), emission routing (no shuffle).
-* Hot hosts are split with a salted repartition on
+* Per wave the only full-frontier shuffle is the slim dedup aggregate
+  on (url_hash, seen_key); the seen check reuses that exchange, and
+  the fetch broadcasts the frontier against the page store in place —
+  payload bytes are NEVER shuffled (waves above broadcast_fetch_max
+  fall back to a bucketed shuffle join).
+* Politeness ranks only the hosts a count-aggregate proves over
+  budget; cold hosts bypass the sort via a broadcast hash join. Hot
+  hosts in the real-HTTP fetch path are salt-split on
   (host, xxhash64(url)); AQE skew-join handles residue.
-* Per-wave ``localCheckpoint`` (or parquet when a checkpoint dir is
-  set) truncates the iterative lineage — the classic iterative-Spark
-  failure mode.
+* ONE parquet snapshot per wave (the Iceberg-commit pattern) cuts the
+  iterative lineage; frontier/results/seen/dead are all narrow views
+  over it.
 * The seen-set check never shuffles the full frontier: the broadcast
   Bloom tier answers "definitely unseen" locally; only the
-  "maybe seen" sliver (FPR-bounded) hits the exact anti-join.
-* payload ``bytes`` columns exist only between the fetch join and the
-  transform; frontier/results/seen stay slim.
+  "maybe seen" sliver (FPR-bounded) needs the exact table.
+* payload ``bytes`` columns exist only between the fetch and the
+  one-pass transform; frontier/results/seen stay slim, and nothing
+  payload-heavy is ever cached (the wave streams it).
 """
 
 from __future__ import annotations
@@ -97,12 +105,14 @@ from .pagespec import (
 _EMISSION_OUT_SCHEMA = (
     "emit_kind string, src_cls string, path string, item_json string, "
     "child_cls string, child_url string, child_input_json string, "
-    "priority int, page_seq int, attempts int, error string"
+    "priority int, page_seq int, attempts int, error string, "
+    "url_hash long, seen_key long"
 )
 
 _EMISSION_COLS = [
     "emit_kind", "src_cls", "path", "item_json", "child_cls", "child_url",
     "child_input_json", "priority", "page_seq", "attempts", "error",
+    "url_hash", "seen_key",
 ]
 
 _BATCH_SELECT = [
@@ -153,6 +163,15 @@ class CrawlConfig:
     # rule mandates. "local" keeps localCheckpoint (in-memory blocks).
     materialize: str = "parquet"
     spill_dir: str | None = None  # default: mkdtemp, removed on success
+    # fetch-join strategy: waves at or below this row count broadcast
+    # the slim frontier side against the page store IN PLACE — the
+    # payload-heavy store is never shuffled and the decode/transform
+    # stage runs at the store's own partitioning. Bigger waves fall
+    # back to the classic shuffle join against a url_hash-partitioned
+    # store copy. Size to driver memory (~150 B/row slim frontier);
+    # a 10^10-URL deployment with 10^7-row waves raises driver memory
+    # or lowers this.
+    broadcast_fetch_max: int = 4_000_000
 
 
 @dataclass
@@ -273,6 +292,14 @@ def _make_transform(
         rows: list[tuple] = []
         parent_path = row.path
         attempts = int(row.attempts)
+        if row.url is not None and attempts == 0:
+            # fetched marker (seen-set source) emitted HERE so hook-class
+            # rows are consumed in a single pass — no shared batch cache
+            rows.append((
+                "fetched", row.page_cls, parent_path, None, None, None,
+                None, int(row.priority), int(row.page_seq), 0, None,
+                int(row.url_hash), int(row.seen_key),
+            ))
         payload = bytes(row.payload) if row.payload is not None else None
         links = list(row.links) if row.links is not None else None
         inp = load_input(row.input_json)
@@ -398,7 +425,10 @@ def _make_transform(
         for pdf in batches:
             out: list[tuple] = []
             for row in pdf.itertuples(index=False):
-                out.extend(_process_one(specs[row.page_cls], row))
+                out.extend(
+                    t if len(t) == len(_EMISSION_COLS) else t + (None, None)
+                    for t in _process_one(specs[row.page_cls], row)
+                )
             yield pd.DataFrame(out, columns=_EMISSION_COLS)
 
     return transform
@@ -448,16 +478,26 @@ class CrawlEngine:
         )
         self._nparts = n
         if page_store is not None:
-            # slim fetch-side projection, repartitioned once on the join
-            # key so every wave's fetch join reuses the layout (the
-            # Iceberg deployment buckets the table on url_hash instead)
+            # projection kept in its source partitioning: the default
+            # (broadcast-frontier) fetch never shuffles the store. The
+            # url_hash-bucketed copy for the big-wave shuffle join is
+            # built lazily on first use (the Iceberg deployment buckets
+            # the table on url_hash instead).
             self.page_store = page_store.select(
                 "url_hash", "status", "payload_kind", "payload",
                 "links", "next_url", "image_id", "flaky_rejects",
                 F.col("canon_url").alias("store_url"),
-            ).repartition(n, "url_hash").persist()
+            ).persist()
         else:
             self.page_store = None
+        self._store_bykey = None
+
+    def _store_by_key(self) -> DataFrame:
+        if self._store_bykey is None:
+            self._store_bykey = self.page_store.repartition(
+                self._nparts, "url_hash"
+            ).persist()
+        return self._store_bykey
 
     # ---------------------------------------------------------------- seeds
     def seed_frontier(self, seeds: list[dict]) -> DataFrame:
@@ -576,6 +616,7 @@ class CrawlEngine:
                 t[0] = now
 
         n_frontier: int | None = None  # None = unknown (seeds / resume)
+        self._prev_total_emissions: int | None = None
         while True:
             t = [_time.time()]
             # adapt per-wave partitioning to the frontier size: tiny
@@ -583,16 +624,32 @@ class CrawlEngine:
             # nothing (measured 2x on deep chains); big waves keep full
             # width. AQE handles the shuffles; this governs the
             # coalesce + snapshot file counts.
-            if n_frontier is not None and cfg.target_partitions is None:
+            if n_frontier is None:
+                # first wave / resume: one count (also sizes the fetch
+                # strategy — broadcast vs shuffle join)
+                n_frontier = frontier.count()
+            # size this wave's coalesce by its likely OUTPUT, not its
+            # input: a wave of list pages explodes ~fan-out× emissions
+            # (1994 seeds -> 2M children), and sizing by input once
+            # collapsed that whole explode+write into 8 tasks — a
+            # core-count-independent serial floor. The previous wave's
+            # total emission count is the fan-out-aware estimator;
+            # wave 0 (no history) keeps full width.
+            est = max(n_frontier, self._prev_total_emissions or 0)
+            if cfg.target_partitions is None and self._prev_total_emissions:
+                # cap at 2x the session width: big waves keep extra
+                # partitions so per-row cost variance (image decode)
+                # amortizes instead of straggling the stage tail
                 self._wave_parts = max(
                     8 if self._nparts >= 8 else self._nparts,
-                    min(self._nparts, n_frontier // 5000 + 1),
+                    min(self._nparts * 2, est // 5000 + 1),
                 )
             else:
                 self._wave_parts = self._nparts
-            if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
+            self._n_frontier = n_frontier
+            if n_frontier == 0:
                 break
-            _tick("isEmpty", t)
+            _tick("count", t)
             if cfg.max_waves is not None and wave >= cfg.max_waves + start_wave:
                 break
 
@@ -659,14 +716,14 @@ class CrawlEngine:
                     F.lit(None).cast("long").alias("seen_key"),
                 )
             ).select(*_BATCH_SELECT)
-            # the per-class emission branches all read `batch`; cache it
-            # so the fetch join executes once, not once per branch
-            batch = batch.persist()
 
-            # ONE projection builds every native emission: fetched
-            # marker ++ CASE-dispatched per-class arrays, exploded once
-            # (no per-class DataFrame branches — those rescanned the
-            # fetch join up to 7x per wave).
+            # Exactly ONE consumer per batch row — native-class rows go
+            # through the single native projection (marker ++ class
+            # arrays, exploded once), hook-class rows through the Arrow
+            # transform which emits its own markers. No shared batch
+            # cache: payload-heavy rows stream straight through their
+            # one pass (a per-wave payload cache is 10s of GB at
+            # 10^6-row waves and was the old OOM ceiling).
             marker = F.when(
                 F.col("url").isNotNull() & (F.col("attempts") == 0),
                 N.one(N.emission("fetched", url_hash=F.col("url_hash"),
@@ -686,9 +743,9 @@ class CrawlEngine:
                 per_row = F.concat(
                     marker, F.coalesce(cls_arr, N.empty_emissions())
                 )
-            native_part = batch.select(
-                F.explode(per_row).alias("e")
-            ).select("e.*")
+            native_part = batch.filter(
+                F.col("page_cls").isin(native_cls)
+            ).select(F.explode(per_row).alias("e")).select("e.*")
             parts: list[DataFrame] = [native_part]
             if hook_cls:
                 parts.append(
@@ -748,6 +805,7 @@ class CrawlEngine:
                 )).alias("_deferred_requeues")],
             )
             kind_counts = {k: int(emetrics[k]) for k in kind_names}
+            self._prev_total_emissions = sum(kind_counts.values())
             n_new = kind_counts["fetched"]
             # next wave needs the requeue split only if it can actually
             # contain attempts>0 rows (fresh requeues or deferred ones)
@@ -755,7 +813,6 @@ class CrawlEngine:
                 kind_counts.get("requeue", 0)
                 or int(emetrics["_deferred_requeues"])
             )
-            batch.unpersist()
             _tick("emissions ckpt", t)
             new_seen = emissions.filter(
                 F.col("emit_kind") == "fetched"
@@ -888,9 +945,7 @@ class CrawlEngine:
         all_results = spark.createDataFrame([], schemas.RESULT_SCHEMA)
         for df in results:
             all_results = all_results.unionByName(df)
-        all_dead = spark.createDataFrame(
-            [], _EMISSION_OUT_SCHEMA + ", url_hash long, seen_key long"
-        )
+        all_dead = spark.createDataFrame([], _EMISSION_OUT_SCHEMA)
         for df in dead:
             all_dead = all_dead.unionByName(df, allowMissingColumns=True)
         return CrawlResult(
@@ -967,15 +1022,10 @@ class CrawlEngine:
         distinct classes/inputs over one URL all process; only true
         duplicate instances collapse.
 
-        Plan shape: seen_key functionally determines url_hash, so the
-        first-wins dedup groups by ``url_hash`` (THE fetch-join key)
-        and dedups per seen_key *inside* each group with an array sort
-        — groups are tiny (a URL is shared by at most a few classes/
-        inputs). One shuffle, whose HashPartitioning(url_hash) the
-        seen anti-join (equi-keys url_hash+seen_key — a superset, so
-        the partitioning satisfies it) and the page-store fetch join
-        both REUSE: the wave's whole dedup+fetch pipeline rides a
-        single exchange of the frontier.
+        Plan shape: ONE slim-row shuffle — the (url_hash, seen_key)
+        hash aggregate — which the seen check's equi-join on the same
+        keys reuses. The fetch join downstream broadcasts the frontier
+        (see _fetch), so nothing payload-heavy ever shuffles.
 
         Requeued rows (attempts>0) bypass the seen filter — their URL
         is legitimately being re-fetched (retry loop pages.py:168-195).
@@ -990,32 +1040,19 @@ class CrawlEngine:
             first_time = fetchable.filter(F.col("attempts") == 0)
             requeues = fetchable.filter(F.col("attempts") > 0)
 
+        # first-wins by lineage path: min_by under a plain hash
+        # aggregate (map-side combine; no sort). Grouping carries BOTH
+        # keys so the seen check's equi-join on (url_hash, seen_key)
+        # reuses this exchange exactly.
         rest = [
             c for c in first_time.columns
-            if c not in ("url_hash", "seen_key", "path")
+            if c not in ("url_hash", "seen_key")
         ]
-        arr = F.array_sort(
-            F.collect_list(
-                F.struct(F.col("seen_key"), F.col("path"),
-                         *[F.col(c) for c in rest])
-            )
+        first_time = (
+            first_time.groupBy("url_hash", "seen_key")
+            .agg(F.min_by(F.struct(*rest), F.col("path")).alias("_r"))
+            .select("url_hash", "seen_key", "_r.*")
         )
-        grouped = first_time.groupBy("url_hash").agg(arr.alias("_a"))
-        # keep the first (min path) struct of each seen_key run; the
-        # array is sorted by (seen_key, path) so runs are adjacent.
-        # CASE guards element_at's 1-based index (lazy per-row branch).
-        first_time = grouped.select(
-            "url_hash",
-            F.explode(
-                F.filter(
-                    F.col("_a"),
-                    lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
-                        F.element_at(F.col("_a"), i)["seen_key"]
-                        != x["seen_key"]
-                    ),
-                )
-            ).alias("_r"),
-        ).select("url_hash", "_r.*")
 
         if self._seen_count > 0:
             use_bloom = (
@@ -1074,11 +1111,8 @@ class CrawlEngine:
         # uniform by construction, so no salting is needed HERE. The
         # salted repartition (politeness.salted_repartition) belongs in
         # front of the real-HTTP fetch variant, where work is grouped
-        # per host and a hot host would pile onto one task. Adding it
-        # before this join would just buy an extra full shuffle — the
-        # join reshuffles on url_hash anyway.
-        joined = fetchable.join(self.page_store, "url_hash", "left")
-        return joined.select(
+        # per host and a hot host would pile onto one task.
+        out_cols = [
             "page_cls", "path", "url", "input_json", "payload", "links",
             "next_url",
             F.coalesce(F.col("status"), F.lit(404)).alias("status"),
@@ -1089,7 +1123,44 @@ class CrawlEngine:
             # degrades — consumed by accept hooks (retry tests)
             F.coalesce(F.col("flaky_rejects"), F.lit(0)).alias("flaky_rejects"),
             "url_hash", "seen_key",
-        )
+        ]
+        n = getattr(self, "_n_frontier", None)
+        if n is not None and n <= self.config.broadcast_fetch_max:
+            # default path: broadcast the SLIM frontier, probe the
+            # payload-heavy store in place — no store shuffle ever, no
+            # frontier shuffle at the join, and the transform/decode
+            # stage inherits the store's partitioning. This is the
+            # storage-side semi-join pushdown an Iceberg deployment
+            # gets from bucket pruning.
+            found = self.page_store.join(
+                F.broadcast(fetchable), "url_hash", "inner"
+            ).select(*out_cols)
+            # not-in-store rows (404 path): anti-join against the
+            # store's key column only — pruned from the columnar cache,
+            # ~8 B/row broadcast
+            missing = fetchable.join(
+                F.broadcast(self.page_store.select("url_hash")),
+                "url_hash", "left_anti",
+            ).select(
+                "page_cls", "path", "url", "input_json",
+                F.lit(None).cast("binary").alias("payload"),
+                F.lit(None).cast("array<string>").alias("links"),
+                F.lit(None).cast("string").alias("next_url"),
+                F.lit(404).alias("status"),
+                "attempts", "page_seq",
+                F.lit(None).cast("string").alias("payload_kind"),
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(False).alias("found"),
+                "priority",
+                F.lit(0).alias("flaky_rejects"),
+                "url_hash", "seen_key",
+            )
+            return found.unionByName(missing)
+        # big-wave fallback: classic shuffle join against the
+        # url_hash-bucketed store copy — the frontier side reshuffles,
+        # the store side reuses its bucketing
+        joined = fetchable.join(self._store_by_key(), "url_hash", "left")
+        return joined.select(*out_cols)
 
     def _resolve_dependencies(self) -> dict[str, dict[str, Any]]:
         """Instance dependencies: fetch + process each dep page ONCE on

@@ -75,6 +75,7 @@ def _verify_detail(ctx):
 
     from ..functions.images import (
         average_phash,
+        dct_phash,
         decode_image,
         psnr,
         synth_pixels,
@@ -92,6 +93,10 @@ def _verify_detail(ctx):
         "image_id": ctx.image_id,
         "url": ctx.url,
         "phash": int(average_phash(px)),
+        # the pipeline's emitted fingerprint for downstream near-dup
+        # joins: the standard DCT pHash (robust to recompress/resize,
+        # unlike the block-mean hash used for the store invariant)
+        "fp": int(dct_phash(px)),
         "pixels_ok": ok,
     }
 

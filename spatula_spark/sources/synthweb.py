@@ -81,6 +81,7 @@ class SynthWeb:
         skew: int = 4,
         with_flaky: bool = True,
         with_errors: bool = True,
+        img_scale: int = 1,
     ):
         self.n_hosts = n_hosts
         self.details_per_host = details_per_host
@@ -88,6 +89,11 @@ class SynthWeb:
         self.skew = skew
         self.with_flaky = with_flaky
         self.with_errors = with_errors
+        # multiplies synthetic image dimensions (pixels x scale^2):
+        # img_scale=1 keeps thumbnails (fast unit tests); the scaling
+        # benchmark uses 2+ so per-URL decode cost matches real
+        # crawled-image weight
+        self.img_scale = img_scale
         self.offsets = _host_offsets(n_hosts, details_per_host, skew)
         self.n_media = self.offsets[-1]
 
@@ -96,13 +102,15 @@ class SynthWeb:
         """The input_hint table: (image_id, bytes, w, h, fmt, caption,
         phash). Even rows PNG (lossless), odd rows the stub lossy codec
         (see functions/images.py)."""
+        scale = self.img_scale
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for g in pdf["id"].tolist():
                     g = int(g)
-                    w, h = 16 + (g * 5) % 49, 16 + (g * 7) % 49
+                    w = (16 + (g * 5) % 49) * scale
+                    h = (16 + (g * 7) % 49) * scale
                     px = synth_pixels(g, w, h)
                     if g % 2 == 0:
                         fmt, data = "png", png_encode(px)
@@ -123,11 +131,101 @@ class SynthWeb:
                              "phash"],
                 )
 
-        return spark.range(self.n_media).mapInPandas(
+        # widen BEFORE generation: repartitioning the slim id range is
+        # free, repartitioning the generated payloads would shuffle
+        # gigabytes; 2x-cores partitions amortize decode-cost variance
+        # downstream (the broadcast-fetch transform inherits this width)
+        ids = spark.range(self.n_media).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
+        return ids.mapInPandas(
             gen,
             schema="image_id string, bytes binary, w int, h int, fmt string, "
             "caption string, phash long",
         )
+
+    # ---------------------------------------------------- virtual fetcher
+    def fetcher(self):
+        """The synthetic web as a *virtual* fetch stage: a mapInPandas
+        body (engine ``fetch_fn``, same contract as the real-HTTP
+        fetcher) that derives every page — list links/pagination,
+        detail image bytes, 500/flaky rules — from the URL alone.
+        Nothing is materialized, cached, or shuffled: payload bytes
+        exist only inside the wave that fetches them, exactly like a
+        network fetch. This is the memory-flat way to run the
+        full-pipeline benchmark at 10^7+ URLs (a cached page store of
+        that size costs tens of GB; the web itself is closed-form)."""
+        import re
+
+        offsets = self.offsets
+        per = self.details_per_list
+        n_hosts = self.n_hosts
+        scale = self.img_scale
+        with_errors, with_flaky = self.with_errors, self.with_flaky
+        pat = re.compile(
+            r"http://h(\d+)\.example\.com/(?:detail/(\d+)|list\?page=(\d+))$"
+        )
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    m = pat.match(row.url or "")
+                    k = int(m.group(1)) if m else -1
+                    payload = links = next_url = image_id = kind = None
+                    status, flaky, found = 404, 0, False
+                    if m and 0 <= k < n_hosts:
+                        cnt = offsets[k + 1] - offsets[k]
+                        if m.group(2) is not None:  # detail page
+                            j = int(m.group(2))
+                            if j < cnt:
+                                found = True
+                                g = offsets[k] + j
+                                status = (
+                                    500 if with_errors and j % 101 == 100
+                                    else 200
+                                )
+                                flaky = 2 if with_flaky and j % 97 == 96 else 0
+                                w = (16 + (g * 5) % 49) * scale
+                                h = (16 + (g * 7) % 49) * scale
+                                px = synth_pixels(g, w, h)
+                                if g % 2 == 0:
+                                    payload, kind = png_encode(px), "img/png"
+                                else:
+                                    payload, kind = (
+                                        lossy_encode(px), "img/jpeg",
+                                    )
+                                image_id = f"img-{g:08d}"
+                        else:  # list page
+                            p = int(m.group(3))
+                            lo = p * per
+                            if lo < cnt:
+                                found, status, kind = True, 200, "html"
+                                base = f"http://{host_name(k)}"
+                                links = [
+                                    f"{base}/detail/{j}"
+                                    for j in range(lo, min(lo + per, cnt))
+                                ] + [
+                                    f"http://{host_name((k + 1) % n_hosts)}"
+                                    "/detail/0"
+                                ]
+                                if lo + per < cnt:
+                                    next_url = f"{base}/list?page={p + 1}"
+                    out.append((
+                        row.page_cls, row.path, row.url, row.input_json,
+                        payload, links, next_url, status,
+                        int(row.attempts), int(row.page_seq), kind, image_id,
+                        found, int(row.priority), flaky,
+                        int(row.url_hash), int(row.seen_key),
+                    ))
+                yield pd.DataFrame(out, columns=[
+                    "page_cls", "path", "url", "input_json", "payload",
+                    "links", "next_url", "status", "attempts", "page_seq",
+                    "payload_kind", "image_id", "found", "priority",
+                    "flaky_rejects", "url_hash", "seen_key",
+                ])
+
+        return fetch
 
     # -------------------------------------------------------- page store
     def page_store(self, spark: SparkSession) -> DataFrame:
@@ -144,20 +242,57 @@ class SynthWeb:
         self, spark: SparkSession, media: DataFrame | None = None
     ) -> DataFrame:
         """Page store whose detail payloads ARE the encoded image bytes
-        (payload_kind 'bin') — the full-pipeline variant where the crawl
-        decodes + verifies as it ingests (north-star shape)."""
-        if media is None:
-            media = self.media(spark)
+        (payload_kind 'img/<fmt>') — the full-pipeline variant where the
+        crawl decodes + verifies as it ingests (north-star shape).
+
+        When ``media`` is given the payloads come from that table via
+        an image_id join. Default (None): payloads are generated INLINE
+        per detail row — each image is a pure function of the row id,
+        so nothing payload-heavy is ever joined, cached twice, or
+        shuffled (at 10^7+ rows the join variant shuffles tens of GB
+        of bytes and needs the media table resident as well)."""
         details = self._detail_pages(spark).drop("payload", "payload_kind")
-        details = details.join(
-            media.select(
-                "image_id", F.col("bytes").alias("payload"),
-                F.col("fmt").alias("_fmt"),
-            ),
-            "image_id",
-            "left",
-        ).withColumn("payload_kind", F.concat(F.lit("img/"), F.col("_fmt")))
-        details = details.drop("_fmt").select(
+        if media is not None:
+            details = details.join(
+                media.select(
+                    "image_id", F.col("bytes").alias("payload"),
+                    F.col("fmt").alias("_fmt"),
+                ),
+                "image_id",
+                "left",
+            ).withColumn(
+                "payload_kind", F.concat(F.lit("img/"), F.col("_fmt"))
+            ).drop("_fmt")
+        else:
+            scale = self.img_scale
+
+            def add_img(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    payloads, kinds = [], []
+                    for iid in pdf["image_id"].tolist():
+                        g = int(iid[4:])
+                        w = (16 + (g * 5) % 49) * scale
+                        h = (16 + (g * 7) % 49) * scale
+                        px = synth_pixels(g, w, h)
+                        if g % 2 == 0:
+                            data, fmt = png_encode(px), "png"
+                        else:
+                            data, fmt = lossy_encode(px), "jpeg"
+                        payloads.append(data)
+                        kinds.append("img/" + fmt)
+                    yield pdf.assign(payload=payloads, payload_kind=kinds)
+
+            slim_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in details.schema.fields
+            )
+            details = details.repartition(
+                spark.sparkContext.defaultParallelism * 2
+            ).mapInPandas(
+                add_img,
+                schema=slim_ddl + ", payload binary, payload_kind string",
+            )
+        details = details.select(
             "url", "host", "kind", "status", "payload_kind", "payload",
             "links", "next_url", "image_id", "flaky_rejects",
         )

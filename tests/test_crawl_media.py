@@ -76,6 +76,49 @@ def test_politeness_budget_defers_not_drops(spark, web, store):
     assert res.waves > unlimited.waves
 
 
+def test_shuffle_fetch_fallback_matches_broadcast(spark, web, store):
+    """Waves above ``broadcast_fetch_max`` take the bucketed shuffle
+    join against the url_hash-partitioned store copy instead of the
+    broadcast-frontier probe; both strategies must produce identical
+    crawls (broadcast_fetch_max=0 forces the fallback on every wave)."""
+    default = CrawlEngine(spark, media_registry(), page_store=store,
+                          config=CrawlConfig())
+    forced = CrawlEngine(spark, media_registry(), page_store=store,
+                         config=CrawlConfig(broadcast_fetch_max=0))
+    r1 = default.crawl(web.seeds())
+    r2 = forced.crawl(web.seeds())
+    assert r1.items() == r2.items()
+    assert r1.seen.count() == r2.seen.count()
+    assert r1.waves == r2.waves
+
+
+def test_virtual_fetcher_matches_store(spark):
+    """The closed-form fetch_fn (synthweb.fetcher) must produce the
+    same crawl as the materialized page-store join: identical item
+    sets, per-item payload-derived values, and seen counts."""
+    from spatula_spark.plans.media_pipeline import media_verify_registry
+
+    # details_per_host >= 102 so the j%101 error and j%97 flaky rules
+    # actually fire and their parity is exercised
+    w = SynthWeb(n_hosts=3, details_per_host=110, details_per_list=60,
+                 skew=1, with_errors=True, with_flaky=True)
+    st = w.page_store_with_media(spark)
+    eng_store = CrawlEngine(spark, media_verify_registry(), page_store=st,
+                            config=CrawlConfig(use_bloom=False))
+    eng_virtual = CrawlEngine(spark, media_verify_registry(),
+                              fetch_fn=w.fetcher(),
+                              config=CrawlConfig(use_bloom=False))
+    r1 = eng_store.crawl(w.seeds())
+    r2 = eng_virtual.crawl(w.seeds())
+    i1 = r1.items()
+    i2 = r2.items()
+    assert i1 == i2
+    assert all(it["pixels_ok"] for it in i1)
+    assert r1.seen.count() == r2.seen.count()
+    assert int(r1.metrics["handled_errors"].sum()) == \
+        int(r2.metrics["handled_errors"].sum()) > 0
+
+
 def test_robots_oversized_ruleset_uses_join(spark, web, store, monkeypatch):
     """Rule sets beyond the CASE-expression cap must NOT be silently
     truncated: the engine falls back to the broadcast-join path and

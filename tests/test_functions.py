@@ -173,6 +173,23 @@ def test_ann_lsh_recall(emb):
         assert cosines == sorted(cosines, reverse=True), (q, rows)
 
 
+def test_ivf_topk_recall_and_exhaustive_equality(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.cosine_topk(emb, queries, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    # probing EVERY list must equal brute force exactly (500/16 -> 32
+    # centroids; nprobe=32 covers the whole corpus)
+    full = sim.ivf_topk(emb, queries, k=5, centroid_stride=16,
+                        nprobe=32).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact_pairs
+    # partial probing is approximate but must beat random by far
+    approx = sim.ivf_topk(emb, queries, k=5, centroid_stride=16,
+                          nprobe=8).collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, recall
+
+
 def test_cosine_topk_self_excluded_and_ordered(emb):
     out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
     assert len(out) == 3

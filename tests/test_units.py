@@ -271,6 +271,22 @@ def test_similar_link_first_wins_dedup():
     assert links == ["https://a/1", "http://b/2"]
 
 
+def test_dct_phash_properties():
+    """DCT pHash: identical images hash equal; a lossy re-encode stays
+    within a small hamming distance; a different image is far."""
+    from spatula_spark.functions.images import dct_phash, lossy_encode, png_decode
+
+    px = synth_pixels(7, 80, 60)
+    h1 = dct_phash(px)
+    assert dct_phash(px.copy()) == h1
+    lossy = png_decode(lossy_encode(px))
+    d_lossy = bin((h1 ^ dct_phash(lossy)) & (2**64 - 1)).count("1")
+    assert d_lossy <= 10, d_lossy
+    other = synth_pixels(1234, 80, 60)
+    d_other = bin((h1 ^ dct_phash(other)) & (2**64 - 1)).count("1")
+    assert d_other > 10, d_other
+
+
 def test_sharded_bloom_broadcast_bounded(spark):
     """Broadcast lifecycle (r1 verdict): one live broadcast, reused
     while the filter is unchanged, replaced (old unpersisted) only on
