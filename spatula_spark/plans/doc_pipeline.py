@@ -85,10 +85,14 @@ def crawl_doc_tree(
     store = doc_page_store(docs)
     # the doc store is small and the tree is deep (log2(N) waves of
     # <=N/2 rows): narrow partitioning halves wall-clock vs full width
-    # (per-task/per-file overhead, see BENCH findings)
+    # (per-task/per-file overhead), and the classic shuffle join beats
+    # the broadcast-frontier fetch here — tiny waves pay the broadcast
+    # path's two broadcast-build jobs without the payload-shuffle
+    # savings it exists for (see BENCH findings)
     eng = CrawlEngine(
         spark, doc_registry(), page_store=store,
-        config=config or CrawlConfig(target_partitions=8),
+        config=config or CrawlConfig(target_partitions=8,
+                                     broadcast_fetch_max=0),
     )
     res = eng.crawl(
         [{"page_cls": "DocTreePage",

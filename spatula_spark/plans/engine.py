@@ -491,6 +491,10 @@ class CrawlEngine:
         else:
             self.page_store = None
         self._store_bykey = None
+        # lazily-built wave-invariant Column caches (see crawl() —
+        # rebuilding expression trees every wave is driver-bound)
+        self._dedup_agg = None
+        self._fetch_cols = None
 
     def _store_by_key(self) -> DataFrame:
         if self._store_bykey is None:
@@ -615,6 +619,110 @@ class CrawlEngine:
                       file=sys.stderr, flush=True)
                 t[0] = now
 
+        # ------------- wave-invariant expression cache -------------
+        # pyspark Column objects are DataFrame-independent expression
+        # trees, but BUILDING them costs real driver time (one py4j
+        # round-trip per operator; a single class's emission array
+        # measured ~0.2 s to construct). Rebuilding them every wave
+        # made deep-chain crawls driver-bound: the event log showed
+        # ~1 s of job-free driver gap per wave against ~0.3 s of
+        # actual cluster work. Everything that does not depend on the
+        # wave number is built exactly once here and reused.
+        host_expr = host_of(F.col("url"))
+        canon_expr = canonicalize_url(F.col("url"))
+        uhash_expr = url_hash(F.col("canon_url"))
+        # page identity = (class, canonical URL, input): the reference
+        # processes every Page instance — its response cache only
+        # skips the HTTP call, not processing — so the seen set /
+        # first-wins dedup must NOT collapse distinct (cls, input)
+        # pairs sharing one URL.
+        seen_key_expr = F.xxhash64(
+            F.col("page_cls"), F.col("url_hash"),
+            F.coalesce(F.col("input_json"), F.lit("\x00")),
+        )
+        robots_allowed_expr = (
+            politeness_ops.robots_allow_expr(self._robots_rules)
+            if self._robots_rules else None
+        )
+        # fetched marker (seen-set source) ++ per-class native arrays;
+        # exactly ONE consumer per batch row
+        marker_expr = F.when(
+            F.col("url").isNotNull() & (F.col("attempts") == 0),
+            N.one(N.emission("fetched", url_hash=F.col("url_hash"),
+                             seen_key=F.col("seen_key"),
+                             attempts=F.col("attempts"))),
+        ).otherwise(N.empty_emissions())
+        cls_arr = None
+        for name in native_cls:
+            arr = self._class_emission_array(specs[name])
+            cond = F.col("page_cls") == name
+            cls_arr = (
+                F.when(cond, arr) if cls_arr is None
+                else cls_arr.when(cond, arr)
+            )
+        per_row_expr = marker_expr
+        if cls_arr is not None:
+            per_row_expr = F.concat(
+                marker_expr, F.coalesce(cls_arr, N.empty_emissions())
+            )
+        nullsrc_cols = [
+            "page_cls", "path", "url", "input_json",
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit(None).cast("array<string>").alias("links"),
+            F.lit(None).cast("string").alias("next_url"),
+            F.lit(200).alias("status"),
+            "attempts", "page_seq",
+            F.lit(None).cast("string").alias("payload_kind"),
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit(True).alias("found"),
+            "priority",
+            F.lit(0).alias("flaky_rejects"),
+            F.lit(None).cast("long").alias("url_hash"),
+            F.lit(None).cast("long").alias("seen_key"),
+        ]
+        blocked_cols = [
+            F.lit("blocked").alias("emit_kind"),
+            F.col("page_cls").alias("src_cls"),
+            "path",
+            F.lit(None).cast("string").alias("item_json"),
+            F.lit(None).cast("string").alias("child_cls"),
+            F.col("url").alias("child_url"),
+            F.col("input_json").alias("child_input_json"),
+            "priority", "page_seq", "attempts",
+            F.lit("robots.txt disallow").alias("error"),
+        ]
+        deferred_cols = [
+            F.lit("deferred").alias("emit_kind"),
+            F.col("page_cls").alias("src_cls"),
+            "path",
+            F.lit(None).cast("string").alias("item_json"),
+            F.col("page_cls").alias("child_cls"),
+            F.col("url").alias("child_url"),
+            F.col("input_json").alias("child_input_json"),
+            "priority", "page_seq", "attempts",
+            F.lit(None).cast("string").alias("error"),
+        ]
+        kind_names = ("item", "child", "next", "requeue", "skip_item",
+                      "skip_page", "handled_error", "error", "reject",
+                      "fetched", "blocked", "deferred")
+        obs_aggs = (
+            [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
+             for k in kind_names]
+            + [F.count(F.when(
+                (F.col("emit_kind") == "deferred")
+                & (F.col("attempts") > 0), 1,
+            )).alias("_deferred_requeues")]
+        )
+        frontier_cols = [
+            F.col("child_cls").alias("page_cls"),
+            F.col("child_url").alias("url"),
+            F.col("child_input_json").alias("input_json"),
+            F.col("path"),
+            F.col("priority"),
+            F.col("attempts"),
+            F.col("page_seq"),
+        ]
+
         n_frontier: int | None = None  # None = unknown (seeds / resume)
         self._prev_total_emissions: int | None = None
         while True:
@@ -653,7 +761,7 @@ class CrawlEngine:
             if cfg.max_waves is not None and wave >= cfg.max_waves + start_wave:
                 break
 
-            frontier = frontier.withColumn("host", host_of(F.col("url")))
+            frontier = frontier.withColumn("host", host_expr)
 
             # politeness budget (F5): overflow deferred, paths untouched
             scheduled, deferred = politeness_ops.split_by_host_budget(
@@ -663,11 +771,9 @@ class CrawlEngine:
             # is small; broadcast-join longest-prefix path when it isn't
             # (never a silent truncation). Blocked rows become 'blocked'
             # emissions so the count rides the wave Observation for free.
-            if self._robots_rules:
-                allowed_col = politeness_ops.robots_allow_expr(
-                    self._robots_rules
-                )
-                decided = scheduled.withColumn("_allowed", allowed_col)
+            if robots_allowed_expr is not None:
+                decided = scheduled.withColumn("_allowed",
+                                               robots_allowed_expr)
                 scheduled = decided.filter(F.col("_allowed")).drop("_allowed")
                 blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
             elif self._robots_join:
@@ -678,21 +784,10 @@ class CrawlEngine:
                 blocked = None
 
             fetchable = scheduled.filter(F.col("url").isNotNull()).withColumn(
-                "canon_url", canonicalize_url(F.col("url"))
+                "canon_url", canon_expr
             ).withColumn(
-                "url_hash", url_hash(F.col("canon_url"))
-            ).withColumn(
-                # page identity = (class, canonical URL, input): the
-                # reference processes every Page instance — its response
-                # cache only skips the HTTP call, not processing — so
-                # the seen set / first-wins dedup must NOT collapse
-                # distinct (cls, input) pairs sharing one URL.
-                "seen_key",
-                F.xxhash64(
-                    F.col("page_cls"), F.col("url_hash"),
-                    F.coalesce(F.col("input_json"), F.lit("\x00")),
-                ),
-            )
+                "url_hash", uhash_expr
+            ).withColumn("seen_key", seen_key_expr)
             nullsrc = scheduled.filter(F.col("url").isNull())
 
             if cfg.dedup_urls:
@@ -700,21 +795,7 @@ class CrawlEngine:
 
             fetched = self._fetch(fetchable)
             batch = fetched.unionByName(
-                nullsrc.select(
-                    "page_cls", "path", "url", "input_json",
-                    F.lit(None).cast("binary").alias("payload"),
-                    F.lit(None).cast("array<string>").alias("links"),
-                    F.lit(None).cast("string").alias("next_url"),
-                    F.lit(200).alias("status"),
-                    "attempts", "page_seq",
-                    F.lit(None).cast("string").alias("payload_kind"),
-                    F.lit(None).cast("string").alias("image_id"),
-                    F.lit(True).alias("found"),
-                    "priority",
-                    F.lit(0).alias("flaky_rejects"),
-                    F.lit(None).cast("long").alias("url_hash"),
-                    F.lit(None).cast("long").alias("seen_key"),
-                )
+                nullsrc.select(*nullsrc_cols)
             ).select(*_BATCH_SELECT)
 
             # Exactly ONE consumer per batch row — native-class rows go
@@ -724,28 +805,9 @@ class CrawlEngine:
             # cache: payload-heavy rows stream straight through their
             # one pass (a per-wave payload cache is 10s of GB at
             # 10^6-row waves and was the old OOM ceiling).
-            marker = F.when(
-                F.col("url").isNotNull() & (F.col("attempts") == 0),
-                N.one(N.emission("fetched", url_hash=F.col("url_hash"),
-                                 seen_key=F.col("seen_key"),
-                                 attempts=F.col("attempts"))),
-            ).otherwise(N.empty_emissions())
-            cls_arr = None
-            for name in native_cls:
-                arr = self._class_emission_array(specs[name])
-                cond = F.col("page_cls") == name
-                cls_arr = (
-                    F.when(cond, arr) if cls_arr is None
-                    else cls_arr.when(cond, arr)
-                )
-            per_row = marker
-            if cls_arr is not None:
-                per_row = F.concat(
-                    marker, F.coalesce(cls_arr, N.empty_emissions())
-                )
             native_part = batch.filter(
                 F.col("page_cls").isin(native_cls)
-            ).select(F.explode(per_row).alias("e")).select("e.*")
+            ).select(F.explode(per_row_expr).alias("e")).select("e.*")
             parts: list[DataFrame] = [native_part]
             if hook_cls:
                 parts.append(
@@ -757,33 +819,13 @@ class CrawlEngine:
                 # robots-blocked rows ride the emissions stream so the
                 # count lands in the Observation (no extra job) and the
                 # rows themselves reach the dead-letter output
-                parts.append(blocked.select(
-                    F.lit("blocked").alias("emit_kind"),
-                    F.col("page_cls").alias("src_cls"),
-                    "path",
-                    F.lit(None).cast("string").alias("item_json"),
-                    F.lit(None).cast("string").alias("child_cls"),
-                    F.col("url").alias("child_url"),
-                    F.col("input_json").alias("child_input_json"),
-                    "priority", "page_seq", "attempts",
-                    F.lit("robots.txt disallow").alias("error"),
-                ))
+                parts.append(blocked.select(*blocked_cols))
             # politeness-deferred rows ride the emissions stream too:
             # ONE materialization per wave carries everything — the
             # next frontier is then a narrow filter over the written
             # parquet instead of a second write+read job (measured:
             # the two jobs were the per-wave fixed-cost floor)
-            parts.append(deferred.select(
-                F.lit("deferred").alias("emit_kind"),
-                F.col("page_cls").alias("src_cls"),
-                "path",
-                F.lit(None).cast("string").alias("item_json"),
-                F.col("page_cls").alias("child_cls"),
-                F.col("url").alias("child_url"),
-                F.col("input_json").alias("child_input_json"),
-                "priority", "page_seq", "attempts",
-                F.lit(None).cast("string").alias("error"),
-            ))
+            parts.append(deferred.select(*deferred_cols))
             emissions = parts[0]
             for p in parts[1:]:
                 emissions = emissions.unionByName(p, allowMissingColumns=True)
@@ -792,17 +834,9 @@ class CrawlEngine:
             # compounds geometrically across waves (7×(P+8) per wave).
             # coalesce is narrow (no shuffle) and caps every wave at
             # nparts.
-            kind_names = ("item", "child", "next", "requeue", "skip_item",
-                          "skip_page", "handled_error", "error", "reject",
-                          "fetched", "blocked", "deferred")
             emissions, emetrics = self._materialize(
                 emissions.coalesce(self._wave_parts), "emissions",
-                [F.count(F.when(F.col("emit_kind") == k, 1)).alias(k)
-                 for k in kind_names]
-                + [F.count(F.when(
-                    (F.col("emit_kind") == "deferred")
-                    & (F.col("attempts") > 0), 1,
-                )).alias("_deferred_requeues")],
+                obs_aggs,
             )
             kind_counts = {k: int(emetrics[k]) for k in kind_names}
             self._prev_total_emissions = sum(kind_counts.values())
@@ -899,15 +933,9 @@ class CrawlEngine:
             kinds = ["next", "requeue", "deferred"]
             if cfg.follow_children:
                 kinds.append("child")
-            frontier = emissions.filter(F.col("emit_kind").isin(kinds)).select(
-                F.col("child_cls").alias("page_cls"),
-                F.col("child_url").alias("url"),
-                F.col("child_input_json").alias("input_json"),
-                F.col("path"),
-                F.col("priority"),
-                F.col("attempts"),
-                F.col("page_seq"),
-            )
+            frontier = emissions.filter(
+                F.col("emit_kind").isin(kinds)
+            ).select(*frontier_cols)
             n_frontier = sum(kind_counts.get(k, 0) for k in kinds)
             _tick("frontier derive", t)
 
@@ -1044,13 +1072,17 @@ class CrawlEngine:
         # aggregate (map-side combine; no sort). Grouping carries BOTH
         # keys so the seen check's equi-join on (url_hash, seen_key)
         # reuses this exchange exactly.
-        rest = [
-            c for c in first_time.columns
-            if c not in ("url_hash", "seen_key")
-        ]
+        if self._dedup_agg is None:
+            rest = [
+                c for c in first_time.columns
+                if c not in ("url_hash", "seen_key")
+            ]
+            self._dedup_agg = F.min_by(
+                F.struct(*rest), F.col("path")
+            ).alias("_r")
         first_time = (
             first_time.groupBy("url_hash", "seen_key")
-            .agg(F.min_by(F.struct(*rest), F.col("path")).alias("_r"))
+            .agg(self._dedup_agg)
             .select("url_hash", "seen_key", "_r.*")
         )
 
@@ -1112,18 +1144,37 @@ class CrawlEngine:
         # salted repartition (politeness.salted_repartition) belongs in
         # front of the real-HTTP fetch variant, where work is grouped
         # per host and a hot host would pile onto one task.
-        out_cols = [
-            "page_cls", "path", "url", "input_json", "payload", "links",
-            "next_url",
-            F.coalesce(F.col("status"), F.lit(404)).alias("status"),
-            "attempts", "page_seq", "payload_kind", "image_id",
-            F.col("store_url").isNotNull().alias("found"),
-            "priority",
-            # synthetic flakiness: how many leading attempts the "server"
-            # degrades — consumed by accept hooks (retry tests)
-            F.coalesce(F.col("flaky_rejects"), F.lit(0)).alias("flaky_rejects"),
-            "url_hash", "seen_key",
-        ]
+        if self._fetch_cols is None:
+            self._fetch_cols = (
+                [
+                    "page_cls", "path", "url", "input_json", "payload",
+                    "links", "next_url",
+                    F.coalesce(F.col("status"), F.lit(404)).alias("status"),
+                    "attempts", "page_seq", "payload_kind", "image_id",
+                    F.col("store_url").isNotNull().alias("found"),
+                    "priority",
+                    # synthetic flakiness: how many leading attempts the
+                    # "server" degrades — consumed by accept hooks
+                    F.coalesce(F.col("flaky_rejects"), F.lit(0))
+                    .alias("flaky_rejects"),
+                    "url_hash", "seen_key",
+                ],
+                [
+                    "page_cls", "path", "url", "input_json",
+                    F.lit(None).cast("binary").alias("payload"),
+                    F.lit(None).cast("array<string>").alias("links"),
+                    F.lit(None).cast("string").alias("next_url"),
+                    F.lit(404).alias("status"),
+                    "attempts", "page_seq",
+                    F.lit(None).cast("string").alias("payload_kind"),
+                    F.lit(None).cast("string").alias("image_id"),
+                    F.lit(False).alias("found"),
+                    "priority",
+                    F.lit(0).alias("flaky_rejects"),
+                    "url_hash", "seen_key",
+                ],
+            )
+        out_cols, missing_cols = self._fetch_cols
         n = getattr(self, "_n_frontier", None)
         if n is not None and n <= self.config.broadcast_fetch_max:
             # default path: broadcast the SLIM frontier, probe the
@@ -1141,20 +1192,7 @@ class CrawlEngine:
             missing = fetchable.join(
                 F.broadcast(self.page_store.select("url_hash")),
                 "url_hash", "left_anti",
-            ).select(
-                "page_cls", "path", "url", "input_json",
-                F.lit(None).cast("binary").alias("payload"),
-                F.lit(None).cast("array<string>").alias("links"),
-                F.lit(None).cast("string").alias("next_url"),
-                F.lit(404).alias("status"),
-                "attempts", "page_seq",
-                F.lit(None).cast("string").alias("payload_kind"),
-                F.lit(None).cast("string").alias("image_id"),
-                F.lit(False).alias("found"),
-                "priority",
-                F.lit(0).alias("flaky_rejects"),
-                "url_hash", "seen_key",
-            )
+            ).select(*missing_cols)
             return found.unionByName(missing)
         # big-wave fallback: classic shuffle join against the
         # url_hash-bucketed store copy — the frontier side reshuffles,
