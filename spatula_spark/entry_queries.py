@@ -74,10 +74,12 @@ corpus AS (
 
 
 def _duck_minhash_cols(num_perms: int) -> str:
+    """Mirror of dedup.minhash_signature's chunked scheme: permutation
+    i = 32-bit hex chunk i%4 of md5(shingle || ':' || i//4)."""
     return ", ".join(
         "list_min(list_transform(shingles, s -> "
-        + duck_hash(f"s || ':{i}'")
-        + f")) AS mh_{i}"
+        f"(('0x' || substr(md5(s || ':{i // 4}'), {1 + 8 * (i % 4)}, 8))"
+        f"::ubigint)::bigint)) AS mh_{i}"
         for i in range(num_perms)
     )
 

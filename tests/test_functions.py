@@ -152,6 +152,18 @@ def test_embedding_near_dups_finds_planted(emb):
     assert all(r["cos"] >= 0.95 for r in out)
 
 
+def test_lsh_buckets_fast_bit_identical(emb):
+    """The Arrow-vectorized bucketing must equal the pure-Catalyst
+    reference form on EVERY row (same left-fold association) — this is
+    what keeps the DuckDB oracles, which mirror the reference form,
+    valid for the fast path."""
+    mismatches = emb.select(
+        sim.lsh_buckets_fast("embedding", 4, 8, 64).alias("fast"),
+        sim.lsh_buckets(F.col("embedding"), 4, 8, 64).alias("ref"),
+    ).filter("fast != ref").count()
+    assert mismatches == 0
+
+
 def test_ann_lsh_recall(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).collect()
