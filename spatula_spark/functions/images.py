@@ -122,23 +122,42 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.reshape(h, w, bpp)
 
 
-def lossy_encode(pixels: np.ndarray) -> bytes:
-    """STUB lossy codec (no libjpeg here): quantize then PNG-encode.
+def lossy_encode(pixels: np.ndarray, codec: str = "fast") -> bytes:
+    """Lossy codec with two backends:
 
-    Deterministic fake per the task brief — the Spark-side plumbing
-    (binary column, decode UDF, PSNR gate) is real; only the entropy
-    coding is simulated. Quantizing to step 3 yields PSNR ~ 50 dB,
-    comfortably above the 40 dB invariant.
+    * ``"jpeg"`` — the REAL baseline JFIF encoder (functions/jpeg.py:
+      DCT + Annex K quantization + Huffman entropy coding, readable by
+      any standard decoder). quality=98 keeps the synthetic sawtooth
+      images above the 40 dB invariant (worst measured 44.4 dB).
+    * ``"fast"`` (default) — closed-form stand-in (quantize step 3 +
+      PNG, ~50 dB): the per-image cost model for the 10^6+-URL crawl
+      benchmarks, where pure-python entropy decode (~ms/image, no
+      libjpeg in this container) would measure the codec, not the
+      engine. The crawl path is codec-agnostic (magic-byte dispatch)
+      and the jpeg backend is exercised end-to-end in tests.
     """
+    if codec == "jpeg":
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(pixels, quality=98)
     q = _JPEG_QUANT
     quant = ((pixels.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
     return png_encode(quant)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode by MAGIC BYTES, not the fmt label: 'jpeg' payloads may
+    carry either real JFIF (parity path) or the fast stand-in (bench
+    path)."""
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return png_decode(data)
     if fmt == "png" or not _HAVE_PIL:
         return png_decode(data)
-    raise NotImplementedError("real JPEG decode requires PIL")  # pragma: no cover
+    raise NotImplementedError("unrecognized image payload")  # pragma: no cover
 
 
 # ------------------------------------------------------------ pixel metrics
@@ -253,11 +272,15 @@ def decode_verify_iter(
             lossless = row.fmt == "png"
             ok = bool(np.array_equal(decoded, ref)) if lossless else p >= 40.0
             ph = average_phash(decoded)
+            # exact equality holds for lossy formats too: the media
+            # table stores the phash of the pixels it INGESTED (decoded
+            # payload), and both codecs decode deterministically
+            ph_ok = ph == int(row.phash)
             out["image_id"].append(row.image_id)
             out["fmt"].append(row.fmt)
             out["psnr_db"].append(min(p, 99.0) if np.isfinite(p) else 99.0)
             out["pixels_ok"].append(ok)
             out["phash_calc"].append(ph)
-            out["phash_ok"].append(ph == int(row.phash))
+            out["phash_ok"].append(ph_ok)
             out["caption"].append(row.caption)
         yield pd.DataFrame(out)

@@ -82,6 +82,7 @@ class SynthWeb:
         with_flaky: bool = True,
         with_errors: bool = True,
         img_scale: int = 1,
+        lossy_codec: str = "fast",
     ):
         self.n_hosts = n_hosts
         self.details_per_host = details_per_host
@@ -89,6 +90,10 @@ class SynthWeb:
         self.skew = skew
         self.with_flaky = with_flaky
         self.with_errors = with_errors
+        # "jpeg" = real baseline JFIF entropy coding (parity path);
+        # "fast" = closed-form stand-in (bench path). The crawl decodes
+        # either via magic-byte dispatch.
+        self.lossy_codec = lossy_codec
         # multiplies synthetic image dimensions (pixels x scale^2):
         # img_scale=1 keeps thumbnails (fast unit tests); the scaling
         # benchmark uses 2+ so per-URL decode cost matches real
@@ -100,9 +105,10 @@ class SynthWeb:
     # ------------------------------------------------------------ media
     def media(self, spark: SparkSession) -> DataFrame:
         """The input_hint table: (image_id, bytes, w, h, fmt, caption,
-        phash). Even rows PNG (lossless), odd rows the stub lossy codec
-        (see functions/images.py)."""
+        phash). Even rows PNG (lossless), odd rows the lossy codec
+        (real JFIF or the fast stand-in — see functions/images.py)."""
         scale = self.img_scale
+        codec = self.lossy_codec
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -116,12 +122,12 @@ class SynthWeb:
                         fmt, data = "png", png_encode(px)
                         ph = average_phash(px)
                     else:
-                        fmt, data = "jpeg", lossy_encode(px)
+                        fmt, data = "jpeg", lossy_encode(px, codec)
                         # phash of the *stored* (lossy) pixels, like a real
                         # pipeline hashing what it ingested
-                        from ..functions.images import png_decode
+                        from ..functions.images import decode_image
 
-                        ph = average_phash(png_decode(data))
+                        ph = average_phash(decode_image(data, "jpeg"))
                     rows.append(
                         (f"img-{g:08d}", data, w, h, fmt, caption_for(g), ph)
                     )
@@ -161,6 +167,7 @@ class SynthWeb:
         per = self.details_per_list
         n_hosts = self.n_hosts
         scale = self.img_scale
+        codec = self.lossy_codec
         with_errors, with_flaky = self.with_errors, self.with_flaky
         pat = re.compile(
             r"http://h(\d+)\.example\.com/(?:detail/(\d+)|list\?page=(\d+))$"
@@ -193,7 +200,7 @@ class SynthWeb:
                                     payload, kind = png_encode(px), "img/png"
                                 else:
                                     payload, kind = (
-                                        lossy_encode(px), "img/jpeg",
+                                        lossy_encode(px, codec), "img/jpeg",
                                     )
                                 image_id = f"img-{g:08d}"
                         else:  # list page
@@ -265,6 +272,7 @@ class SynthWeb:
             ).drop("_fmt")
         else:
             scale = self.img_scale
+            codec = self.lossy_codec
 
             def add_img(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
@@ -277,7 +285,7 @@ class SynthWeb:
                         if g % 2 == 0:
                             data, fmt = png_encode(px), "png"
                         else:
-                            data, fmt = lossy_encode(px), "jpeg"
+                            data, fmt = lossy_encode(px, codec), "jpeg"
                         payloads.append(data)
                         kinds.append("img/" + fmt)
                     yield pdf.assign(payload=payloads, payload_kind=kinds)

@@ -76,6 +76,26 @@ def test_politeness_budget_defers_not_drops(spark, web, store):
     assert res.waves > unlimited.waves
 
 
+def test_crawl_real_jpeg_payloads(spark):
+    """End-to-end with REAL JFIF entropy-coded payloads (lossy_codec=
+    'jpeg'): the crawl decodes them via magic dispatch and every media
+    invariant (PSNR>=40, exact phash-of-ingested) holds."""
+    w = SynthWeb(n_hosts=2, details_per_host=12, details_per_list=6,
+                 skew=1, with_errors=False, with_flaky=False,
+                 lossy_codec="jpeg")
+    st = w.page_store(spark)
+    eng = CrawlEngine(spark, media_registry(), page_store=st,
+                      config=CrawlConfig())
+    res = eng.crawl(w.seeds())
+    items = crawl_items_df(res.results)
+    ver = verify_media(items, w.media(spark)).collect()
+    assert len(ver) == w.n_media
+    assert all(r["pixels_ok"] for r in ver)
+    assert all(r["phash_ok"] for r in ver)
+    jpeg_rows = [r for r in ver if r["fmt"] == "jpeg"]
+    assert jpeg_rows and all(40.0 <= r["psnr_db"] < 99.0 for r in jpeg_rows)
+
+
 def test_shuffle_fetch_fallback_matches_broadcast(spark, web, store):
     """Waves above ``broadcast_fetch_max`` take the bucketed shuffle
     join against the url_hash-partitioned store copy instead of the

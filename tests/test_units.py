@@ -287,6 +287,48 @@ def test_dct_phash_properties():
     assert d_other > 10, d_other
 
 
+def test_jpeg_roundtrip_and_structure():
+    """Real baseline JFIF codec: spec-structured stream (marker walk),
+    roundtrip above the 40 dB invariant on the adversarial sawtooth
+    images, deterministic decode, and graceful rejection of
+    progressive/garbage streams."""
+    from spatula_spark.functions.jpeg import jpeg_decode, jpeg_encode
+    from spatula_spark.functions.images import psnr
+
+    for idx, (w, h) in [(7, (80, 60)), (12, (33, 17)), (3, (8, 8))]:
+        px = synth_pixels(idx, w, h)
+        data = jpeg_encode(px, quality=98)
+        # marker structure: SOI, JFIF APP0, 2x DQT, SOF0, 4x DHT, SOS, EOI
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+        assert data.count(b"\xff\xdb") >= 2
+        assert b"\xff\xc0" in data and b"\xff\xda" in data
+        assert data.count(b"\xff\xc4") >= 4
+        out = jpeg_decode(data)
+        assert out.shape == px.shape
+        assert psnr(out, px) >= 40.0
+        assert (jpeg_decode(data) == out).all()  # deterministic
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+
+
+def test_decode_image_magic_dispatch():
+    """decode_image picks the codec from the payload magic, so 'jpeg'
+    rows decode whether they carry real JFIF or the fast stand-in."""
+    from spatula_spark.functions.images import (
+        decode_image, lossy_encode, psnr,
+    )
+
+    px = synth_pixels(5, 40, 24)
+    real = decode_image(lossy_encode(px, "jpeg"), "jpeg")
+    fast = decode_image(lossy_encode(px, "fast"), "jpeg")
+    assert psnr(real, px) >= 40.0
+    assert psnr(fast, px) >= 40.0
+
+
 def test_sharded_bloom_broadcast_bounded(spark):
     """Broadcast lifecycle (r1 verdict): one live broadcast, reused
     while the filter is unchanged, replaced (old unpersisted) only on
