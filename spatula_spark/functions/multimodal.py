@@ -2,11 +2,17 @@
 
 Training-data pipelines treat media as ``binary`` columns with typed
 metadata and run decode / feature-extract / resize / frame-sample as
-Arrow-batched ``mapInPandas`` stages. In this container only the image
-path has a real codec (the stdlib PNG codec in images.py); audio/video
-decode is STUBBED behind a deterministic fake (per the task brief: the
-Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested; the codec call sites are clearly marked).
+Arrow-batched ``mapInPandas`` stages. Real codecs in this container:
+
+* images — stdlib PNG codec + the real baseline JPEG (images.py,
+  jpeg.py);
+* audio — PCM RIFF/WAVE via the stdlib ``wave`` module (8/16/32-bit);
+  non-WAV bytes fall back to a deterministic fake so feature math
+  stays testable on arbitrary payloads;
+* video — Motion-JPEG (concatenated JFIF frames) split on real
+  SOI/EOI marker boundaries and decoded with the in-repo JPEG
+  decoder; other containers (mp4/h264 — no ffmpeg here) fall back to
+  a clearly-marked deterministic chunker.
 
 Column-pruning discipline: every operator here takes a slim projection
 and is the only stage that touches the binary column.
@@ -101,18 +107,56 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
     )
 
 
-# ------------------------------------------------------------ audio (STUB)
+# ----------------------------------------------------------------- audio
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, n_samples long, sample_rate int, rms double, "
     "zero_crossings long"
 )
 
 
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono float [-1, 1] -> PCM16 RIFF/WAVE bytes (stdlib ``wave``)."""
+    import io
+    import wave as _wave
+
+    pcm = np.clip(np.asarray(samples) * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """STUB: no audio codec in this container. With soundfile installed
-    this is a one-line real decode; the deterministic fake derives a
-    waveform from the byte content so downstream feature math is real
-    and testable."""
+    """REAL decode for PCM RIFF/WAVE (stdlib ``wave``: 8/16/32-bit,
+    multi-channel averaged to mono float in [-1, 1]); soundfile is used
+    for other formats when importable. Non-audio bytes fall back to a
+    deterministic fake waveform so downstream feature math stays
+    testable on arbitrary payloads."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io
+        import wave as _wave
+
+        with _wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 1:  # unsigned 8-bit
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+        elif width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 4:
+            arr = (np.frombuffer(raw, dtype="<i4").astype(np.float64)
+                   / 2147483648.0)
+        else:
+            raise NotImplementedError(f"{width * 8}-bit PCM")
+        if nch > 1:
+            arr = arr.reshape(-1, nch).mean(axis=1)
+        return arr, int(rate)
     if _HAVE_AUDIO:  # pragma: no cover
         import io
 
@@ -147,29 +191,58 @@ def audio_features(clips: DataFrame) -> DataFrame:
     )
 
 
-# ------------------------------------------------------------ video (STUB)
+# ----------------------------------------------------------------- video
+def mjpeg_encode(frames: list[np.ndarray], quality: int = 90) -> bytes:
+    """Concatenated-JFIF Motion-JPEG stream from (h, w, 3) frames."""
+    from .jpeg import jpeg_encode
+
+    return b"".join(jpeg_encode(f, quality) for f in frames)
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split a Motion-JPEG stream on real SOI/EOI marker boundaries."""
+    frames = []
+    pos = 0
+    while True:
+        start = data.find(b"\xff\xd8", pos)
+        if start < 0:
+            break
+        end = data.find(b"\xff\xd9", start)
+        if end < 0:
+            break
+        frames.append(data[start:end + 2])
+        pos = end + 2
+    return frames
+
+
 def sample_video_frames(
     videos: DataFrame, every_n: int = 10, frame_bytes: int = 256
 ) -> DataFrame:
-    """Frame-sampling plumbing: one input row -> many frame rows
-    (mapInPandas with a fan-out batch shape). The decoder is STUBBED —
-    no video codec in this container — as a deterministic chunker that
-    treats each ``frame_bytes`` slice as a "frame"; a real ffmpeg/pyav
-    decode drops in at the marked call."""
+    """Frame-sampling: one input row -> many frame rows (mapInPandas
+    with a fan-out batch shape). REAL for Motion-JPEG payloads —
+    streams starting with the JPEG SOI marker are split on actual
+    SOI/EOI boundaries into standalone JFIF frames (decodable by
+    functions/jpeg.py). Other containers (mp4/h264 — no ffmpeg in this
+    container) fall back to a deterministic ``frame_bytes`` chunker,
+    clearly marked; a pyav keyframe iterator drops in at that call."""
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"video_id": [], "frame_no": [], "frame": []}
             for r in pdf.itertuples(index=False):
                 data = bytes(r.bytes)
-                # STUB decode: real impl = pyav keyframe iterator
-                n_frames = max(1, len(data) // frame_bytes)
-                for f in range(0, n_frames, every_n):
+                if data[:2] == b"\xff\xd8":  # Motion-JPEG
+                    frames = split_mjpeg(data)
+                else:
+                    # STUB fallback: real impl = pyav keyframe iterator
+                    frames = [
+                        data[i:i + frame_bytes]
+                        for i in range(0, max(len(data), 1), frame_bytes)
+                    ]
+                for f in range(0, len(frames), every_n):
                     out["video_id"].append(r.video_id)
                     out["frame_no"].append(f)
-                    out["frame"].append(
-                        data[f * frame_bytes:(f + 1) * frame_bytes]
-                    )
+                    out["frame"].append(frames[f])
             yield pd.DataFrame(out)
 
     return videos.select("video_id", "bytes").mapInPandas(

@@ -232,6 +232,47 @@ def test_image_features_and_resize(spark):
         assert px.shape == (8, 8, 3)
 
 
+def test_wav_decode_real(spark):
+    """REAL PCM WAV path (stdlib wave): a 440 Hz sine decodes to the
+    right sample count/rate, RMS ~ A/sqrt(2), and ~2*f*dur zero
+    crossings."""
+    import numpy as np
+
+    # 433 Hz (prime vs the 16 kHz rate) so no sample lands on an exact
+    # PCM zero — the strict sign-product crossing counter skips those
+    rate, dur, freq, amp = 16000, 0.5, 433.0, 0.8
+    t = np.arange(int(rate * dur)) / rate
+    wav_bytes = mm.wav_encode(amp * np.sin(2 * np.pi * freq * t), rate)
+    assert wav_bytes[:4] == b"RIFF"
+    clips = spark.createDataFrame(
+        [("sine", wav_bytes)], "clip_id string, bytes binary"
+    )
+    r = mm.audio_features(clips).collect()[0]
+    assert r["n_samples"] == int(rate * dur)
+    assert r["sample_rate"] == rate
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["zero_crossings"] - 2 * freq * dur) <= 2
+
+
+def test_mjpeg_frame_sampling_real(spark):
+    """REAL Motion-JPEG path: concatenated JFIF frames split on actual
+    SOI/EOI boundaries; each sampled frame is a standalone JPEG that
+    decodes back to its source pixels within the PSNR gate."""
+    from spatula_spark.functions.images import psnr, synth_pixels
+    from spatula_spark.functions.jpeg import jpeg_decode
+
+    frames = [synth_pixels(i, 32, 24) for i in range(6)]
+    stream = mm.mjpeg_encode(frames, quality=98)
+    vids = spark.createDataFrame(
+        [("v1", stream)], "video_id string, bytes binary"
+    )
+    out = mm.sample_video_frames(vids, every_n=2).collect()
+    assert [r["frame_no"] for r in out] == [0, 2, 4]
+    for r in out:
+        decoded = jpeg_decode(bytes(r["frame"]))
+        assert psnr(decoded, frames[r["frame_no"]]) >= 40.0
+
+
 def test_audio_video_stub_plumbing(spark):
     clips = spark.createDataFrame(
         [("c1", bytes(range(256)) * 4), ("c2", b"\x80" * 100)],
