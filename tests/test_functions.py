@@ -152,6 +152,17 @@ def test_embedding_near_dups_finds_planted(emb):
     assert all(r["cos"] >= 0.95 for r in out)
 
 
+def test_simhash_fast_bit_identical(docs):
+    """The Arrow-vectorized SimHash bit-fold must equal the Catalyst
+    reference on every row — integer arithmetic both sides, so exact
+    equality, which keeps the DuckDB oracles valid for the fast path."""
+    m = docs.select(
+        dd.simhash(F.col("text")).alias("a"),
+        dd.simhash_ref(F.col("text")).alias("b"),
+    ).filter("a != b OR a IS NULL").count()
+    assert m == 0
+
+
 def test_lsh_buckets_fast_bit_identical(emb):
     """The Arrow-vectorized bucketing must equal the pure-Catalyst
     reference form on EVERY row (same left-fold association) — this is
