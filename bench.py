@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "stream_window_counts",
+    "stream_sessionize",
     "crawl_doc_tree",
 ]
 

@@ -894,3 +894,44 @@ def stream_window_counts_q(spark, sf_dir):
     from .streaming.windows import stream_window_counts
 
     return stream_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+  FROM g),
+sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY 1, 2),
+m AS (SELECT max(ts) AS max_ts FROM events)
+SELECT user_id, session_id, n_events, session_start
+FROM sess, m
+WHERE session_id < (SELECT max(s2.session_id) FROM sess s2
+                    WHERE s2.user_id = sess.user_id)
+   OR (epoch_us(session_end) // 1000 + 1800000)
+      < (epoch_us(max_ts) // 1000 - 1500)
+""",
+)
+def stream_sessionize_q(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING OPERATOR (applyInPandasWithState +
+    event-time timeout): gap sessionization emitting provably-CLOSED
+    sessions only. The oracle replicates the closure predicate exactly
+    — every non-final session per user (closed by the next session's
+    arrival) plus final sessions whose ms-floored timeout precedes the
+    final watermark (max_ts - 1500 ms delay). Value-hash match proves
+    state transitions, timeout firing, and emission timing, not just
+    aggregation."""
+    from .streaming.sessions import stream_sessionize
+
+    return stream_sessionize(spark, f"{sf_dir}/events.parquet")

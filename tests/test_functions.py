@@ -284,6 +284,29 @@ def test_mjpeg_frame_sampling_real(spark):
         assert psnr(decoded, frames[r["frame_no"]]) >= 40.0
 
 
+def test_stream_sessionize_matches_batch_closed_sessions(spark):
+    """The stateful streaming sessionizer (applyInPandasWithState +
+    event-time timeout) must emit exactly the batch sessions that are
+    provably closed at end-of-stream, with identical ids/counts/starts;
+    open sessions must NOT be emitted."""
+    import spatula_spark.entry_queries as eq
+    from spatula_spark.streaming.sessions import stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"])
+        for r in eq.QUERIES["sessionize"](spark, sf).collect()
+    }
+    streamed = stream_sessionize(spark, f"{sf}/events.parquet").collect()
+    assert streamed  # must actually close sessions
+    for r in streamed:
+        key = (r["user_id"], r["session_id"])
+        assert batch[key] == (r["n_events"], r["session_start"]), key
+    # strictly fewer than batch: the per-user final sessions that are
+    # still inside the gap+watermark horizon stay open
+    assert len(streamed) < len(batch)
+
+
 def test_audio_video_stub_plumbing(spark):
     clips = spark.createDataFrame(
         [("c1", bytes(range(256)) * 4), ("c2", b"\x80" * 100)],
