@@ -196,7 +196,9 @@ class CSS(Selector):
       ``#id``, ``[attr]``, ``[attr=v]``, ``[attr^=v]``, ``[attr$=v]``,
       ``[attr*=v]``, ``[attr~=v]``, ``[attr|=v]``
     * pseudo-classes ``:first-child``, ``:last-child``,
-      ``:nth-child(an+b | odd | even | k)``
+      ``:nth-child(an+b | odd | even | k)``, ``:only-child``,
+      ``:empty``, ``:not(compound)``, ``:first-of-type``,
+      ``:last-of-type``, ``:nth-of-type(...)``
     * combinators: descendant (space), child ``>``, adjacent sibling
       ``+``, general sibling ``~``
     * selector lists: ``a, b`` — union, document order, deduped
@@ -279,6 +281,25 @@ class CSS(Selector):
                     pseudos.append(("nth", (0, 1)))
                 elif name == "last-child":
                     pseudos.append(("last", ()))
+                elif name == "only-child":
+                    pseudos.append(("only", ()))
+                elif name == "empty":
+                    pseudos.append(("empty", ()))
+                elif name == "not":
+                    # CSS3 :not(simple compound) — no combinators inside
+                    pseudos.append(
+                        ("not", cls._compile_compound(
+                            (m.group("args") or "").strip()
+                        ))
+                    )
+                elif name == "nth-of-type":
+                    pseudos.append(
+                        ("nth_type", _parse_nth(m.group("args") or ""))
+                    )
+                elif name == "first-of-type":
+                    pseudos.append(("nth_type", (0, 1)))
+                elif name == "last-of-type":
+                    pseudos.append(("last_type", ()))
                 else:
                     raise ValueError(f"unsupported pseudo-class: :{name}")
 
@@ -307,20 +328,41 @@ class CSS(Selector):
                     return False
                 if op == "|=" and not (v == val or v.startswith(val + "-")):
                     return False
+            def _nth_ok(a: int, b: int, i: int) -> bool:
+                # 1-based index must equal a*k+b for some k>=0
+                if a == 0:
+                    return i == b
+                k, rem = divmod(i - b, a)
+                return rem == 0 and k >= 0
+
             for kind, arg in pseudos:
                 if kind == "last":
                     if idx != nsib:
                         return False
+                elif kind == "only":
+                    if not (idx == 1 and nsib == 1):
+                        return False
+                elif kind == "empty":
+                    if len(el) or (el.text or ""):
+                        return False
+                elif kind == "not":
+                    if arg(el, parent, idx, nsib):
+                        return False
+                elif kind in ("nth_type", "last_type"):
+                    if parent is None:
+                        return False
+                    typed = [c for c in parent if c.tag == el.tag]
+                    ti = next(
+                        i + 1 for i, c in enumerate(typed) if c is el
+                    )
+                    if kind == "last_type":
+                        if ti != len(typed):
+                            return False
+                    elif not _nth_ok(arg[0], arg[1], ti):
+                        return False
                 else:
-                    a, b = arg
-                    # 1-based child index must equal a*k+b for k>=0
-                    if a == 0:
-                        if idx != b:
-                            return False
-                    else:
-                        k, rem = divmod(idx - b, a)
-                        if rem != 0 or k < 0:
-                            return False
+                    if not _nth_ok(arg[0], arg[1], idx):
+                        return False
             return True
 
         return pred

@@ -238,6 +238,12 @@ def _g():
     ("#main .first", ["intro one"]),
     ("*[id]", ["intro one12345AB"]),                 # div#main subtree text
     ("div.wrap.outer > ul li", ["1", "2", "3", "4", "5"]),
+    ("li:not(.x)", ["3", "4", "5"]),                 # negation
+    ("li:not([lang])", ["1", "2", "3", "5"]),
+    ("ul > li:only-child", []),
+    ("li:nth-of-type(2)", ["2"]),
+    ("a:first-of-type", ["A"]),
+    ("a:last-of-type", ["B"]),
 ])
 def test_css_grammar(sel, expected):
     got = [element_text(e) for e in CSS(sel).match(_g(), min_items=0)]
