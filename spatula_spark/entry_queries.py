@@ -897,6 +897,29 @@ def stream_window_counts_q(spark, sf_dir):
 
 
 @register(
+    "stream_sliding_counts",
+    """
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * i) AS win_start
+  FROM events, range(2) t(i)
+)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_counts_q(spark, sf_dir):
+    """SLIDING (hopping) windows: width 10 min, slide 5 min — every
+    event lands in exactly 2 overlapping windows; the oracle replicates
+    the expansion with a 2-row range join on the bucketed start."""
+    from .streaming.windows import stream_window_counts
+
+    return stream_window_counts(
+        spark, f"{sf_dir}/events.parquet", slide="5 minutes"
+    )
+
+
+@register(
     "stream_sessionize",
     """
 WITH g AS (

@@ -29,11 +29,14 @@ def stream_window_counts(
     events_path: str,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window (start, event_type) -> (n, total) via a real
-    streaming query over the parquet file, drained synchronously.
-    Complete output mode so every window is emitted regardless of
-    watermark closure (the file source is finite)."""
+    """Tumbling (or, with ``slide``, SLIDING/hopping) window
+    (start, event_type) -> (n, total) via a real streaming query over
+    the parquet file, drained synchronously. With a slide of S and
+    width W each event lands in W/S overlapping windows. Complete
+    output mode so every window is emitted regardless of watermark
+    closure (the file source is finite)."""
     name = "win_" + uuid.uuid4().hex[:12]
     if events_path.endswith(".parquet") and not os.path.isdir(events_path):
         # the streaming file source requires a directory
@@ -42,10 +45,14 @@ def stream_window_counts(
             os.path.abspath(events_path), os.path.join(d, "events.parquet")
         )
         events_path = d
+    win = (
+        F.window("ts", window, slide) if slide
+        else F.window("ts", window)
+    )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
     )
     q = (
