@@ -591,6 +591,67 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "clean_corpus",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+prof AS (
+  SELECT doc_id, text, ({_duck_ntok})::INT AS n_tokens,
+         {_duck_quality} AS quality,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus),
+passed AS (SELECT * FROM prof WHERE quality >= 0.8),
+keepers AS (
+  SELECT p.* FROM passed p
+  JOIN (SELECT fp, min(doc_id) AS doc_id FROM passed GROUP BY fp) k
+    ON p.doc_id = k.doc_id AND p.fp = k.fp),
+{DUCK_SHINGLES_CTE.replace("FROM corpus", "FROM keepers")},
+sig AS (SELECT doc_id, {_duck_minhash_cols(8)} FROM sh),
+bands AS ({_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+neardup AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+  WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.8)
+SELECT doc_id, n_tokens, round(quality, 6) AS quality
+FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+""",
+)
+def clean_corpus_q(spark, sf_dir):
+    """THE END-TO-END CLEANING PIPELINE a training-data user actually
+    runs, as ONE oracle-gated query over a corpus with planted exact
+    and near duplicates: quality scoring -> low-quality filter (>=0.8)
+    -> exact dedup (keep lowest doc_id per fingerprint) -> MinHash+LSH
+    near-dup removal (drop the higher id of every verified pair).
+    Every stage is one of the already-verified operators; the oracle
+    composes their DuckDB forms into the same chain, so the HASH match
+    checks the composition (filter/dedup/join interplay), not just the
+    parts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = dd.perturbed_corpus(docs)
+    t = F.col("text")
+    prof = corpus.select(
+        "doc_id", "text",
+        tx.token_count(t).alias("n_tokens"),
+        tx.quality_score(t).alias("quality"),
+        tx.fingerprint(t).alias("fp"),
+    )
+    passed = prof.filter(F.col("quality") >= 0.8)
+    keep = passed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keepers = passed.join(keep, ["fp", "doc_id"]).persist()
+    pairs = dd.minhash_dedup_pairs(
+        keepers.select("doc_id", "text"), threshold=0.8
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return keepers.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+
+
+@register(
     "dedup_simhash",
     f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
