@@ -55,3 +55,37 @@ def test_media_bytes_pruned_outside_decode(spark, tmp_path):
     cols = {c.split("#")[0] for c in _read_schemas(p)[0].split(",")}
     assert "bytes" not in cols
     assert cols == {"image_id", "caption"}
+
+
+def test_bucketed_store_join_skips_store_shuffle(spark):
+    """The Iceberg-deployment claim made executable: a page store
+    written with bucketBy(url_hash) joins the frontier with NO exchange
+    on the store side (only the slim frontier shuffles), while the same
+    join against the plain store exchanges both sides. This is the
+    co-located-join layout a 100 TB store ships with."""
+    from spatula_spark.sources.synthweb import SynthWeb
+
+    store = SynthWeb(n_hosts=4, details_per_host=200,
+                     details_per_list=50).page_store(spark)
+    store.write.bucketBy(8, "url_hash").sortBy("url_hash").mode(
+        "overwrite"
+    ).saveAsTable("_bucketed_store_test")
+    try:
+        bstore = spark.table("_bucketed_store_test")
+        frontier = store.select("url_hash").limit(100)
+
+        def executed_plan(df):
+            df.count()
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        p_bucketed = executed_plan(
+            bstore.join(frontier.hint("shuffle_hash"), "url_hash")
+        )
+        p_plain = executed_plan(
+            store.join(frontier.hint("shuffle_hash"), "url_hash")
+        )
+        assert "Bucketed: true" in p_bucketed
+        assert p_bucketed.count("Exchange hashpartitioning") == 1  # frontier
+        assert p_plain.count("Exchange hashpartitioning") == 2  # both sides
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bucketed_store_test")
