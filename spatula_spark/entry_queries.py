@@ -503,6 +503,10 @@ def _duck_lang_guess() -> str:
     f"""
 SELECT doc_id,
   ({_duck_ntok})::INT AS n_tokens,
+  (CASE WHEN trim(regexp_replace(text, '([.,!?;:])', ' \\1 ', 'g')) = ''
+        THEN 0 ELSE len(string_split_regex(
+          trim(regexp_replace(text, '([.,!?;:])', ' \\1 ', 'g')),
+          '\\s+')) END)::INT AS n_bpe_tokens,
   ({_duck_nstop})::INT AS n_stopwords,
   ({_duck_npunct})::INT AS n_punct,
   {_duck_quality} AS quality,

@@ -40,6 +40,18 @@ def token_count(text: Column) -> Column:
     )
 
 
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count: punctuation marks split
+    into their own tokens (the pre-tokenization a BPE tokenizer does
+    before merges). Spelled lookahead-free (RE2-safe, so the DuckDB
+    oracle evaluates the identical regex): space-pad each punctuation
+    mark, then count whitespace tokens."""
+    padded = F.regexp_replace(text, "([.,!?;:])", " $1 ")
+    return F.when(F.length(F.trim(padded)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(padded), "\\s+"))
+    )
+
+
 def stopword_count(text: Column) -> Column:
     return F.size(
         F.filter(tokens(text), lambda w: F.lower(w).isin(*STOPWORDS))
@@ -97,6 +109,7 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         stopword_count(t).alias("n_stopwords"),
         punct_count(t).alias("n_punct"),
         F.round(quality_score(t), 6).alias("quality"),
