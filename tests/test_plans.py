@@ -89,3 +89,32 @@ def test_bucketed_store_join_skips_store_shuffle(spark):
         assert p_plain.count("Exchange hashpartitioning") == 2  # both sides
     finally:
         spark.sql("DROP TABLE IF EXISTS _bucketed_store_test")
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    """Host-skew mandate: a 99%-one-host frontier repartitioned on
+    host alone piles into one partition; the salted repartition
+    (host, pmod(xxhash64(url), salt)) spreads the hot host across
+    many partitions while keeping per-(host, salt) groups co-located."""
+    from pyspark.sql import functions as F
+
+    from spatula_spark.operators.politeness import salted_repartition
+
+    rows = [("hot.example.com", f"http://hot.example.com/p{i}")
+            for i in range(990)]
+    rows += [(f"h{i}.example.com", f"http://h{i}.example.com/x")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "host string, url string")
+
+    def partition_sizes(d):
+        return [
+            r["n"] for r in d.withColumn(
+                "pid", F.spark_partition_id()
+            ).groupBy("pid").agg(F.count("*").alias("n")).collect()
+        ]
+
+    unsalted = partition_sizes(df.repartition(8, "host"))
+    salted = partition_sizes(salted_repartition(df, 8, salt_buckets=16))
+    assert max(unsalted) >= 990        # the hot host is one straggler
+    assert max(salted) <= 990 / 3      # spread across >=3 partitions
+    assert sum(salted) == 1000
