@@ -151,6 +151,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
+    # JVM/session warm-up OUTSIDE the timed window (one shuffle + one
+    # Arrow python-worker round trip, ~3 s): without it the first
+    # battery entry silently absorbs executor/codegen/python-daemon
+    # startup that has nothing to do with that query
+    spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy(
+        "k"
+    ).count().count()
+    spark.range(1000).toDF("x").mapInPandas(
+        lambda it: it, "x long"
+    ).count()
+
     # operator battery at the given SF (action = count to drain the plan)
     for name in HEADLINE:
         fn = entry_queries.QUERIES[name]
