@@ -244,8 +244,10 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 @F.pandas_udf(T.LongType())
 def _simhash_fold_udf(lo: pd.Series, hi: pd.Series) -> pd.Series:
     j32 = np.arange(32, dtype=np.uint64)
-    out = np.empty(len(lo), dtype=np.int64)
+    out: list = [None] * len(lo)
     for i, (ls, hs) in enumerate(zip(lo.to_numpy(), hi.to_numpy())):
+        if ls is None or hs is None:
+            continue  # null text -> null simhash (native-form parity)
         val = np.uint64(0)
         for off, arr in ((0, ls), (32, hs)):
             a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
@@ -256,8 +258,8 @@ def _simhash_fold_udf(lo: pd.Series, hi: pd.Series) -> pd.Series:
                 np.packbits(bits_set.astype(np.uint8), bitorder="little")
                 .view(np.uint32)[0]
             ) << np.uint64(off)
-        out[i] = np.int64(val.astype(np.int64))
-    return pd.Series(out)
+        out[i] = int(val.astype(np.int64))
+    return pd.Series(out, dtype="object")
 
 
 def simhash_ref(text: Column, bits: int = SIMHASH_BITS) -> Column:

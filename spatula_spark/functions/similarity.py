@@ -45,13 +45,20 @@ def cosine(a: Column, b: Column) -> Column:
 # imports before any session exists
 @F.pandas_udf(T.DoubleType())
 def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    x = np.vstack(a.to_numpy())
-    y = np.vstack(b.to_numpy())
-    num = np.einsum("ij,ij->i", x, y)
-    den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
-        np.einsum("ij,ij->i", y, y)
-    )
-    return pd.Series(num / den)
+    # null propagation like the native form: null in -> null out
+    av, bv = a.to_numpy(), b.to_numpy()
+    ok = np.array([u is not None and v is not None
+                   for u, v in zip(av, bv)])
+    out = np.full(len(av), np.nan)
+    if ok.any():
+        x = np.vstack(av[ok])
+        y = np.vstack(bv[ok])
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(
+            np.einsum("ij,ij->i", y, y)
+        )
+        out[ok] = num / den
+    return pd.Series(out).where(ok, None)
 
 
 def cosine_fast(a: Column | str, b: Column | str) -> Column:
@@ -184,19 +191,25 @@ def lsh_buckets_fast(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy())
-        n = x.shape[0]
-        out = np.zeros((n, n_tables), dtype=np.int32)
-        for t in range(n_tables):
-            bucket = np.zeros(n, dtype=np.int64)
-            for p in range(n_planes):
-                s = signs[t * n_planes + p]
-                acc = np.zeros(n)
-                for d in range(dim):  # exact left fold per row
-                    acc = acc + x[:, d] * s[d]
-                bucket |= (acc > 0).astype(np.int64) << p
-            out[:, t] = bucket
-        return pd.Series(list(out))
+        vv = vecs.to_numpy()
+        ok = np.array([v is not None for v in vv])
+        res: list = [None] * len(vv)
+        if ok.any():
+            x = np.vstack(vv[ok])
+            n = x.shape[0]
+            out = np.zeros((n, n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                bucket = np.zeros(n, dtype=np.int64)
+                for p in range(n_planes):
+                    s = signs[t * n_planes + p]
+                    acc = np.zeros(n)
+                    for d in range(dim):  # exact left fold per row
+                        acc = acc + x[:, d] * s[d]
+                    bucket |= (acc > 0).astype(np.int64) << p
+                out[:, t] = bucket
+            for j, i in enumerate(np.nonzero(ok)[0]):
+                res[i] = out[j]
+        return pd.Series(res)
 
     return _buckets(vec_col)
 

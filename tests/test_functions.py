@@ -152,6 +152,28 @@ def test_embedding_near_dups_finds_planted(emb):
     assert all(r["cos"] >= 0.95 for r in out)
 
 
+def test_vectorized_udfs_propagate_nulls(spark):
+    """The Arrow fast paths must propagate nulls like their native
+    reference forms instead of crashing the batch (null text / null
+    embedding rows are routine in crawled corpora)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = emb.select(
+        "vec_id", sim.lsh_buckets_fast("embedding", 2, 4, 64).alias("b")
+    ).collect()
+    assert {r["vec_id"]: r["b"] is None for r in rows} == {1: False, 2: True}
+    cos = emb.alias("a").crossJoin(emb.alias("c")).select(
+        sim.cosine_fast(F.col("a.embedding"), F.col("c.embedding")).alias("x")
+    ).collect()
+    assert sum(r["x"] is None for r in cos) == 3  # any null side -> null
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    sh = docs.select("doc_id", dd.simhash(F.col("text")).alias("s")).collect()
+    assert {r["doc_id"]: r["s"] is None for r in sh} == {1: False, 2: True}
+
+
 def test_simhash_fast_bit_identical(docs):
     """The Arrow-vectorized SimHash bit-fold must equal the Catalyst
     reference on every row — integer arithmetic both sides, so exact
