@@ -301,6 +301,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
@@ -341,6 +343,13 @@ def _extend(v: int, s: int) -> int:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline single-scan 4:4:4 JFIF bytes -> (h, w, 3) uint8 RGB."""
+    try:
+        return _jpeg_decode_impl(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt/truncated JPEG stream: {exc}") from exc
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2

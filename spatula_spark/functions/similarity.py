@@ -303,6 +303,10 @@ def ivf_topk(
     # sorted by cent_id, so the tie-break matches the oracle's
     # row_number ordering exactly
     cent_rows = cents.orderBy("cent_id").collect()
+    if not cent_rows:
+        raise ValueError(
+            "ivf_topk: no centroids (empty corpus or stride too large)"
+        )
     cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     cmat = np.vstack([np.asarray(r["centv"], dtype=np.float64)
                       for r in cent_rows])
