@@ -112,28 +112,87 @@ class XPath(Selector):
     """ElementTree-path selector (reference ``selectors.py:88-112``).
 
     Accepts ElementTree's XPath subset (``.//li``, ``tag[@attr]``,
-    ``tag[@attr='v']``, ``[.='text']``, positions) plus the lxml value
-    forms real scrapers lean on: a trailing ``/text()`` yields each
-    matched element's text nodes (own text + descendant tails, like
-    lxml) and ``/@attr`` yields attribute values — both return
-    *strings*, exactly as lxml XPath does. Leading ``//`` is
-    normalized to ``.//``.
+    ``tag[@attr='v']``, ``[.='text']``, positions) plus the lxml forms
+    real scrapers lean on:
+
+    * a trailing ``/text()`` yields each matched element's text nodes
+      (own text + descendant tails, like lxml) and ``/@attr`` yields
+      attribute values — both return *strings*, exactly as lxml XPath;
+    * function predicates on the FINAL location step:
+      ``[contains(X, 'v')]``, ``[starts-with(X, 'v')]``,
+      ``[ends-with(X, 'v')]`` with ``X`` one of ``@attr`` / ``text()``
+      (direct text nodes) / ``.`` (full string value), plus
+      ``[not(@attr)]`` — evaluated as a post-filter over the
+      ElementTree match of the stripped path.
+
+    Leading ``//`` is normalized to ``.//``.
     """
 
     _TEXT_SUFFIX = re.compile(r"^(.*?)/text\(\)$")
     _ATTR_SUFFIX = re.compile(r"^(.*?)/@([\w:-]+)$")
+    _FUNC_PRED = re.compile(
+        r"^(?P<base>.*)\[(?:"
+        r"not\(@(?P<notattr>[\w:-]+)\)"
+        r"|(?P<fn>contains|starts-with|ends-with)\(\s*"
+        r"(?P<subj>@[\w:-]+|text\(\)|\.)\s*,\s*"
+        r"(?P<q>['\"])(?P<val>(?:(?!(?P=q)).)*)(?P=q)\s*\)"
+        r")\]$"
+    )
 
     def __init__(self, xpath: str, **kw):
         super().__init__(**kw)
         self.xpath = xpath
 
+    @staticmethod
+    def _direct_text(el: ET.Element) -> str:
+        parts = [el.text or ""]
+        parts += [child.tail or "" for child in el]
+        return "".join(parts)
+
+    @classmethod
+    def _strip_func_preds(cls, base: str):
+        """Peel trailing function predicates (final step only) into
+        python post-filters; returns (stripped_path, [filters])."""
+        preds = []
+        while m := cls._FUNC_PRED.match(base):
+            if m.group("notattr"):
+                attr = m.group("notattr")
+                preds.append(lambda el, a=attr: el.get(a) is None)
+            else:
+                fn, subj, val = m.group("fn"), m.group("subj"), m.group("val")
+
+                def subject(el, s=subj):
+                    if s == "text()":
+                        return cls._direct_text(el)
+                    if s == ".":
+                        return "".join(el.itertext())
+                    return el.get(s[1:]) or ""
+
+                op = {
+                    "contains": lambda hay, v: v in hay,
+                    "starts-with": lambda hay, v: hay.startswith(v),
+                    "ends-with": lambda hay, v: hay.endswith(v),
+                }[fn]
+                preds.append(
+                    lambda el, sub=subject, o=op, v=val: o(sub(el), v)
+                )
+            base = m.group("base")
+        preds.reverse()  # apply left-to-right as written
+        return base, preds
+
     def get_items(self, element: ET.Element):
         path = self.xpath
         if path.startswith("//"):
             path = "." + path
+
+        def matches(base: str):
+            base, preds = self._strip_func_preds(base)
+            for el in element.iterfind(base or "."):
+                if all(p(el) for p in preds):
+                    yield el
+
         if m := self._TEXT_SUFFIX.match(path):
-            base = m.group(1) or "."
-            for el in element.iterfind(base):
+            for el in matches(m.group(1) or "."):
                 # lxml text(): the element's direct text node(s) —
                 # own .text plus each child's .tail
                 if el.text:
@@ -144,12 +203,12 @@ class XPath(Selector):
             return
         if m := self._ATTR_SUFFIX.match(path):
             base, attr = m.group(1) or ".", m.group(2)
-            for el in element.iterfind(base):
+            for el in matches(base):
                 v = el.get(attr)
                 if v is not None:
                     yield v
             return
-        yield from element.iterfind(path)
+        yield from matches(path)
 
     def __str__(self) -> str:
         return f"XPath({self.xpath})"

@@ -192,6 +192,31 @@ def test_xpath_text_and_attr_values():
     assert XPath("//p/text()").match(frag) == ["pre ", " post"]
 
 
+def test_xpath_function_predicates():
+    """lxml-style function predicates on the final step: contains /
+    starts-with / ends-with over @attr, text(), or . — plus not(@a) —
+    composable and usable under /@attr and /text() value forms."""
+    g = _g()
+    assert XPath("//a[contains(@href, '.pdf')]/@href").match(g) == [
+        "http://y.test/other.pdf",
+    ]
+    assert XPath("//a[starts-with(@href, 'https')]/@href").match(g) == [
+        "https://x.test/page",
+    ]
+    assert XPath("//a[ends-with(@href, '.pdf')]/@href").match(g) == [
+        "http://y.test/other.pdf",
+    ]
+    assert [element_text(e) for e in
+            XPath("//li[not(@class)][not(@lang)]").match(g)] == ["3", "5"]
+    assert [element_text(e)
+            for e in XPath("//li[contains(text(), '4')]").match(g)] == ["4"]
+    frag = parse_html("<div><p>pre <b>mid</b> post</p></div>")
+    assert [element_text(e)
+            for e in XPath("//p[contains(., 'mid')]").match(frag)] == [
+        "pre mid post",
+    ]
+
+
 GRAMMAR_HTML = (
     "<html><body>"
     '<div id="main" class="wrap outer">'
