@@ -962,6 +962,39 @@ def stream_window_counts_q(spark, sf_dir):
 
 
 @register(
+    "asof_join_purchases",
+    """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_r,
+       round(v.value, 6) AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def asof_join_purchases_q(spark, sf_dir):
+    """AS-OF JOIN — a relational operator Spark lacks natively: each
+    purchase matched to the user's most recent view at-or-before it
+    (point-in-time lookup). Implemented as tagged-union + one window
+    pass (functions/temporal.py — one shuffle on the key, NO join);
+    the oracle is DuckDB's native ASOF JOIN, so the hash match pins
+    the inclusive boundary, per-key isolation, and no-match nulls."""
+    from .functions.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "ts_r",
+        F.round("value_r", 6).alias("value_r"),
+    )
+
+
+@register(
     "stream_sliding_counts",
     """
 SELECT win_start, event_type, count(*) AS n, round(sum(value), 6) AS total

@@ -1,0 +1,80 @@
+"""Temporal joins Spark lacks natively, composed from built-ins.
+
+As-of join: each left row matches the single most recent right row
+with ``right.ts <= left.ts`` for the same key — the standard
+point-in-time lookup (feature stores, tick data, "state as of the
+event"). Spark has no ASOF JOIN; the scalable spelling is a tagged
+UNION + one window pass:
+
+    tag left side=1, right side=0; union; window last(right value,
+    ignorenulls) over (partition by key order by (ts, side) rows
+    unbounded preceding..current); keep left rows.
+
+One shuffle on the key (the window), no join at all — at 100 TB this
+beats the naive range-join (which explodes to |L| x |R| candidate
+pairs per key before picking the max). Ordering (ts, side) puts a
+right row BEFORE a left row at equal ts, giving the inclusive
+``<=`` match DuckDB's ASOF JOIN implements — the oracle is native
+DuckDB ASOF JOIN, so the value-hash check pins the full semantics
+(inclusive boundary, per-key isolation, nulls for no-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left rows + the latest right row at-or-before each left ``ts``.
+
+    ``value_cols``: right columns to carry (default: all but key+ts).
+    Right ``ts`` is carried as ``ts + suffix``. Left rows with no
+    earlier right row keep nulls (left-outer as-of semantics).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, ts)]
+    carried = [ts + suffix] + [c + suffix for c in value_cols]
+
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rts", F.lit(None).cast(right.schema[ts].dataType)
+    )
+    for c in value_cols:
+        lt = lt.withColumn(c + "_v", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        on,
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias("_rts"),
+        *[F.col(c).alias(c + "_v") for c in value_cols],
+    )
+    # align schemas for the union: left keeps all its columns, right
+    # rows carry nulls there
+    for c in left.columns:
+        if c not in (on, ts) and c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rt = rt.select(*[c for c in lt.columns])
+
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def last_of(c: str) -> Column:
+        return F.last(F.when(F.col("_side") == 0, F.col(c)), True).over(w)
+
+    out = u.withColumn(ts + suffix, last_of("_rts"))
+    for c in value_cols:
+        out = out.withColumn(c + suffix, last_of(c + "_v"))
+    return out.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns], *carried
+    )

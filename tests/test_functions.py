@@ -306,6 +306,31 @@ def test_mjpeg_frame_sampling_real(spark):
         assert psnr(decoded, frames[r["frame_no"]]) >= 40.0
 
 
+def test_asof_join_semantics(spark):
+    """Hand-built edge cases: inclusive boundary (right row AT the left
+    ts matches), strictly-later right rows don't, no-match rows keep
+    nulls, keys are isolated."""
+    from spatula_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0), (1, 300, 3.0), (2, 60, 9.0)],
+        "user_id long, ts long, value double",
+    )
+    got = {
+        r["tag"]: (r["ts_r"], r["value_r"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert got == {
+        "a": (100, 1.0),   # inclusive: right at ts==100 matches
+        "b": (200, 2.0),   # 300 is later, ignored
+        "c": (None, None),  # only right row for user 2 is later
+    }
+
+
 def test_stream_sessionize_matches_batch_closed_sessions(spark):
     """The stateful streaming sessionizer (applyInPandasWithState +
     event-time timeout) must emit exactly the batch sessions that are
