@@ -995,6 +995,69 @@ def asof_join_purchases_q(spark, sf_dir):
 
 
 @register(
+    "range_join_error_bursts",
+    """
+WITH e AS (SELECT ts, event_id FROM events WHERE event_type = 'error'),
+g AS (SELECT ts, CASE WHEN lag(ts) OVER w IS NULL
+        OR date_diff('microsecond', lag(ts) OVER w, ts)
+           > 3600::BIGINT * 1000000 THEN 1 ELSE 0 END AS n
+      FROM e WINDOW w AS (ORDER BY ts, event_id)),
+s AS (SELECT ts, sum(n) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS bid
+      FROM g),
+b AS (SELECT bid, count(*) AS c, min(ts) AS burst_start,
+             max(ts) AS burst_end
+      FROM s GROUP BY 1 HAVING c >= 3)
+SELECT p.event_id, p.user_id, p.ts, b.burst_start, b.burst_end
+FROM events p, b
+WHERE p.event_type = 'purchase'
+  AND p.ts BETWEEN b.burst_start AND b.burst_end
+""",
+)
+def range_join_error_bursts_q(spark, sf_dir):
+    """UN-KEYED RANGE JOIN at scale: purchases that fell inside global
+    error bursts (gap-grouped error intervals, >=3 errors). A naive
+    BETWEEN join is BroadcastNestedLoop (|P| x |I|); the
+    temporal.range_join_buckets spelling explodes intervals to overlap
+    buckets and EQUI-joins on the bucket — a plain shuffle join that
+    survives both sides being large. The oracle runs the naive BETWEEN
+    join, so the hash match proves the bucketed plan returns exactly
+    the same containment set."""
+    from .functions.temporal import range_join_buckets
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("ts", "event_id")
+    # interval derivation is a global window: fine, the interval side
+    # is small by construction (bursts); the JOIN is the scale path
+    w = Window.orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.col("ts").cast("timestamp").cast("double")
+            - prev.cast("timestamp").cast("double")) > 3600.0),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    bursts = (
+        errors.withColumn("_new", is_new)
+        .withColumn("_bid", F.sum("_new").over(cum))
+        .groupBy("_bid")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+        )
+        .filter(F.col("_c") >= 3)
+        .select("burst_start", "burst_end")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join_buckets(
+        purchases, bursts, ts="ts", start="burst_start", end="burst_end"
+    ).select("event_id", "user_id", "ts", "burst_start", "burst_end")
+
+
+@register(
     "stream_sliding_counts",
     """
 SELECT win_start, event_type, count(*) AS n, round(sum(value), 6) AS total

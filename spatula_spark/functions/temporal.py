@@ -25,6 +25,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a key: points matched to every
+    interval containing them, via overlap bucketing.
+
+    Spark plans an un-keyed ``BETWEEN`` join as BroadcastNestedLoop —
+    |P| x |I| comparisons, a non-starter when both sides are large.
+    The scale shape: explode each interval to the time buckets it
+    overlaps, bucket each point, EQUI-join on the bucket (a normal
+    shuffle join), then filter exact containment. Cost is
+    |P| + sum(interval_len/bucket) join rows instead of |P| x |I|;
+    ``bucket_seconds`` trades fan-out vs per-bucket candidates (size
+    it near the median interval length).
+    """
+    b = F.lit(bucket_seconds)
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start) / b).cast("long"),
+                (F.unix_timestamp(end) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_bk", (F.unix_timestamp(ts) / b).cast("long")
+    )
+    return (
+        pt.join(iv, "_bk")
+        .filter(F.col(ts).between(F.col(start), F.col(end)))
+        .drop("_bk")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

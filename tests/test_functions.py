@@ -331,6 +331,33 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_range_join_buckets_boundaries(spark):
+    """Bucketized containment join equals the naive BETWEEN join,
+    including points exactly on interval and bucket boundaries and
+    intervals spanning multiple buckets."""
+    from spatula_spark.functions.temporal import range_join_buckets
+
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-01 0{h}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 59), (1, 0), (1, 30), (2, 0), (2, 1), (5, 0)]
+        )],
+        "pid long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 01:00:00", "2024-01-01 02:00:00"),   # 2 buckets
+         ("2024-01-01 00:30:00", "2024-01-01 03:30:00")],  # 4 buckets
+        "start string, end string",
+    ).select(F.col("start").cast("timestamp").alias("start"),
+             F.col("end").cast("timestamp").alias("end"))
+    got = {(r["pid"], str(r["start"])) for r in
+           range_join_buckets(pts, iv, bucket_seconds=3600).collect()}
+    naive = {(r["pid"], str(r["start"])) for r in
+             pts.crossJoin(iv).filter(
+                 F.col("ts").between(F.col("start"), F.col("end"))
+             ).collect()}
+    assert got == naive and len(got) == 8
+
+
 def test_stream_sessionize_matches_batch_closed_sessions(spark):
     """The stateful streaming sessionizer (applyInPandasWithState +
     event-time timeout) must emit exactly the batch sessions that are
