@@ -343,3 +343,71 @@ def simhash_near_dups(
     return cands.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Generic banded hamming join over any 64-bit fingerprint column
+    (SimHash, DCT image pHash, audio fingerprints, ...).
+
+    Pigeonhole completeness: with ``n_bands`` disjoint bands of
+    ``64 / n_bands`` bits, <= ``max_hamming`` flipped bits leave at
+    least one band identical whenever ``max_hamming < n_bands`` — so
+    the band-bucket equi-join finds EVERY pair within the radius
+    (asserted vs brute force in tests). Defaults to the smallest
+    band count that guarantees completeness; wider radii use more,
+    narrower bands (trade: bucket count per band shrinks 2^(64/n),
+    so candidates grow — pick the tightest radius you need).
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (0 < n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"completeness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id", "_h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("_h", width * b).bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_h", "bk.b", "bk.key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias(id_col + "_a"),
+            F.col("r._id").alias(id_col + "_b"),
+            F.col("l._h").alias("_ha"),
+            F.col("r._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cands.select(
+        id_col + "_a", id_col + "_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -306,6 +306,40 @@ def test_mjpeg_frame_sampling_real(spark):
         assert psnr(decoded, frames[r["frame_no"]]) >= 40.0
 
 
+def test_image_near_dups_via_hamming_join(spark):
+    """The image-dedup close of the media pipeline: DCT pHashes of
+    originals and their real-JPEG recompressions joined by the generic
+    banded hamming operator. Equality with brute force proves
+    pigeonhole completeness at the radius; the planted recompression
+    pairs within the radius must all be found."""
+    from spatula_spark.functions.images import synth_pixels, dct_phash
+    from spatula_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rows = []
+    for i in range(30):
+        px = synth_pixels(i, 48, 32)
+        rows.append((i, dct_phash(px)))
+        rows.append(
+            (i + 1000, dct_phash(jpeg_decode(jpeg_encode(px, quality=95))))
+        )
+    df = spark.createDataFrame(rows, "image_id long, fp long")
+    out = dd.hamming_near_dups(
+        df, "image_id", "fp", max_hamming=7, n_bands=8
+    ).collect()
+    got = {(r["image_id_a"], r["image_id_b"]) for r in out}
+    # brute force reference (all pairs, 60 rows — fine here)
+    a = df.select(F.col("image_id").alias("x"), F.col("fp").alias("fa"))
+    b = df.select(F.col("image_id").alias("y"), F.col("fp").alias("fb"))
+    brute = {
+        (r["x"], r["y"]) for r in a.join(b, F.col("x") < F.col("y"))
+        .filter(F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= 7)
+        .collect()
+    }
+    assert got == brute
+    planted_found = {(i, i + 1000) for i, _ in enumerate(range(30))} & got
+    assert len(planted_found) >= 20  # most recompressions within h<=7
+
+
 def test_asof_join_semantics(spark):
     """Hand-built edge cases: inclusive boundary (right row AT the left
     ts matches), strictly-later right rows don't, no-match rows keep
