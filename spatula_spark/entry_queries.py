@@ -645,7 +645,11 @@ def clean_corpus_q(spark, sf_dir):
     )
     passed = prof.filter(F.col("quality") >= 0.8)
     keep = passed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    keepers = passed.join(keep, ["fp", "doc_id"]).persist()
+    # localCheckpoint, not persist(): the blocks are freed by the
+    # ContextCleaner once the driver reference is GC'd, so repeated
+    # invocations (bench battery, check_oracles, long sessions) don't
+    # accumulate cached partitions the way un-unpersisted persist()s do
+    keepers = passed.join(keep, ["fp", "doc_id"]).localCheckpoint()
     pairs = dd.minhash_dedup_pairs(
         keepers.select("doc_id", "text"), threshold=0.8
     )
@@ -863,9 +867,12 @@ def embedding_near_dups_q(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
-    """
+    f"""
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
-cents AS (SELECT cid AS cent_id, cv AS centv FROM c WHERE cid % 16 = 0),
+cents AS (
+  SELECT cid AS cent_id, cv AS centv FROM (
+    SELECT cid, cv FROM c
+    ORDER BY {duck_hash("'ivf:'||cid")}, cid LIMIT 32)),
 sc AS (SELECT cid, cv, cent_id,
          round(list_cosine_similarity(cv, centv), 6) AS cs FROM c, cents),
 assigned AS (
@@ -896,13 +903,15 @@ def ann_ivf_topk_q(spark, sf_dir):
     """IVF coarse-quantizer ANN (inverted lists + nprobe probing).
     Deterministic centroid pick => the oracle replicates the ENTIRE
     pipeline (assignment, probes, scoring) — a full value-hash check,
-    unlike LSH's rows-only; nprobe==n_centroids equality with brute
-    force is asserted in tests/test_functions.py."""
+    unlike LSH's rows-only; nprobe>=n_centroids equality with brute
+    force is asserted in tests/test_functions.py. Centroids: 32
+    hash-order-sampled vectors (driver cost fixed at 32 rows whatever
+    the corpus size — the round-2 stride pick grew with the corpus)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries, k=5, centroid_stride=16, nprobe=4)
+    return sim.ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=4)
 
 
 @register("ann_lsh_topk")  # approximate by design -> rows-only check;

@@ -265,11 +265,46 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(
+    c: DataFrame, n_centroids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pick exactly ``min(n_centroids, |corpus|)`` centroids as the
+    corpus rows with the smallest ``portable_hash64('ivf:' || id)`` —
+    a deterministic uniform sample whose driver footprint is
+    O(n_centroids) REGARDLESS of corpus size (the round-2 stride
+    selection collected |corpus|/stride rows: a driver OOM at 10^10).
+    Spark plans the orderBy+limit as TakeOrderedAndProject (per-
+    partition top-n, merge of n rows at the driver — no global sort
+    shuffle). Hash-order (not id-order) keeps the sample unbiased
+    under clustered ids, and md5 arithmetic keeps it reproducible in
+    DuckDB for the full value-hash oracle.
+
+    Returns ``(cent_ids, cmat)`` sorted by centroid id so np.argmax's
+    first-maximum tie-break == the oracle's row_number ordering.
+    ``c`` must have columns (cid, cv)."""
+    from ..urls import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit("ivf:"), F.col("cid").cast("string")))
+    rows = (
+        c.withColumn("_h", h)
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .select("cid", "cv")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_topk: empty corpus — no centroids")
+    rows.sort(key=lambda r: r["cid"])
+    cent_ids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    return cent_ids, cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 16,
+    n_centroids: int = 32,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -277,47 +312,55 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     scale path next to :func:`ann_lsh_topk`.
 
-    Centroids are every ``centroid_stride``-th corpus vector by id —
-    deterministic (no RNG, so the DuckDB oracle replicates the whole
-    pipeline exactly); a k-means refinement would slot into the same
-    list mechanics. Build: the centroid matrix (always driver-sized for
-    a coarse quantizer) is collected once and closed over by an
-    Arrow-vectorized assignment pass — each corpus vector gets its
-    nearest centroid in one matmul row, with NO corpus x centroids
-    cross join (the previous spelling materialized |corpus| x |cents|
-    vector pairs through the scorer). Query: probe the ``nprobe``
-    nearest centroids, score exactly ONLY the vectors in those lists
-    (~nprobe/n_centroids of the corpus), top-k.
+    Centroids: a FIXED count of hash-order-sampled corpus vectors
+    (:func:`ivf_centroids`) — deterministic (no RNG, so the DuckDB
+    oracle replicates the whole pipeline exactly) and driver-bounded at
+    O(n_centroids) independent of corpus rows; a k-means refinement
+    would slot into the same list mechanics. Build: the centroid matrix
+    is collected once and closed over by an Arrow-vectorized assignment
+    pass — each corpus vector gets its nearest centroid in one matmul
+    row, with NO corpus x centroids cross join (the previous spelling
+    materialized |corpus| x |cents| vector pairs through the scorer).
+    Null / zero-norm embeddings get a null cent_id (they fall out of
+    candidate lists instead of crashing the Arrow batch). Query: probe
+    the ``nprobe`` nearest centroids, score exactly ONLY the vectors in
+    those lists (~nprobe/n_centroids of the corpus), top-k.
 
     Scale shape: lists are bucketed by ``cent_id`` (an Iceberg
     deployment partitions on it), so a probe reads nprobe partitions —
     candidate generation never shuffles the corpus, and with
-    ``nprobe == n_centroids`` the result provably equals
-    :func:`cosine_topk` (asserted in tests)."""
+    ``nprobe >= n_centroids`` the result provably equals
+    :func:`cosine_topk` (asserted in tests). Size ``n_centroids``
+    ~sqrt(|corpus|) for balanced lists (the classic IVF operating
+    point); the driver cost stays n_centroids rows either way."""
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    cents = c.filter(F.col("cid") % centroid_stride == 0).select(
-        F.col("cid").alias("cent_id"), F.col("cv").alias("centv")
-    )
-    # assignment: argmax over round(cos, 6) with ties -> smaller
-    # cent_id — np.argmax returns the FIRST maximum and the rows are
-    # sorted by cent_id, so the tie-break matches the oracle's
-    # row_number ordering exactly
-    cent_rows = cents.orderBy("cent_id").collect()
-    if not cent_rows:
-        raise ValueError(
-            "ivf_topk: no centroids (empty corpus or stride too large)"
-        )
-    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
-    cmat = np.vstack([np.asarray(r["centv"], dtype=np.float64)
-                      for r in cent_rows])
+    cent_ids, cmat = ivf_centroids(c, n_centroids)
     cnorm = cmat / np.sqrt(np.einsum("ij,ij->i", cmat, cmat))[:, None]
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cmat)],
+        "cent_id long, centv array<double>",
+    )
 
     @F.pandas_udf(T.LongType())
     def _assign(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)
-        xn = x / np.sqrt(np.einsum("ij,ij->i", x, x))[:, None]
-        sims = np.round(xn @ cnorm.T, 6)
-        return pd.Series(cent_ids[np.argmax(sims, axis=1)])
+        # null/zero-norm mask mirrors lsh_buckets_fast: dirty rows in a
+        # crawled corpus must not kill the Arrow batch
+        vv = vecs.to_numpy()
+        ok = np.array([v is not None for v in vv])
+        res: list = [None] * len(vv)
+        if ok.any():
+            x = np.vstack(vv[ok]).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+            good = nrm > 0
+            xn = np.zeros_like(x)
+            xn[good] = x[good] / nrm[good, None]
+            sims = np.round(xn @ cnorm.T, 6)
+            pick = cent_ids[np.argmax(sims, axis=1)]
+            for j, i in enumerate(np.nonzero(ok)[0]):
+                if good[j]:
+                    res[i] = int(pick[j])
+        return pd.Series(res, dtype="object")
 
     assigned = c.withColumn("cent_id", _assign("cv"))
     q = queries.select(
@@ -399,18 +442,21 @@ def embedding_near_dups(
     compounds recall across tables while keeping buckets narrow
     (recall asserted vs planted positives in tests/test_functions.py).
     """
+    # localCheckpoint, not persist(): both tables are consumed twice
+    # (the self-join and the verify joins), and each consumer would
+    # otherwise recompute the 32-plane projection (per-consumer
+    # recompute of non-exchange subtrees). Checkpoint blocks are freed
+    # by the ContextCleaner when the driver reference is GC'd —
+    # un-unpersisted persist()s accumulated cache across battery runs.
     slim = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).persist()
-    # persist the slim bucket table: the self-join consumes it twice,
-    # and each consumer would otherwise recompute the 32-plane
-    # projection (per-consumer recompute of non-exchange subtrees)
+    ).localCheckpoint()
     b = slim.select(
         "vid",
         F.posexplode(
             lsh_buckets_fast("v", n_tables, n_planes, dim)
         ).alias("table", "bucket"),
-    ).persist()
+    ).localCheckpoint()
     l, r = b.alias("l"), b.alias("r")
     cands = (
         l.join(

@@ -21,7 +21,7 @@ DuckDB ASOF JOIN, so the value-hash check pins the full semantics
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,17 +83,29 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in (on, ts)]
     carried = [ts + suffix] + [c + suffix for c in value_cols]
 
-    lt = left.withColumn("_side", F.lit(1)).withColumn(
-        "_rts", F.lit(None).cast(right.schema[ts].dataType)
+    # All carried columns ride ONE struct so the window's last() picks
+    # them atomically from the SAME right row — per-column last(...,
+    # ignorenulls) would splice a null value column from an older row
+    # under the latest row's ts (inconsistent (ts_r, value_r) pairs,
+    # and wrong ASOF semantics, which carry the latest row's NULL).
+    rstruct = F.struct(
+        F.col(ts).alias("_rts"),
+        *[F.col(c).alias("_v_" + c) for c in value_cols],
     )
-    for c in value_cols:
-        lt = lt.withColumn(c + "_v", F.lit(None).cast(right.schema[c].dataType))
     rt = right.select(
         on,
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.col(ts).alias("_rts"),
-        *[F.col(c).alias(c + "_v") for c in value_cols],
+        rstruct.alias("_rrow"),
+        # deterministic tiebreak among right rows sharing (key, ts):
+        # without it the window order (ts, _side) leaves which same-ts
+        # right row "wins" up to partition layout.
+        F.xxhash64(rstruct).alias("_tie"),
+    )
+    lt = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_rrow", F.lit(None).cast(rt.schema["_rrow"].dataType))
+        .withColumn("_tie", F.lit(0).cast("long"))
     )
     # align schemas for the union: left keeps all its columns, right
     # rows carry nulls there
@@ -105,16 +117,14 @@ def asof_join(
     u = lt.unionByName(rt)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-
-    def last_of(c: str) -> Column:
-        return F.last(F.when(F.col("_side") == 0, F.col(c)), True).over(w)
-
-    out = u.withColumn(ts + suffix, last_of("_rts"))
-    for c in value_cols:
-        out = out.withColumn(c + suffix, last_of(c + "_v"))
+    out = u.withColumn(
+        "_m", F.last(F.when(F.col("_side") == 0, F.col("_rrow")), True).over(w)
+    )
     return out.filter(F.col("_side") == 1).select(
-        *[c for c in left.columns], *carried
+        *[c for c in left.columns],
+        F.col("_m._rts").alias(ts + suffix),
+        *[F.col("_m._v_" + c).alias(c + suffix) for c in value_cols],
     )

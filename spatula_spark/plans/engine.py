@@ -168,10 +168,47 @@ class CrawlConfig:
     # payload-heavy store is never shuffled and the decode/transform
     # stage runs at the store's own partitioning. Bigger waves fall
     # back to the classic shuffle join against a url_hash-partitioned
-    # store copy. Size to driver memory (~150 B/row slim frontier);
-    # a 10^10-URL deployment with 10^7-row waves raises driver memory
-    # or lowers this.
-    broadcast_fetch_max: int = 4_000_000
+    # store copy. None (default) derives the cap from a MEMORY BUDGET:
+    # 10% of spark.driver.memory at ~150 B/row slim frontier — a fixed
+    # 4M-row default OOM'd at Spark's stock 1 GiB driver (the round-2
+    # scaling runs had to set 48g); the budget rule gives ~700k rows at
+    # 1 GiB and ~17M at 24 GiB, scaling with what the deployment
+    # actually provisioned. Set an int to pin it explicitly.
+    broadcast_fetch_max: int | None = None
+    # the 404 anti-join's store-keys broadcast is O(|store|), not
+    # O(wave): above this many store rows, derive "missing" via a
+    # shuffle anti-join against the url_hash-partitioned keys-only
+    # store copy instead (frontier side is wave-sized; the store side
+    # reuses its bucketing, key column pruned)
+    broadcast_store_keys_max: int = 4_000_000
+
+
+_MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """'24g' / '4096m' / raw bytes -> bytes (JVM -Xmx spelling)."""
+    s = s.strip().lower().removesuffix("b")
+    if s and s[-1] in _MEM_SUFFIX:
+        return int(float(s[:-1]) * _MEM_SUFFIX[s[-1]])
+    return int(s)
+
+
+def _broadcast_rows_budget(
+    spark: SparkSession, frac: float = 0.10, row_bytes: int = 150
+) -> int:
+    """Rows of slim frontier a broadcast may hold: ``frac`` of the
+    driver heap at ~``row_bytes``/row (url + path + input_json +
+    hash-relation overhead). In cluster mode the broadcast also lands
+    on every executor, so the tighter of driver/executor heap rules."""
+    mems = []
+    for key in ("spark.driver.memory", "spark.executor.memory"):
+        try:
+            mems.append(_parse_jvm_mem(spark.conf.get(key)))
+        except Exception:
+            pass
+    heap = min(mems) if mems else 1 << 30  # Spark's stock 1 GiB
+    return max(10_000, int(heap * frac) // row_bytes)
 
 
 @dataclass
@@ -471,6 +508,19 @@ class CrawlEngine:
                     (r["host"], r["path_prefix"], bool(r["allow"]))
                     for r in rows
                 ]
+        # validate the per-host budget table ONCE here (it's
+        # broadcast-small): a budget_per_wave <= 0 row would defer that
+        # host's rows on every wave, so the loop never drains
+        # (n_frontier never reaches 0) — an infinite crawl unless
+        # max_waves caps it. Same rule as default_budget's >= 1 check.
+        if politeness is not None:
+            bad = politeness.filter(F.col("budget_per_wave") < 1).count()
+            if bad:
+                raise ValueError(
+                    f"politeness table has {bad} row(s) with "
+                    "budget_per_wave < 1; per-host budgets must be >= 1 "
+                    "(drop the row to fall back to the default budget)"
+                )
         self.politeness = politeness
         self.config = config or CrawlConfig()
         n = self.config.target_partitions or int(
@@ -491,6 +541,14 @@ class CrawlEngine:
         else:
             self.page_store = None
         self._store_bykey = None
+        self._store_keys_bykey = None
+        self._store_rows = None  # counted lazily on first fetch
+        # memory-budget default for the broadcast-fetch cap (see
+        # CrawlConfig.broadcast_fetch_max)
+        if self.config.broadcast_fetch_max is None:
+            self._bcast_fetch_max = _broadcast_rows_budget(spark)
+        else:
+            self._bcast_fetch_max = self.config.broadcast_fetch_max
         # lazily-built wave-invariant Column caches (see crawl() —
         # rebuilding expression trees every wave is driver-bound)
         self._dedup_agg = None
@@ -502,6 +560,20 @@ class CrawlEngine:
                 self._nparts, "url_hash"
             ).persist()
         return self._store_bykey
+
+    def _store_keys(self) -> DataFrame:
+        """url_hash-partitioned keys-only store copy for the 404
+        anti-join when the store is too big to broadcast its keys.
+        Reuses the full bucketed copy when that already exists."""
+        if self._store_bykey is not None:
+            return self._store_bykey.select("url_hash")
+        if self._store_keys_bykey is None:
+            self._store_keys_bykey = (
+                self.page_store.select("url_hash")
+                .repartition(self._nparts, "url_hash")
+                .persist()
+            )
+        return self._store_keys_bykey
 
     # ---------------------------------------------------------------- seeds
     def seed_frontier(self, seeds: list[dict]) -> DataFrame:
@@ -1175,8 +1247,12 @@ class CrawlEngine:
                 ],
             )
         out_cols, missing_cols = self._fetch_cols
+        if self._store_rows is None:
+            # one count, first fetch only: gates the store-keys
+            # broadcast below and warms the persisted store cache
+            self._store_rows = self.page_store.count()
         n = getattr(self, "_n_frontier", None)
-        if n is not None and n <= self.config.broadcast_fetch_max:
+        if n is not None and n <= self._bcast_fetch_max:
             # default path: broadcast the SLIM frontier, probe the
             # payload-heavy store in place — no store shuffle ever, no
             # frontier shuffle at the join, and the transform/decode
@@ -1187,12 +1263,21 @@ class CrawlEngine:
                 F.broadcast(fetchable), "url_hash", "inner"
             ).select(*out_cols)
             # not-in-store rows (404 path): anti-join against the
-            # store's key column only — pruned from the columnar cache,
-            # ~8 B/row broadcast
-            missing = fetchable.join(
-                F.broadcast(self.page_store.select("url_hash")),
-                "url_hash", "left_anti",
-            ).select(*missing_cols)
+            # store's key column only. Small stores broadcast the keys
+            # (pruned from the columnar cache, ~8 B/row — but still
+            # O(|store|) per wave); big stores would OOM the driver, so
+            # they take a shuffle anti-join where only the WAVE-sized
+            # frontier moves and the store side reuses its keys-only
+            # bucketed copy.
+            if self._store_rows <= self.config.broadcast_store_keys_max:
+                missing = fetchable.join(
+                    F.broadcast(self.page_store.select("url_hash")),
+                    "url_hash", "left_anti",
+                ).select(*missing_cols)
+            else:
+                missing = fetchable.join(
+                    self._store_keys(), "url_hash", "left_anti"
+                ).select(*missing_cols)
             return found.unionByName(missing)
         # big-wave fallback: classic shuffle join against the
         # url_hash-bucketed store copy — the frontier side reshuffles,

@@ -112,6 +112,56 @@ def test_shuffle_fetch_fallback_matches_broadcast(spark, web, store):
     assert r1.waves == r2.waves
 
 
+def test_store_keys_antijoin_fallback_matches_broadcast(spark, web, store):
+    """Big stores must NOT broadcast their whole url_hash column for
+    the 404 anti-join (O(|store|) memory per wave): forcing the
+    shuffle-anti-join path (broadcast_store_keys_max=0) must produce
+    an identical crawl."""
+    default = CrawlEngine(spark, media_registry(), page_store=store,
+                          config=CrawlConfig())
+    forced = CrawlEngine(spark, media_registry(), page_store=store,
+                         config=CrawlConfig(broadcast_store_keys_max=0))
+    r1 = default.crawl(web.seeds())
+    r2 = forced.crawl(web.seeds())
+    assert r1.items() == r2.items()
+    assert r1.seen.count() == r2.seen.count()
+    assert r1.waves == r2.waves
+
+
+def test_politeness_table_with_nonpositive_budget_rejected(spark, store):
+    """A budget_per_wave <= 0 row would defer that host's rows forever
+    (the loop never drains) — the engine must refuse it at
+    construction, same rule as default_budget's >= 1 check."""
+    bad = spark.createDataFrame(
+        [("h0.example", 0)], "host string, budget_per_wave int"
+    )
+    with pytest.raises(ValueError, match="budget_per_wave"):
+        CrawlEngine(spark, media_registry(), page_store=store,
+                    politeness=bad)
+
+
+def test_broadcast_fetch_cap_derives_from_memory_budget(spark):
+    """The default broadcast-fetch cap follows the driver heap (10% at
+    ~150 B/row) instead of a fixed row count that OOMs stock 1 GiB
+    drivers."""
+    from spatula_spark.plans.engine import (
+        _broadcast_rows_budget,
+        _parse_jvm_mem,
+    )
+
+    assert _parse_jvm_mem("1g") == 1 << 30
+    assert _parse_jvm_mem("4096m") == 4096 << 20
+    assert _parse_jvm_mem("512k") == 512 << 10
+    assert _parse_jvm_mem("12345") == 12345
+    rows = _broadcast_rows_budget(spark)
+    heap = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "1g"))
+    assert rows == max(10_000, int(heap * 0.10) // 150)
+    # an engine with no explicit cap picks up the derived value
+    eng = CrawlEngine(spark, media_registry(),
+                      fetch_fn=lambda it: it, config=CrawlConfig())
+    assert eng._bcast_fetch_max == rows
+
+
 def test_virtual_fetcher_matches_store(spark):
     """The closed-form fetch_fn (synthweb.fetcher) must produce the
     same crawl as the materialized page-store join: identical item

@@ -222,17 +222,88 @@ def test_ivf_topk_recall_and_exhaustive_equality(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = sim.cosine_topk(emb, queries, k=5).collect()
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
-    # probing EVERY list must equal brute force exactly (500/16 -> 32
-    # centroids; nprobe=32 covers the whole corpus)
-    full = sim.ivf_topk(emb, queries, k=5, centroid_stride=16,
+    # probing EVERY list must equal brute force exactly (nprobe covers
+    # all 32 centroids -> the whole corpus)
+    full = sim.ivf_topk(emb, queries, k=5, n_centroids=32,
                         nprobe=32).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in full} == exact_pairs
     # partial probing is approximate but must beat random by far
-    approx = sim.ivf_topk(emb, queries, k=5, centroid_stride=16,
+    approx = sim.ivf_topk(emb, queries, k=5, n_centroids=32,
                           nprobe=8).collect()
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, recall
+
+
+def test_ivf_centroid_count_is_corpus_size_independent(emb):
+    """The round-2 stride selection collected |corpus|/stride rows on
+    the driver — O(corpus). Fixed-n selection must return EXACTLY
+    n_centroids rows whatever the corpus size (and min(n, |corpus|)
+    when the corpus is smaller)."""
+    small = emb.limit(100).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    big = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    ids_s, mat_s = sim.ivf_centroids(small, 16)
+    ids_b, mat_b = sim.ivf_centroids(big, 16)
+    assert len(ids_s) == len(ids_b) == 16
+    assert mat_s.shape == mat_b.shape == (16, 64)
+    # deterministic: same corpus -> same pick
+    ids_b2, _ = sim.ivf_centroids(big, 16)
+    assert list(ids_b) == list(ids_b2)
+    # corpus smaller than n -> every row is a centroid, no crash
+    ids_t, _ = sim.ivf_centroids(big.limit(5), 16)
+    assert len(ids_t) == 5
+
+
+def test_ivf_assign_survives_null_and_zero_norm(spark, emb):
+    """Dirty rows (null / all-zero embeddings) must get a null cent_id
+    and fall out of candidate lists — not crash the Arrow batch
+    (np.vstack of None) or produce NaN buckets."""
+    dirty = emb.select("vec_id", "embedding").limit(50).unionByName(
+        spark.createDataFrame(
+            [(900001, None), (900002, [0.0] * 64)],
+            "vec_id long, embedding array<double>",
+        ))
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = sim.ivf_topk(dirty, queries, k=5, n_centroids=8, nprobe=8).collect()
+    assert len(out) == 15
+    assert all(r["neighbor_id"] not in (900001, 900002) for r in out)
+
+
+def _planted_recall(topk_rows, base_ids):
+    """Fraction of perturbed queries whose known nearest neighbor (the
+    unperturbed original, cos ~0.9996) appears in the returned top-k."""
+    found = {
+        r["query_id"] - 1_000_000
+        for r in topk_rows
+        if r["neighbor_id"] == r["query_id"] - 1_000_000
+    }
+    return len(found & base_ids) / len(base_ids)
+
+
+def test_ann_recall_at_documented_settings(emb):
+    """The operating-point guarantee (round-2 verdict: 0.2/0.3 floors
+    prove 'beats random', not 'usable ANN'): at the DOCUMENTED default
+    settings, both ANN paths must recover >= 0.8 of planted
+    near-duplicate nearest neighbors. The sweep table these defaults
+    came from is in README.md (settings-vs-recall)."""
+    base = emb.limit(100)
+    corpus = sim.perturbed_embeddings(base)
+    queries = corpus.filter(F.col("vec_id") >= 1_000_000)
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+
+    # LSH at the documented default (n_tables=4, n_planes=5)
+    lsh = sim.ann_lsh_topk(corpus, queries, k=5).collect()
+    r_lsh = _planted_recall(lsh, base_ids)
+    assert r_lsh >= 0.8, r_lsh
+
+    # IVF at the documented default shape (n_centroids ~ sqrt(N)=14,
+    # nprobe=4)
+    ivf = sim.ivf_topk(corpus, queries, k=5, n_centroids=14,
+                       nprobe=4).collect()
+    r_ivf = _planted_recall(ivf, base_ids)
+    assert r_ivf >= 0.8, r_ivf
 
 
 def test_cosine_topk_self_excluded_and_ordered(emb):
@@ -363,6 +434,27 @@ def test_asof_join_semantics(spark):
         "b": (200, 2.0),   # 300 is later, ignored
         "c": (None, None),  # only right row for user 2 is later
     }
+
+
+def test_asof_join_carries_latest_rows_null_atomically(spark):
+    """ASOF semantics: every carried column comes from the SAME
+    (latest) right row. When that row's value is NULL, value_r must be
+    NULL — not spliced in from an older right row (the round-2
+    per-column last(..., ignorenulls) bug). Multi-column carry must be
+    atomic too."""
+    from spatula_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 250, "x")], "user_id long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0, "old"), (1, 200, None, "new")],
+        "user_id long, ts long, value double, src string",
+    )
+    [r] = asof_join(left, right, on="user_id").collect()
+    # latest right row at-or-before 250 is ts=200 with a NULL value:
+    # (ts_r, value_r, src_r) must all come from that row
+    assert (r["ts_r"], r["value_r"], r["src_r"]) == (200, None, "new")
 
 
 def test_range_join_buckets_boundaries(spark):
