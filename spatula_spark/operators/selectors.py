@@ -20,9 +20,11 @@ Differences by design, not omission:
   order-preserving ``array_distinct``) over any of this; this module
   is the HTML/XML escape hatch.
 * The element tree is stdlib ``xml.etree`` (no lxml/cssselect in
-  container), so ``XPath`` supports ElementTree's path subset while
-  ``CSS`` is a compiled-grammar engine covering the selectors real
-  scrapers use: compound simple selectors (tag ``.class`` ``#id``
+  container): ``XPath`` runs on the from-scratch XPath 1.0 subset
+  engine (``xpath_engine.py`` — per-step predicates, positions,
+  axes, mid-path ``//``) and ``CSS`` is a compiled-grammar engine
+  covering the selectors real scrapers use: compound simple
+  selectors (tag ``.class`` ``#id``
   ``[attr]`` with ``= ^= $= *= ~= |=`` operators), the ``>`` ``+``
   ``~`` and descendant combinators, ``:first-child`` ``:last-child``
   ``:nth-child(an+b|odd|even)``, and comma-separated selector lists
@@ -35,6 +37,8 @@ import re
 import xml.etree.ElementTree as ET
 from abc import ABC, abstractmethod
 from collections.abc import Iterator
+
+from .xpath_engine import xpath_compile, xpath_eval
 
 
 class SelectorError(ValueError):
@@ -109,106 +113,29 @@ class Selector(ABC):
 
 
 class XPath(Selector):
-    """ElementTree-path selector (reference ``selectors.py:88-112``).
+    """XPath selector (reference ``selectors.py:88-112``, where lxml
+    supplies full XPath 1.0).
 
-    Accepts ElementTree's XPath subset (``.//li``, ``tag[@attr]``,
-    ``tag[@attr='v']``, ``[.='text']``, positions) plus the lxml forms
-    real scrapers lean on:
-
-    * a trailing ``/text()`` yields each matched element's text nodes
-      (own text + descendant tails, like lxml) and ``/@attr`` yields
-      attribute values — both return *strings*, exactly as lxml XPath;
-    * function predicates on the FINAL location step:
-      ``[contains(X, 'v')]``, ``[starts-with(X, 'v')]``,
-      ``[ends-with(X, 'v')]`` with ``X`` one of ``@attr`` / ``text()``
-      (direct text nodes) / ``.`` (full string value), plus
-      ``[not(@attr)]`` — evaluated as a post-filter over the
-      ElementTree match of the stripped path.
-
-    Leading ``//`` is normalized to ``.//``.
-    """
-
-    _TEXT_SUFFIX = re.compile(r"^(.*?)/text\(\)$")
-    _ATTR_SUFFIX = re.compile(r"^(.*?)/@([\w:-]+)$")
-    _FUNC_PRED = re.compile(
-        r"^(?P<base>.*)\[(?:"
-        r"not\(@(?P<notattr>[\w:-]+)\)"
-        r"|(?P<fn>contains|starts-with|ends-with)\(\s*"
-        r"(?P<subj>@[\w:-]+|text\(\)|\.)\s*,\s*"
-        r"(?P<q>['\"])(?P<val>(?:(?!(?P=q)).)*)(?P=q)\s*\)"
-        r")\]$"
-    )
+    Backed by the from-scratch engine in
+    :mod:`spatula_spark.operators.xpath_engine`: predicates on ANY
+    location step (positional ``[2]`` / ``[last()]`` /
+    ``[position()>=k]``, attribute and path tests, ``and`` / ``or`` /
+    ``not()``, ``contains`` / ``starts-with`` / ``ends-with`` /
+    ``normalize-space`` / ``count``), mid-path ``//``, named axes
+    (``parent``/``..``, ``ancestor``, ``descendant``, ``self``,
+    ``following-sibling``, ``preceding-sibling``, ``attribute``),
+    union paths, and trailing ``/text()`` / ``/@attr`` steps that
+    yield strings exactly as lxml does. Results are in document
+    order, deduplicated. The expression is parsed once at
+    construction (fail-fast) and cached for the Arrow batch loop."""
 
     def __init__(self, xpath: str, **kw):
         super().__init__(**kw)
         self.xpath = xpath
-
-    @staticmethod
-    def _direct_text(el: ET.Element) -> str:
-        parts = [el.text or ""]
-        parts += [child.tail or "" for child in el]
-        return "".join(parts)
-
-    @classmethod
-    def _strip_func_preds(cls, base: str):
-        """Peel trailing function predicates (final step only) into
-        python post-filters; returns (stripped_path, [filters])."""
-        preds = []
-        while m := cls._FUNC_PRED.match(base):
-            if m.group("notattr"):
-                attr = m.group("notattr")
-                preds.append(lambda el, a=attr: el.get(a) is None)
-            else:
-                fn, subj, val = m.group("fn"), m.group("subj"), m.group("val")
-
-                def subject(el, s=subj):
-                    if s == "text()":
-                        return cls._direct_text(el)
-                    if s == ".":
-                        return "".join(el.itertext())
-                    return el.get(s[1:]) or ""
-
-                op = {
-                    "contains": lambda hay, v: v in hay,
-                    "starts-with": lambda hay, v: hay.startswith(v),
-                    "ends-with": lambda hay, v: hay.endswith(v),
-                }[fn]
-                preds.append(
-                    lambda el, sub=subject, o=op, v=val: o(sub(el), v)
-                )
-            base = m.group("base")
-        preds.reverse()  # apply left-to-right as written
-        return base, preds
+        xpath_compile(xpath)  # surface syntax errors at build time
 
     def get_items(self, element: ET.Element):
-        path = self.xpath
-        if path.startswith("//"):
-            path = "." + path
-
-        def matches(base: str):
-            base, preds = self._strip_func_preds(base)
-            for el in element.iterfind(base or "."):
-                if all(p(el) for p in preds):
-                    yield el
-
-        if m := self._TEXT_SUFFIX.match(path):
-            for el in matches(m.group(1) or "."):
-                # lxml text(): the element's direct text node(s) —
-                # own .text plus each child's .tail
-                if el.text:
-                    yield el.text
-                for child in el:
-                    if child.tail:
-                        yield child.tail
-            return
-        if m := self._ATTR_SUFFIX.match(path):
-            base, attr = m.group(1) or ".", m.group(2)
-            for el in matches(base):
-                v = el.get(attr)
-                if v is not None:
-                    yield v
-            return
-        yield from matches(path)
+        yield from xpath_eval(self.xpath, element)
 
     def __str__(self) -> str:
         return f"XPath({self.xpath})"
@@ -221,12 +148,15 @@ _CSS_COMPONENT = re.compile(
     r"|#(?P<id>[\w-]+)"
     r"|\.(?P<cls>[\w-]+)"
     r"|\[(?P<attr>[^\]]+)\]"
-    r"|:(?P<pseudo>[\w-]+)(?:\((?P<args>[^)]*)\))?"
+    # one level of paren nesting: :not(:nth-last-child(2)) etc.
+    r"|:(?P<pseudo>[\w-]+)(?:\((?P<args>(?:[^()]|\([^()]*\))*)\))?"
 )
-_CSS_ATTR = re.compile(r"([\w-]+)\s*(?:([~^$*|]?=)\s*(.*))?$")
+_CSS_ATTR = re.compile(
+    r"([\w-]+)\s*(?:([~^$*|]?=)\s*(.*?)(\s+[iIsS])?)?$"
+)
 _CSS_TOKENS = re.compile(
     r"(?P<compound>(?:[a-zA-Z][\w-]*|\*|#[\w-]+|\.[\w-]+|\[[^\]]*\]"
-    r"|:[\w-]+(?:\([^)]*\))?)+)"
+    r"|:[\w-]+(?:\((?:[^()]|\([^()]*\))*\))?)+)"
     r"|\s*(?P<comb>[>+~,])\s*"
     r"|(?P<ws>\s+)"
 )
@@ -253,11 +183,13 @@ class CSS(Selector):
 
     * compound simple selectors: ``tag``, ``*``, ``.class`` (several),
       ``#id``, ``[attr]``, ``[attr=v]``, ``[attr^=v]``, ``[attr$=v]``,
-      ``[attr*=v]``, ``[attr~=v]``, ``[attr|=v]``
+      ``[attr*=v]``, ``[attr~=v]``, ``[attr|=v]``, each with the CSS4
+      case-sensitivity flags ``[attr=v i]`` / ``[attr=v s]``
     * pseudo-classes ``:first-child``, ``:last-child``,
-      ``:nth-child(an+b | odd | even | k)``, ``:only-child``,
-      ``:empty``, ``:not(compound)``, ``:first-of-type``,
-      ``:last-of-type``, ``:nth-of-type(...)``
+      ``:nth-child(an+b | odd | even | k)``, ``:nth-last-child(...)``,
+      ``:only-child``, ``:empty``, ``:not(compound)``, ``:root``,
+      ``:first-of-type``, ``:last-of-type``, ``:nth-of-type(...)``,
+      ``:nth-last-of-type(...)``
     * combinators: descendant (space), child ``>``, adjacent sibling
       ``+``, general sibling ``~``
     * selector lists: ``a, b`` — union, document order, deduped
@@ -328,14 +260,29 @@ class CSS(Selector):
                 am = _CSS_ATTR.fullmatch(m.group("attr").strip())
                 if not am:
                     raise ValueError(f"bad attribute selector: {part!r}")
-                name, op, val = am.groups()
+                name, op, val, flag = am.groups()
+                # CSS4 case-sensitivity flag: [attr=v i] folds case,
+                # [attr=v s] forces the (default) sensitive compare
+                ci = bool(flag) and flag.strip().lower() == "i"
                 if val is not None:
                     val = val.strip().strip("'\"")
-                attrs.append((name, op, val))
+                    if ci:
+                        val = val.lower()
+                attrs.append((name, op, val, ci))
             else:
                 name = m.group("pseudo")
                 if name == "nth-child":
                     pseudos.append(("nth", _parse_nth(m.group("args") or "")))
+                elif name == "nth-last-child":
+                    pseudos.append(
+                        ("nth_last", _parse_nth(m.group("args") or ""))
+                    )
+                elif name == "nth-last-of-type":
+                    pseudos.append(
+                        ("nth_last_type", _parse_nth(m.group("args") or ""))
+                    )
+                elif name == "root":
+                    pseudos.append(("root", ()))
                 elif name == "first-child":
                     pseudos.append(("nth", (0, 1)))
                 elif name == "last-child":
@@ -369,12 +316,14 @@ class CSS(Selector):
                 return False
             if classes and not classes <= set((el.get("class") or "").split()):
                 return False
-            for name, op, val in attrs:
+            for name, op, val, ci in attrs:
                 v = el.get(name)
                 if v is None:
                     return False
                 if op is None:
                     continue
+                if ci:
+                    v = v.lower()
                 if op == "=" and v != val:
                     return False
                 if op == "^=" and not v.startswith(val):
@@ -398,6 +347,14 @@ class CSS(Selector):
                 if kind == "last":
                     if idx != nsib:
                         return False
+                elif kind == "nth_last":
+                    if not _nth_ok(arg[0], arg[1], nsib - idx + 1):
+                        return False
+                elif kind == "root":
+                    # the element with no parent in the scope tree —
+                    # the scope root itself (cssselect's not(parent::*))
+                    if parent is not None:
+                        return False
                 elif kind == "only":
                     if not (idx == 1 and nsib == 1):
                         return False
@@ -407,7 +364,7 @@ class CSS(Selector):
                 elif kind == "not":
                     if arg(el, parent, idx, nsib):
                         return False
-                elif kind in ("nth_type", "last_type"):
+                elif kind in ("nth_type", "last_type", "nth_last_type"):
                     if parent is None:
                         return False
                     typed = [c for c in parent if c.tag == el.tag]
@@ -417,6 +374,9 @@ class CSS(Selector):
                     if kind == "last_type":
                         if ti != len(typed):
                             return False
+                    elif kind == "nth_last_type":
+                        if not _nth_ok(arg[0], arg[1], len(typed) - ti + 1):
+                            return False
                     elif not _nth_ok(arg[0], arg[1], ti):
                         return False
                 else:
@@ -424,6 +384,9 @@ class CSS(Selector):
                         return False
             return True
 
+        # :root names the scope element, which is otherwise excluded
+        # from candidates — get_items widens the first step for it
+        pred.wants_root = any(k == "root" for k, _ in pseudos)
         return pred
 
     # ----------------------------------------------------------- matching
@@ -459,10 +422,13 @@ class CSS(Selector):
             current: list[ET.Element] | None = None  # None = scope root
             for comb, p in group:
                 if current is None:
-                    # first step: search the whole scope (descendants)
+                    # first step: search the whole scope (descendants;
+                    # the scope element itself only for :root)
                     current = [
                         el for el in element.iter()
-                        if el is not element and run_pred(p, el)
+                        if (el is not element
+                            or getattr(p, "wants_root", False))
+                        and run_pred(p, el)
                     ]
                     continue
                 nxt: list[ET.Element] = []
