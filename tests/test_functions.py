@@ -65,6 +65,36 @@ def test_minhash_lsh_recall_on_near_copies(docs):
     assert recall >= 0.95, (recall, len(expected))
 
 
+def test_minhash_fast_path_bit_identical(docs, spark):
+    """The Arrow signature/jaccard fast paths must equal the
+    pure-Catalyst reference forms (which the DuckDB oracles mirror)
+    on the real corpus — including whitespace-edge and null rows."""
+    edge = spark.createDataFrame(
+        [(9001, "  one\ttwo\nthree  four one two three "),
+         (9002, "short"), (9003, ""), (9004, None)],
+        "doc_id long, text string",
+    )
+    corpus = dd.perturbed_corpus(docs.limit(150)).unionByName(edge)
+    cols = [f"mh_{i}" for i in range(8)]
+    fast = dd.minhash_signatures(corpus).alias("f")
+    ref = dd.minhash_signatures_ref(corpus).alias("r")
+    neq = fast.join(ref, "doc_id").filter(" OR ".join(
+        f"f.{c} IS DISTINCT FROM r.{c}" for c in cols
+    )).count()
+    assert neq == 0
+    pairs = dd.lsh_candidate_pairs(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.jaccard_pairs(corpus, pairs, threshold=0.8).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.jaccard_pairs_ref(corpus, pairs,
+                                      threshold=0.8).collect()
+    }
+    assert got == want and got
+
+
 def test_simhash_quarter_keys_complete(docs, spark):
     """Candidate scheme completeness: quarter-key join == brute force
     for hamming <= 3."""
