@@ -192,9 +192,14 @@ class ShardedBloom:
     *new* hashes (one small ``applyInPandas`` job over that wave's
     fetches) and ORs them into driver state; the merged blobs are
     re-broadcast. Blob size is fixed by (capacity, fpr) at
-    construction; at 10^10 keys raise ``n_shards`` (~2.5k shards of
-    ~18 MB at fpr 1e-3) and keep the OR-merge a tree-reduce across
-    executors — the driver never sees individual hashes either way.
+    construction, but the SHARD COUNT auto-grows: when the fill ratio
+    crosses the engine's threshold, :meth:`regrow` re-shards ``4x``
+    wider and rebuilds from the exact seen table (geometric growth =>
+    O(N) total rebuild work), so a crawl that outlives its initial
+    sizing keeps its FPR instead of silently degrading. At 10^10 keys
+    that converges to ~2.5k shards of ~18 MB at fpr 1e-3; keep the
+    OR-merge a tree-reduce across executors — the driver never sees
+    individual hashes either way.
     """
 
     def __init__(self, n_shards: int, capacity_per_shard: int, fpr: float):
@@ -212,6 +217,7 @@ class ShardedBloom:
         self._bc = None
         self._dirty = False
         self.broadcasts_created = 0
+        self.regrows = 0
 
     def add_hashes_df(self, new_hashes_df, key_col: str = "url_hash") -> None:
         """One Spark job: shard-group the wave's new hashes, build one
@@ -247,6 +253,38 @@ class ShardedBloom:
             self.count += int(r["n"])
         if rows:
             self._dirty = True
+
+    def fill_ratio(self) -> float:
+        """Keys inserted / designed total capacity. Past ~1.0 the FPR
+        degrades geometrically (p = (1 - e^{-kn/m})^k)."""
+        return self.count / max(1, self.n_shards * self.cap)
+
+    def estimated_fpr(self) -> float:
+        """Expected FPR at the CURRENT key count (uniform shards)."""
+        n_per_shard = self.count / max(1, self.n_shards)
+        return (1.0 - math.exp(-self.k * n_per_shard / self.m)) ** self.k
+
+    def needs_regrow(self, threshold: float = 1.0) -> bool:
+        return self.fill_ratio() > threshold
+
+    def regrow(self, seen_df, key_col: str = "url_hash",
+               growth: int = 4) -> None:
+        """Re-shard ``growth``x wider and rebuild from the EXACT seen
+        table (the ground-truth DataFrame the engine keeps anyway —
+        Bloom bits can't be rescaled without the keys). Called at
+        geometric fill points, so total rebuild work over a crawl is
+        O(N * (1 + 1/growth + ...)) = O(N); without it a long crawl
+        silently degrades FPR until 'maybe seen' stops filtering
+        anything and every row pays the exact anti-join."""
+        self.n_shards *= growth
+        self.words = {}
+        self.count = 0
+        if self._bc is not None:  # stale sharding — release the blob
+            self._bc.unpersist(blocking=False)
+            self._bc = None
+        self._dirty = True
+        self.regrows += 1
+        self.add_hashes_df(seen_df, key_col=key_col)
 
     def membership_udf(self, spark):
         """Arrow-batched ``maybe_seen(key) -> boolean``. False =>

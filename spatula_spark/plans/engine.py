@@ -138,6 +138,9 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpr: float = 1e-3
     bloom_shards: int = 16
+    # auto-regrow the sharded bloom when inserted keys exceed this
+    # fraction of designed capacity (seen.ShardedBloom.regrow)
+    bloom_regrow_fill: float = 1.0
     # fixed per-shard capacity (blob size is set once; OR-merge keeps
     # it constant). 256k hashes/shard ≈ 460 KB/shard at fpr 1e-3; a
     # 10^10-URL deployment raises shards+capacity (docs in seen.py).
@@ -995,6 +998,12 @@ class CrawlEngine:
                         # incremental: OR this wave's shard blobs into
                         # the driver-held filter (never a full rebuild)
                         self._bloom.add_hashes_df(new_seen, key_col="seen_key")
+                    if self._bloom.needs_regrow(cfg.bloom_regrow_fill):
+                        # fill ratio past threshold: FPR would degrade
+                        # geometrically from here; re-shard 4x wider
+                        # from the exact seen table (geometric growth
+                        # keeps total rebuild work O(N) over the crawl)
+                        self._bloom.regrow(seen, key_col="seen_key")
             _tick("seen update", t)
 
             # next frontier: a narrow filter over the ALREADY

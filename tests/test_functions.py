@@ -551,3 +551,93 @@ def test_audio_video_stub_plumbing(spark):
     frames = mm.sample_video_frames(vids, every_n=5, frame_bytes=256).collect()
     assert [r["frame_no"] for r in frames] == [0, 5, 10, 15]
     assert all(len(bytes(r["frame"])) == 256 for r in frames)
+
+
+def test_optional_codec_dispatch(monkeypatch):
+    """Routing contract for the optional codec dependencies: when
+    soundfile / pyav are importable, non-WAV audio and non-MJPEG video
+    go through them; the in-repo WAV / Motion-JPEG codecs ALWAYS win
+    for their magic bytes. Exercised with fake modules so the contract
+    is tested even in this container (no soundfile/pyav)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf: (np.ones(8), 22050)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    monkeypatch.setattr(mm, "_HAVE_AUDIO", True)
+    wav, rate = mm.decode_audio(b"OggS not-actually-audio")
+    assert (rate, len(wav)) == (22050, 8)  # routed to soundfile
+    real = mm.wav_encode(np.zeros(16), rate=8000)
+    wav2, rate2 = mm.decode_audio(real)
+    assert (rate2, len(wav2)) == (8000, 16)  # WAV magic beats soundfile
+
+    class _Frame:
+        def to_ndarray(self, format):
+            return np.zeros((4, 4, 3), dtype=np.uint8)
+
+    class _Container:
+        streams = types.SimpleNamespace(
+            video=[types.SimpleNamespace(
+                codec_context=types.SimpleNamespace(skip_frame=None)
+            )]
+        )
+
+        def decode(self, stream):
+            return [_Frame(), _Frame()]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda buf: _Container()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    monkeypatch.setattr(mm, "_HAVE_VIDEO", True)
+    frames = mm.extract_frames(b"\x00\x00\x00\x20ftypmp42-fake")
+    assert len(frames) == 2
+    assert frames[0][:8] == b"\x89PNG\r\n\x1a\n"  # re-encoded via pyav route
+    mj = mm.mjpeg_encode(
+        [np.full((8, 8, 3), 100, dtype=np.uint8)] * 3, quality=90
+    )
+    assert len(mm.extract_frames(mj)) == 3  # MJPEG magic beats pyav
+
+
+@pytest.mark.skipif(not mm._HAVE_AUDIO, reason="soundfile not installed")
+def test_soundfile_real_roundtrip():  # pragma: no cover - optional dep
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    buf = io.BytesIO()
+    sf.write(buf, np.linspace(-0.5, 0.5, 800), 8000, format="FLAC")
+    wav, rate = mm.decode_audio(buf.getvalue())
+    assert rate == 8000 and len(wav) == 800
+
+
+@pytest.mark.skipif(not mm._HAVE_VIDEO, reason="pyav not installed")
+def test_pyav_real_keyframes():  # pragma: no cover - optional dep
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        s = c.add_stream("mpeg4", rate=4)
+        s.width, s.height, s.pix_fmt = 32, 32, "yuv420p"
+        for i in range(8):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((32, 32, 3), i * 30, dtype=np.uint8), format="rgb24"
+            )
+            for pkt in s.encode(frame):
+                c.mux(pkt)
+        for pkt in s.encode():
+            c.mux(pkt)
+    frames = mm.extract_frames(buf.getvalue())
+    assert frames and frames[0][:8] == b"\x89PNG\r\n\x1a\n"

@@ -456,6 +456,47 @@ def test_sharded_bloom_broadcast_bounded(spark):
     assert sb._bc is not first_bc
 
 
+def test_sharded_bloom_regrow_restores_fpr(spark):
+    """Overfill degrades FPR geometrically; regrow (4x shards, rebuilt
+    from the exact seen table) must restore it — long crawls cannot be
+    allowed to silently degrade until 'maybe seen' filters nothing."""
+    from pyspark.sql import functions as F
+
+    from spatula_spark.operators.seen import ShardedBloom
+
+    sb = ShardedBloom(2, 1 << 10, 1e-3)  # designed for 2,048 keys
+    seen = spark.range(8192).select(F.xxhash64("id").alias("url_hash"))
+    seen = seen.persist()
+    sb.add_hashes_df(seen)  # 4x overfilled
+    assert sb.fill_ratio() == pytest.approx(4.0)
+    assert sb.estimated_fpr() > 0.05
+    assert sb.needs_regrow()
+
+    def measured_fpr():
+        udf = sb.membership_udf(spark)
+        probe = spark.range(10_000_000, 10_040_000).select(
+            F.xxhash64("id").alias("url_hash")
+        )
+        hits = probe.select(udf("url_hash").alias("m")).filter("m").count()
+        return hits / 40_000
+
+    assert measured_fpr() > 0.05  # degraded for real, not just in theory
+    sb.regrow(seen, key_col="url_hash")
+    assert sb.regrows == 1
+    assert sb.n_shards == 8
+    assert sb.count == 8192  # nothing lost in the rebuild
+    assert sb.fill_ratio() == pytest.approx(1.0)
+    assert not sb.needs_regrow()
+    # all original keys still maybe-seen (no false negatives ever)
+    udf = sb.membership_udf(spark)
+    n_true = seen.select(udf("url_hash").alias("m")).filter("m").count()
+    assert n_true == 8192
+    # FPR back near the design point (1e-3 target; allow sampling noise
+    # and the fill=1.0 operating point)
+    assert measured_fpr() < 0.01
+    seen.unpersist()
+
+
 # -------------------------------------------------------------- record norm
 def test_obj_to_dict():
     # reference tests/test_utils.py:46-80
