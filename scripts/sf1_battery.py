@@ -1,0 +1,261 @@
+"""sf1-scale battery evidence (round-2 verdict item 6).
+
+Synthesizes an sf1-equivalent corpus (10x the sf0.1 row counts:
+50k documents, 20k embeddings, 1M events) ENTIRELY with deterministic
+hash arithmetic inside Spark — no driver-side generation, no RNG — and
+runs the dedup / ANN / temporal battery at BOTH scales with the same
+generator. The point is the GROWTH FACTORS: banded-LSH candidate
+pairs must grow ~linearly with the corpus (the bucket join working),
+not quadratically (all-pairs in disguise); simhash bucket load factors
+must stay bounded. Writes BENCH/SF1.md.
+
+Run: python -u scripts/sf1_battery.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spatula_spark.functions import dedup as dd  # noqa: E402
+from spatula_spark.functions import similarity as sim  # noqa: E402
+from spatula_spark.functions import temporal as tp  # noqa: E402
+from spatula_spark.session import get_spark  # noqa: E402
+
+WORDS = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query join shuffle stage task executor driver "
+    "plan codegen arrow pandas bucket skew salt probe build stream state"
+).split()  # 33 distinct words, like the testdata word-soup docs
+
+
+def synth_documents(spark, n_docs: int):
+    """Web-shaped word-soup: 20-199 words per doc, 1/4 from a small
+    common pool (stopword head) and 3/4 long-tail tokens from a
+    vocabulary that grows with the corpus (Heaps' law — real corpora
+    add vocabulary as they grow; a FIXED tiny pool makes every doc
+    pair share shingles and candidate counts quadratic no matter what
+    the LSH does)."""
+    vocab = max(1000, n_docs)
+    words_arr = F.array(*[F.lit(w) for w in WORDS])
+    n_words = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(180))
+               + F.lit(20))
+
+    def pick_word(i):
+        h = F.xxhash64(F.col("doc_id"), i)
+        common = F.element_at(
+            words_arr,
+            (F.pmod(h, F.lit(len(WORDS))) + F.lit(1)).cast("int"),
+        )
+        tail = F.concat(
+            F.lit("t"),
+            F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(2)),
+                   F.lit(vocab)).cast("string"),
+        )
+        return F.when(F.pmod(h, F.lit(4)) == 0, common).otherwise(tail)
+
+    pick = F.transform(F.sequence(F.lit(1), n_words), pick_word)
+    return (
+        spark.range(n_docs).withColumnRenamed("id", "doc_id")
+        .select("doc_id", F.array_join(pick, " ").alias("text"))
+    )
+
+
+def synth_embeddings(spark, n_vecs: int, dim: int = 64):
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.col("vec_id"), d), F.lit(2001)) - F.lit(1000)
+        ).cast("double") / F.lit(1000.0),
+    )
+    return (
+        spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+        .select("vec_id", vec.alias("embedding"))
+    )
+
+
+def synth_events(spark, n: int):
+    return spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(max(1, n // 100))).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(86_400 * 30))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(1000)).cast("double")
+         / F.lit(10.0)).alias("value"),
+    )
+
+
+def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
+              emb_planes: int):
+    """``emb_planes`` follows the documented scaling rule (README /
+    similarity.py): buckets per table = 2^planes must grow with the
+    corpus to keep per-bucket candidate pairs ~linear overall."""
+    out = {"tag": tag, "n_docs": n_docs, "n_vecs": n_vecs,
+           "n_events": n_events, "emb_planes": emb_planes}
+    docs = synth_documents(spark, n_docs).persist()
+    docs.count()
+    corpus = dd.perturbed_corpus(docs).persist()
+    corpus.count()
+
+    t = time.time()
+    out["exact_groups"] = dd.exact_dedup(corpus).count()
+    out["exact_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    cands = dd.lsh_candidate_pairs(corpus)
+    out["minhash_cands"] = cands.count()
+    out["minhash_cand_s"] = round(time.time() - t, 2)
+    t = time.time()
+    out["minhash_pairs"] = dd.jaccard_pairs(corpus, cands,
+                                            threshold=0.8).count()
+    out["minhash_verify_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    sh = corpus.select("doc_id", dd.simhash(F.col("text")).alias("sh"))
+    # quarter-key bucket load: max rows sharing any (quarter, key16)
+    loads = (
+        sh.select(F.explode(F.array(*[
+            F.struct(F.lit(q).alias("q"),
+                     F.shiftright("sh", 16 * q)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for q in range(4)
+        ])).alias("qk"))
+        .groupBy("qk.q", "qk.key").count()
+    )
+    out["simhash_max_bucket"] = loads.agg(F.max("count")).collect()[0][0]
+    out["simhash_neardups"] = dd.simhash_near_dups(corpus).count()
+    out["simhash_s"] = round(time.time() - t, 2)
+
+    emb = synth_embeddings(spark, n_vecs).persist()
+    emb.count()
+    pert = sim.perturbed_embeddings(emb).persist()
+    pert.count()
+    t = time.time()
+    b = pert.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode(sim.lsh_buckets_fast("embedding", 4, emb_planes, 64))
+        .alias("table", "bucket"),
+    ).localCheckpoint()
+    ecands = (
+        b.alias("l").join(
+            b.alias("r"),
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        ).select("l.vid", "r.vid").distinct()
+    )
+    out["emb_cands"] = ecands.count()
+    out["emb_cand_s"] = round(time.time() - t, 2)
+    t = time.time()
+    out["emb_neardups"] = sim.embedding_near_dups(
+        pert, threshold=0.95, n_planes=emb_planes).count()
+    out["emb_nd_s"] = round(time.time() - t, 2)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    t = time.time()
+    out["ann_lsh_rows"] = sim.ann_lsh_topk(emb, queries, k=5).count()
+    out["ann_lsh_s"] = round(time.time() - t, 2)
+    t = time.time()
+    out["ann_ivf_rows"] = sim.ivf_topk(
+        emb, queries, k=5, n_centroids=int(max(8, n_vecs ** 0.5)), nprobe=4
+    ).count()
+    out["ann_ivf_s"] = round(time.time() - t, 2)
+
+    ev = synth_events(spark, n_events).persist()
+    ev.count()
+    left = ev.filter(F.pmod(F.xxhash64("user_id", "ts"), F.lit(10)) == 0)
+    t = time.time()
+    out["asof_rows"] = tp.asof_join(
+        left.select("user_id", "ts"), ev, on="user_id").count()
+    out["asof_s"] = round(time.time() - t, 2)
+    iv = ev.limit(n_events // 100).select(
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    t = time.time()
+    out["range_rows"] = tp.range_join_buckets(
+        ev.select("ts"), iv, bucket_seconds=1800).count()
+    out["range_s"] = round(time.time() - t, 2)
+
+    for d in (docs, corpus, emb, pert, ev):
+        d.unpersist()
+    return out
+
+
+def main():
+    spark = get_spark(app_name="sf1_battery")
+    # emb_planes follows the documented rule (~log2 of per-table
+    # bucket budget): 8 planes = 256 buckets/table for 4k vectors,
+    # 11 planes = 2048 for 40k
+    r1 = run_scale(spark, "sf0.1-eq", 5_000, 2_000, 100_000, emb_planes=8)
+    r10 = run_scale(spark, "sf1-eq", 50_000, 20_000, 1_000_000,
+                    emb_planes=11)
+
+    def ratio(k):
+        return round(r10[k] / max(1, r1[k]), 2)
+
+    # the scale assertions: candidate growth ~linear (allow 2x slack on
+    # a 10x corpus; quadratic-with-fixed-params would be ~100x), and
+    # the simhash max bucket LOAD FRACTION stays ~constant across the
+    # 10x scale-up (quarter keys are 16-bit: 65,536 buckets/band)
+    frac1 = r1["simhash_max_bucket"] / (2 * r1["n_docs"])
+    frac10 = r10["simhash_max_bucket"] / (2 * r10["n_docs"])
+    checks = {
+        "minhash_cands_growth": (ratio("minhash_cands"), 20.0),
+        "emb_cands_growth": (ratio("emb_cands"), 20.0),
+        "simhash_bucket_frac_ratio": (round(frac10 / max(frac1, 1e-9), 2),
+                                      1.5),
+    }
+    failures = {k: v for k, (v, lim) in checks.items() if v > lim}
+    lines = [
+        "# SF1 battery — scale-growth evidence",
+        "",
+        "Same deterministic Spark-side generator at 1x (sf0.1-equivalent)",
+        "and 10x (sf1-equivalent) row counts; wall-clock on "
+        f"local[{spark.sparkContext.defaultParallelism}]. The claim under",
+        "test: candidate generation is bucket-joined, so candidate pairs",
+        "grow ~linearly in corpus size (quadratic = all-pairs in",
+        "disguise), and simhash quarter-key buckets stay bounded.",
+        "",
+        "| metric | sf0.1-eq | sf1-eq | growth (10x rows) |",
+        "| --- | --- | --- | --- |",
+    ]
+    for k in ("n_docs", "minhash_cands", "minhash_pairs", "simhash_neardups",
+              "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
+              "asof_rows", "range_rows"):
+        lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
+    lines += [
+        "",
+        "| wall (s) | sf0.1-eq | sf1-eq |",
+        "| --- | --- | --- |",
+    ]
+    for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
+              "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "asof_s",
+              "range_s"):
+        lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
+    lines += [
+        "",
+        "`range_rows` grows ~100x by design: BOTH join sides scale 10x "
+        "and the containment join's OUTPUT is the cross product of "
+        "overlapping (point, interval) pairs — that's result size, not "
+        "candidate overhead (the bucket equi-join's probe cost stays "
+        "linear per side). `minhash_pairs`/`emb_neardups` pin the "
+        "planted-duplicate count exactly (one per doc/vector).",
+        "",
+        "Checks (value vs limit): "
+        + ", ".join(f"{k}={v} (<= {lim})" for k, (v, lim) in checks.items()),
+        "",
+        "Result: " + ("**PASS**" if not failures else f"**FAIL** {failures}"),
+    ]
+    with open("/root/repo/BENCH/SF1.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

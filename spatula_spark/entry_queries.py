@@ -799,13 +799,18 @@ def embedding_topk(spark, sf_dir):
 def _duck_bucket(
     vec: str, first_plane: int = 0, n_planes: int = 6, dim: int = 64
 ) -> str:
+    # the ±1 hyperplane coords are INLINED AS LITERALS from the same
+    # plane_signs() call the Spark side folds at plan-build time —
+    # cross-engine parity by construction (see similarity.plane_signs);
+    # the left-fold list_sum keeps DuckDB's summation order identical
+    # to the Catalyst aggregate/zip_with fold
     parts = []
     for p in range(n_planes):
-        plane = first_plane + p
+        signs = ", ".join(str(s) for s in sim.plane_signs(first_plane + p, dim))
         sgn = (
             f"(CASE WHEN list_sum(list_transform(range(0, {dim}), d -> "
-            f"(CASE WHEN ((d*2654435761 + {plane * 40503}) % 97) % 2 = 0 "
-            f"THEN 1 ELSE -1 END) * {vec}[d+1])) > 0 THEN {1 << p} ELSE 0 END)"
+            f"([{signs}])[d+1] * {vec}[d+1])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
         )
         parts.append(sgn)
     return "(" + " + ".join(parts) + ")"

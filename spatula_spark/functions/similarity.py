@@ -115,14 +115,30 @@ def cosine_topk(
 # ------------------------------------------------------------------ LSH ANN
 
 
+_M64 = (1 << 64) - 1
+
+
 def plane_signs(plane: int, dim: int) -> list[int]:
-    """Deterministic ±1 coords of hyperplane ``plane``: coordinate d is
-    +1 iff the affine-mod pattern is even — reproducible in any SQL
-    dialect (the DuckDB oracles evaluate the same formula)."""
-    return [
-        1 if ((d * 2654435761 + plane * 40503) % 97) % 2 == 0 else -1
-        for d in range(dim)
-    ]
+    """Deterministic ±1 coords of hyperplane ``plane`` via a
+    splitmix64 bit mix of (plane, d).
+
+    Round-3 fix: the previous affine-mod-97 pattern made every plane a
+    SHIFTED COPY of one base ±1 sequence, so distinct planes were
+    strongly correlated — at 11 planes/table the LSH buckets ran ~70x
+    above the uniform expectation (caught by scripts/sf1_battery.py's
+    candidate-growth check). Proper mixing restores ~independent
+    planes and ~uniform buckets. The signs are computed in PYTHON at
+    plan-build time and folded to LITERALS in both engines (the DuckDB
+    oracles inline the same ±1 lists), so cross-engine parity is by
+    construction, not by replicating the formula in SQL."""
+    out = []
+    for d in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + d * 0xD6E8FEB86659FD93 + 1) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z ^= z >> 31
+        out.append(1 if z & 1 == 0 else -1)
+    return out
 
 
 def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
