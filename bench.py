@@ -130,6 +130,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "stream_window_counts",
     "stream_sessionize",
     "crawl_doc_tree",

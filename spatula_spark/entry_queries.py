@@ -919,6 +919,76 @@ def ann_ivf_topk_q(spark, sf_dir):
     return sim.ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=4)
 
 
+@register(
+    "ann_ivf_kmeans_topk",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+cents0 AS (
+  SELECT cid AS cent_id, cv AS centv FROM (
+    SELECT cid, cv FROM c
+    ORDER BY {duck_hash("'ivf:'||cid")}, cid LIMIT 32)),
+asg0 AS (
+  SELECT cid, cv, cent_id FROM (
+    SELECT c.cid, c.cv, cent_id,
+           row_number() OVER (PARTITION BY c.cid
+             ORDER BY round(list_cosine_similarity(cv, centv), 6) DESC,
+                      cent_id) AS rn
+    FROM c, cents0) WHERE rn = 1),
+cm AS (
+  SELECT cent_id, u.d AS d, avg(u.x) AS m
+  FROM (SELECT cent_id,
+          unnest(list_transform(range(0, 64),
+            d -> struct_pack(d := d, x := cv[d+1]))) AS u
+        FROM asg0)
+  GROUP BY cent_id, u.d),
+cents AS (
+  SELECT c0.cent_id, coalesce(l.centv, c0.centv) AS centv
+  FROM cents0 c0 LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY d) AS centv FROM cm GROUP BY cent_id
+  ) l USING (cent_id)),
+sc AS (SELECT cid, cv, cent_id,
+         round(list_cosine_similarity(cv, centv), 6) AS cs FROM c, cents),
+assigned AS (
+  SELECT cid, cv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+             ORDER BY cs DESC, cent_id) AS rn FROM sc)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+qs AS (SELECT query_id, qv, cent_id,
+         round(list_cosine_similarity(qv, centv), 6) AS cs FROM q, cents),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, cent_id) AS pr FROM qs)
+  WHERE pr <= 4),
+s AS (SELECT query_id, cid AS neighbor_id,
+        round(list_cosine_similarity(qv, cv), 6) AS cos
+      FROM assigned JOIN probes USING (cent_id)
+      WHERE cid <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id))::INT AS rank FROM s)
+WHERE rank <= 5
+""",
+)
+def ann_ivf_kmeans_topk_q(spark, sf_dir):
+    """IVF with ONE distributed k-means (Lloyd) refinement pass: the
+    hash-sampled centroids are re-centered as per-dimension cluster
+    means (a Spark aggregation collecting only n_centroids rows), then
+    the usual inverted-list probe. Centroid ids stay stable through
+    the pass, so the oracle replicates the full iteration — sample ->
+    assign -> group-avg (empty clusters keep their old vector) ->
+    reassign -> probe -> score — as plain SQL; the value-hash match
+    pins a distributed ITERATIVE algorithm end to end."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=4,
+                        lloyd_iters=1)
+
+
 @register("ann_lsh_topk")  # approximate by design -> rows-only check;
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of embedding_topk).

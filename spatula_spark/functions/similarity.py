@@ -316,52 +316,16 @@ def ivf_centroids(
     return cent_ids, cmat
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 32,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the coarse-quantizer
-    scale path next to :func:`ann_lsh_topk`.
-
-    Centroids: a FIXED count of hash-order-sampled corpus vectors
-    (:func:`ivf_centroids`) — deterministic (no RNG, so the DuckDB
-    oracle replicates the whole pipeline exactly) and driver-bounded at
-    O(n_centroids) independent of corpus rows; a k-means refinement
-    would slot into the same list mechanics. Build: the centroid matrix
-    is collected once and closed over by an Arrow-vectorized assignment
-    pass — each corpus vector gets its nearest centroid in one matmul
-    row, with NO corpus x centroids cross join (the previous spelling
-    materialized |corpus| x |cents| vector pairs through the scorer).
-    Null / zero-norm embeddings get a null cent_id (they fall out of
-    candidate lists instead of crashing the Arrow batch). Query: probe
-    the ``nprobe`` nearest centroids, score exactly ONLY the vectors in
-    those lists (~nprobe/n_centroids of the corpus), top-k.
-
-    Scale shape: lists are bucketed by ``cent_id`` (an Iceberg
-    deployment partitions on it), so a probe reads nprobe partitions —
-    candidate generation never shuffles the corpus, and with
-    ``nprobe >= n_centroids`` the result provably equals
-    :func:`cosine_topk` (asserted in tests). Size ``n_centroids``
-    ~sqrt(|corpus|) for balanced lists (the classic IVF operating
-    point); the driver cost stays n_centroids rows either way."""
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    cent_ids, cmat = ivf_centroids(c, n_centroids)
+def _assign_udf(cent_ids: np.ndarray, cmat: np.ndarray):
+    """Arrow-vectorized nearest-centroid assignment closure. One
+    matmul row per batch; argmax over round(cos, 6) with ties ->
+    smaller cent_id (rows sorted by cent_id + np.argmax first-max ==
+    the oracle's row_number ordering). Null / zero-norm embeddings get
+    a null cent_id (dirty crawled rows must not kill the batch)."""
     cnorm = cmat / np.sqrt(np.einsum("ij,ij->i", cmat, cmat))[:, None]
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cmat)],
-        "cent_id long, centv array<double>",
-    )
 
     @F.pandas_udf(T.LongType())
     def _assign(vecs: pd.Series) -> pd.Series:
-        # null/zero-norm mask mirrors lsh_buckets_fast: dirty rows in a
-        # crawled corpus must not kill the Arrow batch
         vv = vecs.to_numpy()
         ok = np.array([v is not None for v in vv])
         res: list = [None] * len(vv)
@@ -378,7 +342,88 @@ def ivf_topk(
                     res[i] = int(pick[j])
         return pd.Series(res, dtype="object")
 
-    assigned = c.withColumn("cent_id", _assign("cv"))
+    return _assign
+
+
+def lloyd_pass(
+    c: DataFrame, cent_ids: np.ndarray, cmat: np.ndarray
+) -> np.ndarray:
+    """One distributed k-means (Lloyd) iteration executed as a Spark
+    aggregation: assign every corpus vector to its nearest centroid
+    (Arrow matmul, no |corpus| x |cents| join), then recompute each
+    centroid as the per-dimension mean of its cluster — 64 partial
+    ``avg`` aggregates, map-side combined, collecting only
+    n_centroids rows. Centroids keep their sampled ids (tie-break and
+    oracle identity stable); clusters that lose every point keep
+    their previous vector. ``c`` must have columns (cid, cv)."""
+    dim = cmat.shape[1]
+    assign = _assign_udf(cent_ids, cmat)
+    means = (
+        c.withColumn("cent_id", assign("cv"))
+        .filter(F.col("cent_id").isNotNull())
+        .groupBy("cent_id")
+        .agg(*[F.avg(F.col("cv")[d]).alias(f"d{d}") for d in range(dim)])
+        .collect()
+    )
+    by_id = {
+        int(r["cent_id"]): [r[f"d{d}"] for d in range(dim)] for r in means
+    }
+    return np.vstack([
+        np.asarray(by_id.get(int(i), cmat[j]), dtype=np.float64)
+        for j, i in enumerate(cent_ids)
+    ])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    scale path next to :func:`ann_lsh_topk`.
+
+    Centroids: a FIXED count of hash-order-sampled corpus vectors
+    (:func:`ivf_centroids`) — deterministic (no RNG, so the DuckDB
+    oracle replicates the whole pipeline exactly) and driver-bounded at
+    O(n_centroids) independent of corpus rows; a k-means refinement
+    would slot into the same list mechanics. Build: the centroid matrix
+    is collected once and closed over by an Arrow-vectorized assignment
+    pass — each corpus vector gets its nearest centroid in one matmul
+    row, with NO corpus x centroids cross join (the previous spelling
+    materialized |corpus| x |cents| vector pairs through the scorer).
+    ``lloyd_iters`` k-means passes (:func:`lloyd_pass`, one distributed
+    aggregation each) optionally refine the sample into true cluster
+    centers — ids stay stable, so determinism and the oracle survive.
+    Null / zero-norm embeddings get a null cent_id (they fall out of
+    candidate lists instead of crashing the Arrow batch). Query: probe
+    the ``nprobe`` nearest centroids, score exactly ONLY the vectors in
+    those lists (~nprobe/n_centroids of the corpus), top-k.
+
+    Scale shape: lists are bucketed by ``cent_id`` (an Iceberg
+    deployment partitions on it), so a probe reads nprobe partitions —
+    candidate generation never shuffles the corpus, and with
+    ``nprobe >= n_centroids`` the result provably equals
+    :func:`cosine_topk` (asserted in tests). Size ``n_centroids``
+    ~sqrt(|corpus|) for balanced lists (the classic IVF operating
+    point); the driver cost stays n_centroids rows either way."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    cent_ids, cmat = ivf_centroids(c, n_centroids)
+    for _ in range(lloyd_iters):
+        # optional k-means refinement: each pass is one distributed
+        # aggregation; ids/tie-breaks stay stable, so the DuckDB
+        # oracle replicates the iteration exactly (assign + group-avg)
+        cmat = lloyd_pass(c, cent_ids, cmat)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cmat)],
+        "cent_id long, centv array<double>",
+    )
+    assigned = c.withColumn("cent_id", _assign_udf(cent_ids, cmat)("cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

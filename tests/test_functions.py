@@ -5,6 +5,7 @@ corpora), verify recall against brute force, and cross-check against
 DuckDB where entry_queries already wires an oracle (those run in
 scratch/check_oracles.py + the driver; here we assert semantics)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -263,6 +264,41 @@ def test_ivf_topk_recall_and_exhaustive_equality(emb):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, recall
+
+
+def test_ivf_lloyd_refinement(emb):
+    """k-means refinement invariants: nprobe=all equality with brute
+    force holds at ANY centroid quality (every list is probed), ids
+    stay stable through the pass, empty clusters keep their previous
+    vector (no NaN centroids), and planted-positive recall at the
+    default probe count doesn't regress vs the unrefined sample."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sim.cosine_topk(emb, queries, k=5).collect()}
+    refined = sim.ivf_topk(emb, queries, k=5, n_centroids=32, nprobe=32,
+                           lloyd_iters=2).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in refined} == exact
+
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("cv"))
+    ids, mat0 = sim.ivf_centroids(c, 16)
+    mat1 = sim.lloyd_pass(c, ids, mat0)
+    assert mat1.shape == mat0.shape
+    assert np.isfinite(mat1).all()
+    # refinement actually moves centroids toward cluster means
+    assert not np.allclose(mat0, mat1)
+
+    base = emb.limit(100)
+    corpus = sim.perturbed_embeddings(base)
+    pq = corpus.filter(F.col("vec_id") >= 1_000_000)
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    r_plain = _planted_recall(
+        sim.ivf_topk(corpus, pq, k=5, n_centroids=14, nprobe=4).collect(),
+        base_ids)
+    r_lloyd = _planted_recall(
+        sim.ivf_topk(corpus, pq, k=5, n_centroids=14, nprobe=4,
+                     lloyd_iters=1).collect(), base_ids)
+    assert r_lloyd >= max(0.8, r_plain - 0.05), (r_plain, r_lloyd)
 
 
 def test_ivf_centroid_count_is_corpus_size_independent(emb):
