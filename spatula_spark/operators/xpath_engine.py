@@ -131,13 +131,26 @@ class _Parser:
     def path(self):
         kind, v = self.peek()
         root = ""
-        if (kind, v) == ("dslash", "//"):
+        if (kind, v) == ("op", "("):
+            # parenthesized path: (//p)[2] selects the 2nd node of the
+            # WHOLE result set (vs //p[2] = 2nd p per parent) — the
+            # "paren" pseudo-step applies positions over one group;
+            # trailing steps may follow: (//div)[2]/p
             self.next()
-            root = "//"
-        elif (kind, v) == ("op", "/"):
-            self.next()
-            root = "/"
-        steps = [self.step()]
+            inner = [self.path()]
+            while self.peek() == ("op", "|"):
+                self.next()
+                inner.append(self.path())
+            self.expect(")")
+            steps = [("paren", ("union", inner), self.preds())]
+        else:
+            if (kind, v) == ("dslash", "//"):
+                self.next()
+                root = "//"
+            elif (kind, v) == ("op", "/"):
+                self.next()
+                root = "/"
+            steps = [self.step()]
         while True:
             kind, v = self.peek()
             if (kind, v) == ("op", "/"):
@@ -467,6 +480,14 @@ class _Evaluator:
 
     def _apply_step(self, step, nodes) -> list:
         axis, test, preds = step
+        if axis == "paren":
+            # (path)[k]: predicates apply over the WHOLE deduped result
+            # set as ONE group — position = global document order, not
+            # per-parent (the lxml (//p)[1] form)
+            cands = self.eval_union(test, nodes)
+            for pred in preds:
+                cands = self._filter_pred(pred, cands)
+            return cands
         out = []
         seen: set[int] = set()
         for node in nodes:

@@ -262,6 +262,12 @@ def test_xpath_function_predicates():
     ("//p/text()", ["intro ", "tail "]),
     # //p[1] = first p of EACH parent (true XPath, both divs match)
     ("//p[1]/b/text()", ["one", "two"]),
+    # (path)[k] = global position over the whole result set
+    ("(//p)[1]", ["intro one"]),
+    ("(//p)[last()]", ["tail two"]),
+    ("(//li)[3]", ["3"]),
+    ("(//div)[2]/p", ["tail two"]),
+    ("(//p | //span)[2]", ["tail two"]),
 ])
 def test_xpath_grammar(xp, expected):
     """The expanded-grammar table the round-2 verdict asked for —
