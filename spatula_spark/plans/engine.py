@@ -115,6 +115,16 @@ _EMISSION_COLS = [
     "url_hash", "seen_key",
 ]
 
+# fetched-row schema for driver-built missing (404) rows — must match
+# the _fetch out_cols projection column-for-column
+_FETCHED_LOCAL_SCHEMA = (
+    "page_cls string, path string, url string, input_json string, "
+    "payload binary, links array<string>, next_url string, status int, "
+    "attempts int, page_seq int, payload_kind string, image_id string, "
+    "found boolean, priority int, flaky_rejects int, "
+    "url_hash bigint, seen_key bigint"
+)
+
 _BATCH_SELECT = [
     "page_cls", "path", "url", "input_json", "payload", "links", "next_url",
     "status", "attempts", "page_seq", "payload_kind", "image_id", "found",
@@ -166,6 +176,18 @@ class CrawlConfig:
     # rule mandates. "local" keeps localCheckpoint (in-memory blocks).
     materialize: str = "parquet"
     spill_dir: str | None = None  # default: mkdtemp, removed on success
+    # small-wave driver materialization: when the fan-out-aware size
+    # estimate (max of this wave's frontier and the previous wave's
+    # total emissions) is at or below this, the wave's slim emission
+    # rows are collect()ed and re-planted as a LocalRelation instead of
+    # the parquet write+read — the BFS-tail analogue of AQE's
+    # local-shuffle-read: deep chains (pagination tails, tree crawls)
+    # stop paying the ~1s/wave spill round-trip, while big waves keep
+    # the cluster path untouched. Emission rows are payload-free
+    # (~200 B), so the cap bounds driver memory at a few MB. Wave 0
+    # never takes this path (no fan-out history to estimate with — a
+    # seed wave of list pages can explode 1000x). 0 disables.
+    driver_wave_max: int = 20_000
     # fetch-join strategy: waves at or below this row count broadcast
     # the slim frontier side against the page store IN PLACE — the
     # payload-heavy store is never shuffled and the decode/transform
@@ -184,6 +206,18 @@ class CrawlConfig:
     # store copy instead (frontier side is wave-sized; the store side
     # reuses its bucketing, key column pruned)
     broadcast_store_keys_max: int = 4_000_000
+    # driver-side store keyset (fast-path 404 detection): at or below
+    # this many store rows the url_hash set is collected ONCE (~80 B/
+    # key in a Python set) and small-wave found/missing splits happen
+    # in Python — no per-wave store-keys broadcast job at all. Bigger
+    # stores keep the in-plan anti-join.
+    driver_store_keys_max: int = 1 << 20
+    # cap on the driver-resident seen-set twin (~100-150 B/key in a
+    # Python set): beyond this the twin is dropped and cluster dedup
+    # owns the rest of the crawl. Deep chains add O(1) keys/wave and
+    # never approach it; breadth-heavy crawls lose the twin early via
+    # driver_wave_max anyway.
+    driver_seen_max: int = 2_000_000
 
 
 _MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -546,6 +580,7 @@ class CrawlEngine:
         self._store_bykey = None
         self._store_keys_bykey = None
         self._store_rows = None  # counted lazily on first fetch
+        self._store_keys_py: set[int] | None | bool = False  # False=undecided
         # memory-budget default for the broadcast-fetch cap (see
         # CrawlConfig.broadcast_fetch_max)
         if self.config.broadcast_fetch_max is None:
@@ -599,6 +634,8 @@ class CrawlEngine:
                     int(s.get("priority", 0)),
                     0,
                     0,
+                    None,
+                    None,
                 )
             )
         return self.spark.createDataFrame(rows, schema=schemas.FRONTIER_SCHEMA)
@@ -630,6 +667,29 @@ class CrawlEngine:
             out = self.spark.read.parquet(path)
         return (out, obs.get) if obs_exprs else (out, None)
 
+    # ------------------------------------------------------------ seen union
+    def _seen_union(self) -> DataFrame:
+        """The accumulated seen set as ONE DataFrame, compacting slices
+        lazily: deep crawls that dedup driver-side never pay the
+        compaction materialization; the first wave that actually needs
+        the cluster-side table (dedup anti-join, bloom backfill/regrow)
+        triggers it."""
+        if len(self._seen_slices) > 8:
+            u = self._seen_slices[0]
+            for sl in self._seen_slices[1:]:
+                u = u.union(sl)
+            u, _ = self._materialize(
+                u.coalesce(self._nparts), "seen_compact"
+            )
+            self._seen_slices = [u]
+        if not self._seen_slices:
+            return self.spark.createDataFrame(
+                [], "url_hash long, seen_key long")
+        u = self._seen_slices[0]
+        for sl in self._seen_slices[1:]:
+            u = u.union(sl)
+        return u
+
     # ---------------------------------------------------------------- crawl
     def crawl(self, seeds: list[dict] | DataFrame) -> CrawlResult:
         cfg = self.config
@@ -646,8 +706,23 @@ class CrawlEngine:
         frontier = (
             seeds if isinstance(seeds, DataFrame) else self.seed_frontier(seeds)
         )
-        seen = spark.createDataFrame([], "url_hash long, seen_key long")
+        for c in ("url_hash", "seen_key"):
+            # caller-supplied frontiers may predate hash-at-emission
+            if c not in frontier.columns:
+                frontier = frontier.withColumn(c, F.lit(None).cast("long"))
         self._seen_count = 0
+        # driver-resident twin of the seen set (exact (url_hash,
+        # seen_key) pairs) — alive while every wave's new keys were
+        # small enough to land on the driver; enables the zero-shuffle
+        # small-wave dedup. Killed (None) the moment a wave's key count
+        # exceeds driver_wave_max; cluster dedup takes over seamlessly.
+        self._py_seen: set[tuple[int, int]] | None = (
+            set() if cfg.driver_wave_max else None
+        )
+        # previous wave's frontier rows when that wave was
+        # driver-materialized (tuples in FRONTIER_SCHEMA order)
+        self._frontier_rows: list[tuple] | None = None
+        self._frontier_is_local = False
         self._bloom = (
             seen_ops.ShardedBloom(
                 cfg.bloom_shards, cfg.bloom_shard_capacity, cfg.bloom_fpr
@@ -673,16 +748,17 @@ class CrawlEngine:
         if cfg.checkpoint_dir:
             resumed = self._try_resume(cfg.checkpoint_dir)
             if resumed is not None:
-                frontier, seen, results, metrics_rows, start_wave = resumed
+                frontier, rseen, results, metrics_rows, start_wave = resumed
                 wave = start_wave
                 self._requeues_possible = True  # in-flight retries unknown
-                self._seen_count = seen.count()
+                self._py_seen = None  # unknown provenance; cluster dedup
+                self._seen_count = rseen.count()
                 if self._seen_count:
-                    seen, _ = self._materialize(seen, "seen_resume")
-                    self._seen_slices.append(seen)
+                    rseen, _ = self._materialize(rseen, "seen_resume")
+                    self._seen_slices.append(rseen)
                 if self._bloom is not None and self._seen_count:
                     # one-time rebuild from the checkpointed seen table
-                    self._bloom.add_hashes_df(seen, key_col="seen_key")
+                    self._bloom.add_hashes_df(rseen, key_col="seen_key")
 
         import sys
         import time as _time
@@ -796,7 +872,49 @@ class CrawlEngine:
             F.col("priority"),
             F.col("attempts"),
             F.col("page_seq"),
+            F.col("url_hash"),
+            F.col("seen_key"),
         ]
+        # hash-at-emission: frontier-bound emissions carry their child's
+        # page-identity hashes out of the SAME projection that built
+        # them (CSE shares the canonicalize subtree), so the next wave's
+        # dedup needs no recompute — and a driver-materialized wave can
+        # dedup in pure Python with zero Spark stages. Hook-class
+        # (Arrow) emissions leave them null; the cluster path coalesces
+        # a recompute in.
+        _followed = ["next", "requeue", "deferred"] + (
+            ["child"] if cfg.follow_children else []
+        )
+        _fr_kind_cond = (
+            F.col("emit_kind").isin(*_followed)
+            & F.col("child_url").isNotNull()
+            # invalid URLs keep a null hash: parse_url THROWS on them,
+            # and the legacy failure point is the next wave's fetchable
+            # prep (scout mode never follows children, so a malformed
+            # child link must not fail the scout wave)
+            & F.try_parse_url(
+                F.trim(F.col("child_url")), F.lit("HOST")).isNotNull()
+        )
+        _child_uh = url_hash(canonicalize_url(F.col("child_url")))
+        emit_hash_cols = [
+            c for c in _EMISSION_COLS if c not in ("url_hash", "seen_key")
+        ] + [
+            F.when(
+                _fr_kind_cond, F.coalesce(F.col("url_hash"), _child_uh)
+            ).otherwise(F.col("url_hash")).alias("url_hash"),
+            F.when(
+                _fr_kind_cond,
+                F.coalesce(
+                    F.col("seen_key"),
+                    F.xxhash64(
+                        F.col("child_cls"),
+                        F.coalesce(F.col("url_hash"), _child_uh),
+                        F.coalesce(F.col("child_input_json"), F.lit("\x00")),
+                    ),
+                ),
+            ).otherwise(F.col("seen_key")).alias("seen_key"),
+        ]
+        kinds = _followed  # frontier-bound emission kinds
 
         n_frontier: int | None = None  # None = unknown (seeds / resume)
         self._prev_total_emissions: int | None = None
@@ -836,91 +954,222 @@ class CrawlEngine:
             if cfg.max_waves is not None and wave >= cfg.max_waves + start_wave:
                 break
 
-            frontier = frontier.withColumn("host", host_expr)
-
-            # politeness budget (F5): overflow deferred, paths untouched
-            scheduled, deferred = politeness_ops.split_by_host_budget(
-                frontier, self.politeness, cfg.host_budget_per_wave
-            )
-            # robots (F6): precompiled CASE expression when the rule set
-            # is small; broadcast-join longest-prefix path when it isn't
-            # (never a silent truncation). Blocked rows become 'blocked'
-            # emissions so the count rides the wave Observation for free.
-            if robots_allowed_expr is not None:
-                decided = scheduled.withColumn("_allowed",
-                                               robots_allowed_expr)
-                scheduled = decided.filter(F.col("_allowed")).drop("_allowed")
-                blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
-            elif self._robots_join:
-                scheduled, blocked = politeness_ops.robots_broadcast_join(
-                    scheduled, self.robots
+            # ------- small-wave fast path: dedup driver-side -------
+            # When the previous wave landed on the driver AND the exact
+            # seen set has a live Python twin, first-wins + seen dedup
+            # run here in plain Python — the wave then needs ZERO
+            # shuffle stages: a local frontier broadcast-joins the page
+            # store and the single AQE round does fetch+process+collect.
+            fast_rows = self._frontier_rows
+            self._frontier_rows = None
+            self._frontier_is_local = False
+            can_fast = (
+                fast_rows is not None
+                and cfg.dedup_urls
+                and self._py_seen is not None
+                and self.politeness is None
+                and cfg.host_budget_per_wave is None
+                and robots_allowed_expr is None
+                and not self._robots_join
+                and all(
+                    r[1] is None or (r[7] is not None and r[8] is not None)
+                    for r in fast_rows
                 )
+            )
+            deferred = None
+            blocked = None
+            nullsrc = None
+            sched_rows: list[tuple] = []
+            null_rows: list[tuple] = []
+            if can_fast:
+                # FRONTIER_SCHEMA tuple slots: 1=url 3=path 5=attempts
+                # 7=url_hash 8=seen_key
+                null_rows = [r for r in fast_rows if r[1] is None]
+                req_rows = [
+                    r for r in fast_rows
+                    if r[1] is not None and (r[5] or 0) > 0
+                ]
+                best: dict[tuple[int, int], tuple] = {}
+                for r in fast_rows:
+                    if r[1] is None or (r[5] or 0) > 0:
+                        continue  # null-source / requeue bypass
+                    k = (r[7], r[8])
+                    b = best.get(k)
+                    if b is None or r[3] < b[3]:  # first-wins = min path
+                        best[k] = r
+                sched_rows = [
+                    r for k, r in best.items() if k not in self._py_seen
+                ] + req_rows
+                self._n_frontier = len(sched_rows)
+
+            if can_fast and not sched_rows and not null_rows:
+                # every candidate was already seen: a no-op wave —
+                # skip the Spark job entirely
+                lrows: list | None = []
+                emissions = spark.createDataFrame(
+                    spark.sparkContext.parallelize([], 1),
+                    schema=_EMISSION_OUT_SCHEMA,
+                )
+                kind_counts = {k: 0 for k in kind_names}
+                deferred_requeues = 0
             else:
-                blocked = None
+                if can_fast:
+                    if null_rows:
+                        nullsrc = spark.createDataFrame(
+                            spark.sparkContext.parallelize(null_rows, 1),
+                            schema=schemas.FRONTIER_SCHEMA,
+                        )
+                    self._frontier_is_local = True
+                    fetched = self._fetch_local(sched_rows)
+                else:
+                    frontier = frontier.withColumn("host", host_expr)
 
-            fetchable = scheduled.filter(F.col("url").isNotNull()).withColumn(
-                "canon_url", canon_expr
-            ).withColumn(
-                "url_hash", uhash_expr
-            ).withColumn("seen_key", seen_key_expr)
-            nullsrc = scheduled.filter(F.col("url").isNull())
+                    # politeness budget (F5): overflow deferred, paths
+                    # untouched. Disabled => no deferred branch at all:
+                    # a limit(0) twin of the frontier subtree would
+                    # still be re-analyzed and unioned every wave
+                    # (measurable driver planning cost on small waves).
+                    if (self.politeness is None
+                            and cfg.host_budget_per_wave is None):
+                        scheduled = frontier
+                    else:
+                        scheduled, deferred = (
+                            politeness_ops.split_by_host_budget(
+                                frontier, self.politeness,
+                                cfg.host_budget_per_wave,
+                            )
+                        )
+                    # robots (F6): precompiled CASE expression when the
+                    # rule set is small; broadcast-join longest-prefix
+                    # path when it isn't (never a silent truncation).
+                    # Blocked rows become 'blocked' emissions so the
+                    # count rides the wave Observation for free.
+                    if robots_allowed_expr is not None:
+                        decided = scheduled.withColumn(
+                            "_allowed", robots_allowed_expr)
+                        scheduled = decided.filter(
+                            F.col("_allowed")).drop("_allowed")
+                        blocked = decided.filter(
+                            ~F.col("_allowed")).drop("_allowed")
+                    elif self._robots_join:
+                        scheduled, blocked = (
+                            politeness_ops.robots_broadcast_join(
+                                scheduled, self.robots
+                            )
+                        )
 
-            if cfg.dedup_urls:
-                fetchable = self._dedup(fetchable, seen)
-
-            fetched = self._fetch(fetchable)
-            batch = fetched.unionByName(
-                nullsrc.select(*nullsrc_cols)
-            ).select(*_BATCH_SELECT)
-
-            # Exactly ONE consumer per batch row — native-class rows go
-            # through the single native projection (marker ++ class
-            # arrays, exploded once), hook-class rows through the Arrow
-            # transform which emits its own markers. No shared batch
-            # cache: payload-heavy rows stream straight through their
-            # one pass (a per-wave payload cache is 10s of GB at
-            # 10^6-row waves and was the old OOM ceiling).
-            native_part = batch.filter(
-                F.col("page_cls").isin(native_cls)
-            ).select(F.explode(per_row_expr).alias("e")).select("e.*")
-            parts: list[DataFrame] = [native_part]
-            if hook_cls:
-                parts.append(
-                    batch.filter(F.col("page_cls").isin(hook_cls)).mapInPandas(
-                        transform, _EMISSION_OUT_SCHEMA
+                    fetchable = scheduled.filter(
+                        F.col("url").isNotNull()
+                    ).withColumn(
+                        "canon_url", canon_expr
+                    ).withColumn(
+                        # hash-at-emission already computed these for
+                        # native-class children; recompute where null
+                        "url_hash", F.coalesce(F.col("url_hash"),
+                                               uhash_expr)
+                    ).withColumn(
+                        "seen_key", F.coalesce(F.col("seen_key"),
+                                               seen_key_expr)
                     )
-                )
-            if blocked is not None:
-                # robots-blocked rows ride the emissions stream so the
-                # count lands in the Observation (no extra job) and the
-                # rows themselves reach the dead-letter output
-                parts.append(blocked.select(*blocked_cols))
-            # politeness-deferred rows ride the emissions stream too:
-            # ONE materialization per wave carries everything — the
-            # next frontier is then a narrow filter over the written
-            # parquet instead of a second write+read job (measured:
-            # the two jobs were the per-wave fixed-cost floor)
-            parts.append(deferred.select(*deferred_cols))
-            emissions = parts[0]
-            for p in parts[1:]:
-                emissions = emissions.unionByName(p, allowMissingColumns=True)
-            # bound partition count: a union's partitioning is the SUM of
-            # its children's — left unchecked the per-wave union fan-in
-            # compounds geometrically across waves (7×(P+8) per wave).
-            # coalesce is narrow (no shuffle) and caps every wave at
-            # nparts.
-            emissions, emetrics = self._materialize(
-                emissions.coalesce(self._wave_parts), "emissions",
-                obs_aggs,
-            )
-            kind_counts = {k: int(emetrics[k]) for k in kind_names}
+                    nullsrc = scheduled.filter(F.col("url").isNull())
+
+                    if cfg.dedup_urls:
+                        fetchable = self._dedup(
+                            fetchable, self._seen_union())
+
+                    fetched = self._fetch(fetchable)
+                if nullsrc is None:
+                    batch = fetched.select(*_BATCH_SELECT)
+                else:
+                    batch = fetched.unionByName(
+                        nullsrc.select(*nullsrc_cols)
+                    ).select(*_BATCH_SELECT)
+
+                # Exactly ONE consumer per batch row — native-class
+                # rows go through the single native projection (marker
+                # ++ class arrays, exploded once), hook-class rows
+                # through the Arrow transform which emits its own
+                # markers. No shared batch cache: payload-heavy rows
+                # stream straight through their one pass (a per-wave
+                # payload cache is 10s of GB at 10^6-row waves and was
+                # the old OOM ceiling).
+                native_part = batch.filter(
+                    F.col("page_cls").isin(native_cls)
+                ).select(F.explode(per_row_expr).alias("e")).select("e.*")
+                parts: list[DataFrame] = [native_part]
+                if hook_cls:
+                    parts.append(
+                        batch.filter(
+                            F.col("page_cls").isin(hook_cls)
+                        ).mapInPandas(transform, _EMISSION_OUT_SCHEMA)
+                    )
+                if blocked is not None:
+                    # robots-blocked rows ride the emissions stream so
+                    # the count lands in the Observation (no extra job)
+                    # and the rows themselves reach the dead-letter
+                    # output
+                    parts.append(blocked.select(*blocked_cols))
+                # politeness-deferred rows ride the emissions stream
+                # too: ONE materialization per wave carries everything
+                # — the next frontier is then a narrow filter over the
+                # written parquet instead of a second write+read job
+                # (measured: the two jobs were the per-wave fixed-cost
+                # floor)
+                if deferred is not None:
+                    parts.append(deferred.select(*deferred_cols))
+                emissions = parts[0]
+                for p in parts[1:]:
+                    emissions = emissions.unionByName(
+                        p, allowMissingColumns=True)
+                # bound partition count: a union's partitioning is the
+                # SUM of its children's — left unchecked the per-wave
+                # union fan-in compounds geometrically across waves
+                # (7×(P+8) per wave). coalesce is narrow (no shuffle)
+                # and caps every wave at nparts.
+                if (
+                    cfg.driver_wave_max
+                    and self._prev_total_emissions is not None
+                    and est <= cfg.driver_wave_max
+                ):
+                    # small wave: land the slim emission rows on the
+                    # driver (LocalRelation) — kind counts tallied in
+                    # Python, no Observation, no spill round-trip.
+                    # hash-at-emission (emit_hash_cols) applies ONLY
+                    # here: the hashes are solely for the next wave's
+                    # driver-side dedup, which requires THIS wave's rows
+                    # on the driver — big cluster waves must not pay the
+                    # extra per-child canonicalize+hash+write
+                    lrows = emissions.select(*emit_hash_cols).collect()
+                    kind_counts = {k: 0 for k in kind_names}
+                    deferred_requeues = 0
+                    for r in lrows:
+                        kind_counts[r["emit_kind"]] += 1
+                        if (r["emit_kind"] == "deferred"
+                                and (r["attempts"] or 0) > 0):
+                            deferred_requeues += 1
+                    # ONE partition: plain createDataFrame parallelizes
+                    # to defaultParallelism slices, and per-wave unions
+                    # then compound task counts geometrically (measured
+                    # 161 → 417 tasks/stage by wave 12 of a tree crawl)
+                    emissions = spark.createDataFrame(
+                        spark.sparkContext.parallelize(lrows, 1),
+                        schema=_EMISSION_OUT_SCHEMA,
+                    )
+                else:
+                    lrows = None
+                    emissions, emetrics = self._materialize(
+                        emissions.coalesce(self._wave_parts), "emissions",
+                        obs_aggs,
+                    )
+                    kind_counts = {k: int(emetrics[k]) for k in kind_names}
+                    deferred_requeues = int(emetrics["_deferred_requeues"])
             self._prev_total_emissions = sum(kind_counts.values())
+            n_frontier_next = sum(kind_counts.get(k, 0) for k in kinds)
             n_new = kind_counts["fetched"]
             # next wave needs the requeue split only if it can actually
             # contain attempts>0 rows (fresh requeues or deferred ones)
             self._requeues_possible = bool(
-                kind_counts.get("requeue", 0)
-                or int(emetrics["_deferred_requeues"])
+                kind_counts.get("requeue", 0) or deferred_requeues
             )
             _tick("emissions ckpt", t)
             new_seen = emissions.filter(
@@ -970,21 +1219,33 @@ class CrawlEngine:
                 # real table instead; rewriting the accumulated set per
                 # wave would be O(total)/wave — impossible at 10^10.)
                 self._seen_slices.append(new_seen)
-                if len(self._seen_slices) > 8:
-                    # compact: deep crawls would otherwise anti-join
-                    # against O(waves) small scans every wave (the
-                    # Iceberg analog is snapshot compaction)
-                    u = self._seen_slices[0]
-                    for sl in self._seen_slices[1:]:
-                        u = u.union(sl)
-                    u, _ = self._materialize(
-                        u.coalesce(self._nparts), "seen_compact"
-                    )
-                    self._seen_slices = [u]
-                seen = self._seen_slices[0]
-                for sl in self._seen_slices[1:]:
-                    seen = seen.union(sl)
                 self._seen_count += n_new
+                # Python seen-set twin: fed from the driver-collected
+                # rows (free); a cluster wave keeps it alive with one
+                # tiny pruned collect ONLY when the next wave is small
+                # enough to use it — otherwise the twin dies and
+                # cluster dedup owns the rest of the crawl.
+                if self._py_seen is not None:
+                    if lrows is not None:
+                        self._py_seen.update(
+                            (r["url_hash"], r["seen_key"])
+                            for r in lrows if r["emit_kind"] == "fetched"
+                        )
+                    elif (
+                        n_new <= cfg.driver_wave_max
+                        and n_frontier_next <= cfg.driver_wave_max
+                    ):
+                        self._py_seen.update(
+                            (r["url_hash"], r["seen_key"])
+                            for r in new_seen.collect()
+                        )
+                    else:
+                        self._py_seen = None
+                    if (
+                        self._py_seen is not None
+                        and len(self._py_seen) > cfg.driver_seen_max
+                    ):
+                        self._py_seen = None  # driver-memory cap
                 if (
                     self._bloom is not None
                     and self._seen_count >= cfg.bloom_min_seen
@@ -993,7 +1254,8 @@ class CrawlEngine:
                         # lazy backfill: the filter only starts paying
                         # once the seen set crosses the threshold; fold
                         # in everything accumulated so far, once
-                        self._bloom.add_hashes_df(seen, key_col="seen_key")
+                        self._bloom.add_hashes_df(
+                            self._seen_union(), key_col="seen_key")
                     else:
                         # incremental: OR this wave's shard blobs into
                         # the driver-held filter (never a full rebuild)
@@ -1003,7 +1265,8 @@ class CrawlEngine:
                         # geometrically from here; re-shard 4x wider
                         # from the exact seen table (geometric growth
                         # keeps total rebuild work O(N) over the crawl)
-                        self._bloom.regrow(seen, key_col="seen_key")
+                        self._bloom.regrow(
+                            self._seen_union(), key_col="seen_key")
             _tick("seen update", t)
 
             # next frontier: a narrow filter over the ALREADY
@@ -1011,13 +1274,21 @@ class CrawlEngine:
             # Lineage stays bounded: every wave's frontier derives from
             # exactly one parquet scan (deferred rows were folded into
             # the emissions write above).
-            kinds = ["next", "requeue", "deferred"]
-            if cfg.follow_children:
-                kinds.append("child")
             frontier = emissions.filter(
                 F.col("emit_kind").isin(kinds)
             ).select(*frontier_cols)
-            n_frontier = sum(kind_counts.get(k, 0) for k in kinds)
+            if lrows is not None:
+                # frontier rows in FRONTIER_SCHEMA order for the next
+                # wave's driver-side dedup
+                self._frontier_rows = [
+                    (r["child_cls"], r["child_url"],
+                     r["child_input_json"], r["path"],
+                     int(r["priority"] or 0), int(r["attempts"] or 0),
+                     int(r["page_seq"] or 0), r["url_hash"],
+                     r["seen_key"])
+                    for r in lrows if r["emit_kind"] in kinds
+                ]
+            n_frontier = n_frontier_next
             _tick("frontier derive", t)
 
             metrics_rows.append(
@@ -1060,7 +1331,7 @@ class CrawlEngine:
         return CrawlResult(
             results=all_results,
             dead=all_dead,
-            seen=seen,
+            seen=self._seen_union(),
             metrics=pd.DataFrame(metrics_rows),
             waves=wave - start_wave,
         )
@@ -1202,29 +1473,9 @@ class CrawlEngine:
             first_time = first_time.unionByName(requeues)
         return first_time
 
-    def _fetch(self, fetchable: DataFrame) -> DataFrame:
-        """The fetch stage: an equi-join against the synthetic page-store
-        (reference ``URL.get_response`` sources.py:42-52 becomes a join),
-        or the real-HTTP mapInPandas fetcher when ``fetch_fn`` is set —
-        identical output schema either way."""
-        if self.fetch_fn is not None:
-            from ..operators.politeness import salted_repartition
-            from ..sources.http_fetch import FETCHED_SCHEMA
-
-            # here host-salting genuinely matters: fetch work is
-            # per-host network time, and a hot host would pile onto
-            # one task (north-rule skew mandate)
-            fr = salted_repartition(
-                fetchable, self._nparts, self.config.salt_buckets
-            )
-            return fr.mapInPandas(self.fetch_fn, FETCHED_SCHEMA)
-        if self.page_store is None:
-            raise CrawlError("no page_store configured")
-        # NOTE on skew: the equi-join key is xxhash64(canon url) —
-        # uniform by construction, so no salting is needed HERE. The
-        # salted repartition (politeness.salted_repartition) belongs in
-        # front of the real-HTTP fetch variant, where work is grouped
-        # per host and a hot host would pile onto one task.
+    def _fetch_out_cols(self):
+        """(found-row, missing-row) projections for the fetch join,
+        built once (wave-invariant Column trees)."""
         if self._fetch_cols is None:
             self._fetch_cols = (
                 [
@@ -1255,13 +1506,111 @@ class CrawlEngine:
                     "url_hash", "seen_key",
                 ],
             )
-        out_cols, missing_cols = self._fetch_cols
+        return self._fetch_cols
+
+    def _store_keyset(self) -> set[int] | None:
+        """One-time driver copy of the store's url_hash set, or None
+        when the store is too big for the driver
+        (``driver_store_keys_max``)."""
+        if self._store_keys_py is False:  # sentinel: not yet decided
+            if (
+                self.page_store is not None
+                and self._store_rows is not None
+                and self._store_rows <= self.config.driver_store_keys_max
+            ):
+                self._store_keys_py = {
+                    r[0]
+                    for r in self.page_store.select("url_hash").collect()
+                }
+            else:
+                self._store_keys_py = None
+        return self._store_keys_py
+
+    def _fetch_local(self, rows: list[tuple]) -> DataFrame:
+        """Small-wave fetch over driver-resident frontier rows (tuples
+        in FRONTIER_SCHEMA order). With a driver-sized store keyset the
+        found/missing split happens in Python, so the wave's plan has
+        NO anti-join leg — one broadcast build plus the store probe.
+        Falls back to the generic `_fetch` (real-HTTP fetcher, or a
+        store too big for a driver keyset)."""
+        spark = self.spark
+        if self._store_rows is None and self.page_store is not None:
+            self._store_rows = self.page_store.count()
+        keyset = None if self.fetch_fn is not None else self._store_keyset()
+        if keyset is None:
+            fetchable = spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1),
+                schema=schemas.FRONTIER_SCHEMA,
+            ).withColumn("host", host_of(F.col("url")))
+            return self._fetch(fetchable)
+        out_cols, _ = self._fetch_out_cols()
+        found = [r for r in rows if r[7] in keyset]
+        missing = [
+            # out_cols order: page_cls path url input_json payload links
+            # next_url status attempts page_seq payload_kind image_id
+            # found priority flaky_rejects url_hash seen_key
+            (r[0], r[3], r[1], r[2], None, None, None, 404, r[5], r[6],
+             None, None, False, r[4], 0, r[7], r[8])
+            for r in rows if r[7] not in keyset
+        ]
+        parts = []
+        if found:
+            fr = spark.createDataFrame(
+                spark.sparkContext.parallelize(found, 1),
+                schema=schemas.FRONTIER_SCHEMA,
+            )
+            parts.append(
+                self.page_store.join(F.broadcast(fr), "url_hash", "inner")
+                .select(*out_cols)
+            )
+        if missing or not parts:
+            parts.append(
+                spark.createDataFrame(
+                    spark.sparkContext.parallelize(missing, 1),
+                    schema=_FETCHED_LOCAL_SCHEMA,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _fetch(self, fetchable: DataFrame) -> DataFrame:
+        """The fetch stage: an equi-join against the synthetic page-store
+        (reference ``URL.get_response`` sources.py:42-52 becomes a join),
+        or the real-HTTP mapInPandas fetcher when ``fetch_fn`` is set —
+        identical output schema either way."""
+        if self.fetch_fn is not None:
+            from ..operators.politeness import salted_repartition
+            from ..sources.http_fetch import FETCHED_SCHEMA
+
+            # here host-salting genuinely matters: fetch work is
+            # per-host network time, and a hot host would pile onto
+            # one task (north-rule skew mandate)
+            fr = salted_repartition(
+                fetchable, self._nparts, self.config.salt_buckets
+            )
+            return fr.mapInPandas(self.fetch_fn, FETCHED_SCHEMA)
+        if self.page_store is None:
+            raise CrawlError("no page_store configured")
+        # NOTE on skew: the equi-join key is xxhash64(canon url) —
+        # uniform by construction, so no salting is needed HERE. The
+        # salted repartition (politeness.salted_repartition) belongs in
+        # front of the real-HTTP fetch variant, where work is grouped
+        # per host and a hot host would pile onto one task.
+        out_cols, missing_cols = self._fetch_out_cols()
         if self._store_rows is None:
             # one count, first fetch only: gates the store-keys
             # broadcast below and warms the persisted store cache
             self._store_rows = self.page_store.count()
         n = getattr(self, "_n_frontier", None)
-        if n is not None and n <= self._bcast_fetch_max:
+        # a driver-local frontier always broadcasts: the build is free
+        # (LocalRelation — no upstream recompute, the cost that makes
+        # the broadcast path lose on tiny CLUSTER waves) and the whole
+        # wave collapses to one AQE round with zero shuffle stages
+        if getattr(self, "_frontier_is_local", False) or (
+            n is not None and n <= self._bcast_fetch_max
+        ):
             # default path: broadcast the SLIM frontier, probe the
             # payload-heavy store in place — no store shuffle ever, no
             # frontier shuffle at the join, and the transform/decode
@@ -1376,6 +1725,10 @@ class CrawlEngine:
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)
         frontier = self.spark.read.parquet(os.path.join(d, "frontier"))
+        for c in ("url_hash", "seen_key"):
+            # checkpoints written before the hash-at-emission change
+            if c not in frontier.columns:
+                frontier = frontier.withColumn(c, F.lit(None).cast("long"))
         seen = self.spark.createDataFrame([], "url_hash long, seen_key long")
         for w in sorted(waves):
             delta = os.path.join(base, f"wave={w}", "seen_delta")

@@ -30,6 +30,12 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("priority", T.IntegerType(), False),
         T.StructField("attempts", T.IntegerType(), False),
         T.StructField("page_seq", T.IntegerType(), False),  # pagination chain index
+        # page-identity hashes, computed at EMISSION time (one pass,
+        # CSE-shared) so small-wave dedup can run driver-side without a
+        # Spark job; null for seeds / hook-class emissions — the engine
+        # coalesces in a cluster-side recompute when absent
+        T.StructField("url_hash", T.LongType(), True),
+        T.StructField("seen_key", T.LongType(), True),
     ]
 )
 

@@ -300,3 +300,44 @@ def test_scout_lists_only_first_level(spark, web, store):
     n_details = web.offsets[1] - web.offsets[0]
     n_lists = (n_details + web.details_per_list - 1) // web.details_per_list
     assert len(out) == n_details + n_lists
+
+
+def test_driver_wave_fast_path_parity(spark, web, store):
+    """The small-wave driver path (Python dedup + keyset fetch +
+    LocalRelation materialization) must be invisible: identical item
+    stream, DFS order, wave assignment, and seen set vs the cluster
+    path (driver_wave_max=0 disables every driver-side shortcut)."""
+    fast = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig()).crawl(web.seeds())
+    slow = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig(driver_wave_max=0)
+                       ).crawl(web.seeds())
+    cols = ["path", "page_cls", "item_json", "wave"]
+    got = [tuple(r) for r in
+           fast.results.orderBy("path").select(*cols).collect()]
+    want = [tuple(r) for r in
+            slow.results.orderBy("path").select(*cols).collect()]
+    assert got == want
+    assert (sorted(tuple(r) for r in fast.seen.collect())
+            == sorted(tuple(r) for r in slow.seen.collect()))
+
+
+def test_driver_wave_fast_path_parity_doc_tree(spark):
+    """Deep-chain shape (13 binary-tree waves at sf0.001): the fast
+    path handles every wave after the first two; results must match
+    the cluster path row for row."""
+    from spatula_spark.plans.doc_pipeline import crawl_doc_tree
+
+    sf = "/root/testdata/sf0.001"
+    fast = crawl_doc_tree(spark, sf)
+    slow = crawl_doc_tree(
+        spark, sf,
+        config=CrawlConfig(target_partitions=8, broadcast_fetch_max=0,
+                           driver_wave_max=0),
+    )
+    got = [tuple(r) for r in fast.orderBy("doc_id").collect()]
+    want = [tuple(r) for r in slow.orderBy("doc_id").collect()]
+    assert got == want
+    # wave really is the BFS depth
+    import math
+    assert all(w == int(math.log2(d + 1)) for d, _, _, w in got)
