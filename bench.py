@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "simhash_near_dups",
+    "image_near_dup_phash",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

@@ -1203,3 +1203,58 @@ def stream_sessionize_q(spark, sf_dir):
     from .streaming.sessions import stream_sessionize
 
     return stream_sessionize(spark, f"{sf_dir}/events.parquet")
+
+
+@register("image_near_dup_phash")  # rows-only: JPEG codec not SQL-expressible
+def image_near_dup_phash_q(spark, sf_dir):
+    """Image near-dup dedup as a first-class battery entry: a
+    deterministic image corpus derived from documents.doc_id
+    (closed-form pixels, images.synth_pixels), each original paired
+    with a REAL baseline-JPEG recompression of itself
+    (functions/jpeg.py encoder/decoder); decode + 64-bit DCT pHash run
+    Arrow-batched in mapInPandas, candidate pairs via the generic
+    banded hamming join (pigeonhole-complete at the radius,
+    functions/dedup.py:470). Recompression ids are original+10^6, so
+    every (i, i+10^6) pair within hamming<=7 is a planted positive.
+
+    No DuckDB oracle: the JPEG entropy codec cannot be expressed in
+    SQL, so the driver records a rows-only check; completeness vs a
+    brute-force all-pairs join and planted-pair recall are pinned in
+    tests/test_functions.py (test_image_near_dups_via_hamming_join,
+    test_image_near_dup_phash_query).
+    """
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .limit(400)
+        .repartition(8)
+    )
+
+    def phash_pairs(batches):
+        # heavy imports inside the worker, once per task
+        import numpy as np  # noqa: F401
+
+        from spatula_spark.functions.images import dct_phash, synth_pixels
+        from spatula_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            out_id, out_fp = [], []
+            for i in pdf["doc_id"].astype("int64"):
+                px = synth_pixels(int(i), 48, 32)
+                out_id.append(int(i))
+                out_fp.append(dct_phash(px))
+                out_id.append(int(i) + 1_000_000)
+                out_fp.append(
+                    dct_phash(jpeg_decode(jpeg_encode(px, quality=95)))
+                )
+            yield pd.DataFrame({"image_id": out_id, "fp": out_fp})
+
+    corpus = ids.mapInPandas(phash_pairs, "image_id long, fp long")
+    return dd.hamming_near_dups(
+        corpus, "image_id", "fp", max_hamming=7, n_bands=8
+    ).orderBy("image_id_a", "image_id_b")

@@ -677,3 +677,20 @@ def test_pyav_real_keyframes():  # pragma: no cover - optional dep
             c.mux(pkt)
     frames = mm.extract_frames(buf.getvalue())
     assert frames and frames[0][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_image_near_dup_phash_query(spark):
+    """Battery entry: planted (i, i+10^6) recompression pairs dominate
+    the result and distinct originals are not spuriously merged."""
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["image_near_dup_phash"](spark, SF).collect()
+    got = {(r["image_id_a"], r["image_id_b"]) for r in out}
+    assert got, "no near-dup pairs found"
+    planted = {p for p in got if p[1] - p[0] == 1_000_000}
+    # most q95 recompressions stay within hamming<=7 of their original
+    assert len(planted) >= 0.6 * 400
+    # cross-pairs exist (smooth-gradient corpus => genuinely similar
+    # images) but must not drown the planted ones
+    assert len(got - planted) <= len(planted)
+    assert all(0 <= r["hamming"] <= 7 for r in out)
