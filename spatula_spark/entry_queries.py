@@ -1255,6 +1255,9 @@ def image_near_dup_phash_q(spark, sf_dir):
             yield pd.DataFrame({"image_id": out_id, "fp": out_fp})
 
     corpus = ids.mapInPandas(phash_pairs, "image_id long, fp long")
+    # radius 7 auto-selects the multi-index scheme (4 x 16-bit blocks,
+    # 65,536 buckets/block) — the 8-bit banded spelling is a
+    # quadratic-candidate trap at corpus scale (see dedup.py docstring)
     return dd.hamming_near_dups(
-        corpus, "image_id", "fp", max_hamming=7, n_bands=8
+        corpus, "image_id", "fp", max_hamming=7
     ).orderBy("image_id_a", "image_id_b")

@@ -474,18 +474,30 @@ def hamming_near_dups(
     max_hamming: int,
     n_bands: int | None = None,
 ) -> DataFrame:
-    """Generic banded hamming join over any 64-bit fingerprint column
-    (SimHash, DCT image pHash, audio fingerprints, ...).
+    """Generic hamming-radius self-join over any 64-bit fingerprint
+    column (SimHash, DCT image pHash, audio fingerprints, ...).
 
-    Pigeonhole completeness: with ``n_bands`` disjoint bands of
-    ``64 / n_bands`` bits, <= ``max_hamming`` flipped bits leave at
-    least one band identical whenever ``max_hamming < n_bands`` — so
-    the band-bucket equi-join finds EVERY pair within the radius
-    (asserted vs brute force in tests). Defaults to the smallest
-    band count that guarantees completeness; wider radii use more,
-    narrower bands (trade: bucket count per band shrinks 2^(64/n),
-    so candidates grow — pick the tightest radius you need).
+    Two complete schemes, auto-selected:
+
+    * **banded** (``n_bands`` given, or radius <= 3): ``n_bands``
+      disjoint bands of ``64/n_bands`` bits; <= ``max_hamming`` flips
+      leave >=1 band identical whenever ``max_hamming < n_bands``.
+      Bucket count per band is ``2^(64/n_bands)`` — fine while bands
+      stay >= 16 bits wide.
+    * **multi-index** (radius 4-11, default): the banded scheme at
+      radius 7 would need 8-bit bands = 256 buckets/band, the same
+      quadratic-candidate trap the 256-bucket SimHash bands hit (a
+      10^6-row corpus makes ~n^2/256 candidates per band). Instead: 4
+      blocks of 16 bits; by pigeonhole some block carries <=
+      ``max_hamming // 4`` of the flips, so expanding ONE join side's
+      block key by all <=q-bit flips (q=1 -> 17 keys, q=2 -> 137) and
+      matching the other side exactly is complete — with 65,536
+      buckets per block (Norouzi et al., multi-index hashing). Both
+      schemes are asserted equal to the brute-force all-pairs join in
+      tests.
     """
+    if n_bands is None and 3 < max_hamming <= 11:
+        return _mih_near_dups(df, id_col, hash_col, max_hamming)
     if n_bands is None:
         n_bands = max_hamming + 1
     if not (0 < n_bands <= 64 and 64 % n_bands == 0):
@@ -526,6 +538,66 @@ def hamming_near_dups(
             F.col("r._id").alias(id_col + "_b"),
             F.col("l._h").alias("_ha"),
             F.col("r._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cands.select(
+        id_col + "_a", id_col + "_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def _mih_near_dups(
+    df: DataFrame, id_col: str, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Multi-index hamming join: 4 x 16-bit blocks, left-side key
+    expansion by all <=(max_hamming//4)-bit flips (see
+    hamming_near_dups docstring). Expansion masks are plan-build-time
+    literals; the join itself is a plain equi-join on (block, key), so
+    it shuffles short keys only and AQE handles skewed buckets."""
+    q = max_hamming // 4
+    masks = [0]
+    masks += [1 << j for j in range(16)]
+    if q >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(16) for j in range(i + 1, 16)]
+    if q >= 3:  # radius > 11 needs q=3 (697 keys/block) — refuse
+        raise ValueError("multi-index scheme supports max_hamming <= 11")
+    mask_arr = F.array(*[F.lit(m) for m in masks])
+
+    h = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    blocks = [
+        F.shiftright("_h", 16 * b).bitwiseAND(F.lit((1 << 16) - 1))
+        for b in range(4)
+    ]
+    # probe side: every <=q-flip variant of each block key
+    probe = h.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"), blocks[b].alias("key"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select(
+        "_id", "_h", "bk.b",
+        F.explode(F.transform(
+            mask_arr, lambda m: F.col("bk.key").bitwiseXOR(m)
+        )).alias("key"),
+    )
+    exact = h.select(
+        F.col("_id").alias("_rid"), F.col("_h").alias("_rh"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"), blocks[b].alias("key"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("_rid", "_rh", "bk.b", "bk.key")
+    cands = (
+        probe.join(exact, ["b", "key"])
+        .filter(F.col("_id") < F.col("_rid"))
+        .select(
+            F.col("_id").alias(id_col + "_a"),
+            F.col("_rid").alias(id_col + "_b"),
+            F.col("_h").alias("_ha"),
+            F.col("_rh").alias("_hb"),
         )
         .distinct()
     )

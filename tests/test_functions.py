@@ -694,3 +694,56 @@ def test_image_near_dup_phash_query(spark):
     # images) but must not drown the planted ones
     assert len(got - planted) <= len(planted)
     assert all(0 <= r["hamming"] <= 7 for r in out)
+
+
+def test_mih_hamming_join_complete_and_leaner(spark):
+    """Multi-index hamming join (auto for radius 4-11): (a) exactly
+    equal to brute force AND to the banded spelling at several radii;
+    (b) measured candidate volume on a uniform corpus is several times
+    below the 8-bit banded scheme's (the scale reason it exists)."""
+    import random
+
+    random.seed(11)
+    rows = []
+    for i in range(400):
+        h = random.getrandbits(64)
+        rows.append((i, h - (1 << 63)))
+        h2 = h
+        for b in random.sample(range(64), random.randint(0, 9)):
+            h2 ^= 1 << b
+        rows.append((i + 10000, h2 - (1 << 63)))
+    df = spark.createDataFrame(rows, "id long, fp long")
+    a = df.select(F.col("id").alias("x"), F.col("fp").alias("fa"))
+    b = df.select(F.col("id").alias("y"), F.col("fp").alias("fb"))
+    for r, nb in ((5, 8), (7, 8), (11, 16)):
+        mih = {(q["id_a"], q["id_b"]) for q in
+               dd.hamming_near_dups(df, "id", "fp", max_hamming=r).collect()}
+        banded = {(q["id_a"], q["id_b"]) for q in
+                  dd.hamming_near_dups(df, "id", "fp", max_hamming=r,
+                                       n_bands=nb).collect()}
+        brute = {(q["x"], q["y"]) for q in
+                 a.join(b, F.col("x") < F.col("y"))
+                 .filter(F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                         <= r).collect()}
+        assert mih == brute == banded, f"radius {r}"
+
+    # candidate-volume comparison at radius 7 on a uniform corpus:
+    # banded = 8 bands x 8-bit keys; mih = 4 blocks x 16-bit keys with
+    # 17 probe variants. Buckets computed directly from the bit layout.
+    u = spark.range(20000).select(
+        F.xxhash64(F.col("id")).alias("fp"))
+    band8 = u.select(F.explode(F.array(*[
+        F.struct(F.lit(bb).alias("b"),
+                 F.shiftright("fp", 8 * bb).bitwiseAND(F.lit(255))
+                 .alias("k")) for bb in range(8)])).alias("e")
+    ).groupBy("e.b", "e.k").count()
+    n_banded = band8.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+    blk16 = u.select(F.explode(F.array(*[
+        F.struct(F.lit(bb).alias("b"),
+                 F.shiftright("fp", 16 * bb).bitwiseAND(F.lit(65535))
+                 .alias("k")) for bb in range(4)])).alias("e")
+    ).groupBy("e.b", "e.k").count()
+    n_mih = blk16.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2) * 17).first()[0]
+    assert n_mih * 5 < n_banded, (n_mih, n_banded)
