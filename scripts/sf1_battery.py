@@ -164,6 +164,46 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     ).count()
     out["ann_ivf_s"] = round(time.time() - t, 2)
 
+    # 64-bit fingerprint near-dup (the image-pHash shape) via the
+    # multi-index hamming join: originals = xxhash64(id), planted
+    # copies = <=7 deterministic bit flips. Also measure the
+    # candidate-VOLUME ratio of the auto-selected multi-index scheme
+    # vs the naive 8-bit banded spelling from the bucket arithmetic.
+    fps = spark.range(n_docs).select(
+        F.col("id").alias("img_id"), F.xxhash64("id").alias("fp"))
+    # pyspark's shiftleft() takes a python-int bit count only; the SQL
+    # form accepts a column expression
+    flips = F.expr(
+        "aggregate("
+        "  transform(sequence(1, int(pmod(img_id, 7)) + 1),"
+        "            j -> shiftleft(1L, int(pmod(xxhash64(img_id, j), 64)))),"
+        "  0L, (acc, m) -> acc ^ m)"
+    )
+    pfps = fps.select(
+        (F.col("img_id") + 10_000_000).alias("img_id"),
+        F.col("fp").bitwiseXOR(flips).alias("fp"))
+    allfp = fps.unionByName(pfps).persist()
+    allfp.count()
+    t = time.time()
+    out["mih_pairs"] = dd.hamming_near_dups(
+        allfp, "img_id", "fp", max_hamming=7).count()
+    out["mih_s"] = round(time.time() - t, 2)
+
+    def _cand_volume(width, n_chunks, probe_mult):
+        load = allfp.select(F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftright("fp", width * b)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("k"))
+            for b in range(n_chunks)])).alias("e")
+        ).groupBy("e.b", "e.k").count()
+        v = load.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+        return int(v * probe_mult)
+
+    out["banded8_cand_volume"] = _cand_volume(8, 8, 1)
+    out["mih_cand_volume"] = _cand_volume(16, 4, 17)
+    allfp.unpersist()
+
     ev = synth_events(spark, n_events).persist()
     ev.count()
     left = ev.filter(F.pmod(F.xxhash64("user_id", "ts"), F.lit(10)) == 0)
@@ -208,7 +248,17 @@ def main():
         "emb_cands_growth": (ratio("emb_cands"), 20.0),
         "simhash_bucket_frac_ratio": (round(frac10 / max(frac1, 1e-9), 2),
                                       1.5),
+        # multi-index hamming: planted pairs dominate => ~linear growth
+        "mih_pairs_growth": (ratio("mih_pairs"), 20.0),
     }
+    # candidate-volume advantage of multi-index over 8-bit bands must
+    # hold at the bigger scale too (background is n^2-shaped for BOTH
+    # complete schemes on a uniform corpus; multi-index buys the
+    # constant factor and composes with prefix sharding beyond)
+    mih_adv = round(
+        r10["banded8_cand_volume"] / max(1, r10["mih_cand_volume"]), 1)
+    checks["mih_vs_banded_volume_advantage_inv"] = (
+        round(1.0 / mih_adv, 3), 0.2)  # advantage >= 5x
     failures = {k: v for k, (v, lim) in checks.items() if v > lim}
     lines = [
         "# SF1 battery — scale-growth evidence",
@@ -225,6 +275,7 @@ def main():
     ]
     for k in ("n_docs", "minhash_cands", "minhash_pairs", "simhash_neardups",
               "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
+              "mih_pairs", "banded8_cand_volume", "mih_cand_volume",
               "asof_rows", "range_rows"):
         lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
     lines += [
@@ -233,8 +284,8 @@ def main():
         "| --- | --- | --- |",
     ]
     for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
-              "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "asof_s",
-              "range_s"):
+              "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
+              "asof_s", "range_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
     lines += [
         "",
