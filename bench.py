@@ -132,6 +132,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
     "stream_window_counts",
     "stream_sessionize",
     "crawl_doc_tree",

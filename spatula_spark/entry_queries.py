@@ -1261,3 +1261,63 @@ def image_near_dup_phash_q(spark, sf_dir):
     return dd.hamming_near_dups(
         corpus, "image_id", "fp", max_hamming=7
     ).orderBy("image_id_a", "image_id_b")
+
+
+def _pq_terms(av: str, bv: str, s: str) -> str:
+    """Unrolled squared-L2 over one 8-dim subspace, left-to-right —
+    the exact fold order of the Spark/numpy twins."""
+    ts = []
+    for d in range(1, 9):
+        a, b = f"{av}[{s}*8+{d}]", f"{bv}[{s}*8+{d}]"
+        ts.append(f"({a}-{b})*({a}-{b})")
+    return " + ".join(ts)
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+samp AS (
+  SELECT cid, cv, {duck_hash("'pq:'||cid")} AS h FROM c
+  ORDER BY h, cid LIMIT 16),
+bk AS (SELECT (row_number() OVER (ORDER BY h, cid) - 1) AS j, cv AS bv
+       FROM samp),
+ss AS (SELECT unnest(range(0, 8)) AS s),
+enc AS (
+  SELECT cid, s, j AS code FROM (
+    SELECT c.cid, ss.s, bk.j,
+      row_number() OVER (PARTITION BY c.cid, ss.s
+        ORDER BY CAST(round(({_pq_terms('c.cv', 'bk.bv', 'ss.s')}) * 1e6)
+                 AS BIGINT), bk.j) AS rn
+    FROM c, ss, bk) t WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+lut AS (SELECT q.query_id, ss.s, bk.j,
+          CAST(round(({_pq_terms('q.qv', 'bk.bv', 'ss.s')}) * 1e6)
+               AS BIGINT) AS e
+        FROM q, ss, bk),
+ad AS (SELECT l.query_id, e.cid AS neighbor_id, sum(l.e)::BIGINT AS adl
+       FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+       WHERE e.cid <> l.query_id
+       GROUP BY l.query_id, e.cid)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT query_id, neighbor_id, (adl / 1e6) AS adist,
+    (row_number() OVER (PARTITION BY query_id
+        ORDER BY adl, neighbor_id))::INT AS rank
+  FROM ad) WHERE rank <= 5
+""",
+)
+def ann_pq_topk_q(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (similarity.pq_topk): the corpus is stored as 8 codes/vector (64x
+    smaller than the float vectors — the memory-side scale path that
+    composes with IVF's list pruning). Deterministic hash-sampled
+    codebooks + integerized micro-distances make the ENTIRE pipeline
+    (encode argmin, lookup tables, ADC fold, ranking) replicable in
+    DuckDB — a full value-hash oracle for a vector-compression ANN.
+    Planted-positive recall vs brute force is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.pq_topk(emb, queries, k=5, m=8, n_codes=16)

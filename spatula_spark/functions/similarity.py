@@ -546,3 +546,173 @@ def embedding_near_dups(
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# ------------------------------------------------------------------ PQ / ADC
+def pq_codebooks(
+    c: DataFrame, m: int, n_codes: int, dim: int
+) -> np.ndarray:
+    """Per-subspace PQ codebooks from ONE deterministic hash-order
+    sample (the :func:`ivf_centroids` pattern): the ``n_codes`` corpus
+    rows with the smallest ``portable_hash64('pq:' || id)`` supply
+    codeword ``j`` of EVERY subspace (row j's s-th subvector). One
+    driver collect of n_codes rows regardless of corpus size; no RNG,
+    so a SQL oracle replicates the whole scheme. A production tune-up
+    would run per-subspace k-means (:func:`lloyd_pass` mechanics) —
+    the encode/ADC plumbing is identical.
+
+    Returns ``(m, n_codes, dim//m)`` float64; codeword order = sample
+    rank (ties in the hash broken by id), so argmin's first-minimum
+    tie-break matches the oracle's row_number."""
+    from ..urls import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit("pq:"), F.col("cid").cast("string")))
+    rows = (
+        c.withColumn("_h", h).orderBy("_h", "cid").limit(n_codes)
+        .select("cv").collect()
+    )
+    if not rows:
+        raise ValueError("pq_topk: empty corpus — no codebook sample")
+    sub = dim // m
+    mat = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    # (n_codes, dim) -> (m, n_codes, sub)
+    return np.stack([mat[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-vectorized PQ encoder: per subspace, argmin of the
+    ROUNDED (6 dp) squared L2 to each codeword, ties -> smaller code
+    (== the oracle's row_number over (round(d,6), j)). Null rows get
+    null codes."""
+    m, n_codes, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        vv = vecs.to_numpy()
+        out: list = [None] * len(vv)
+        ok = [i for i, v in enumerate(vv) if v is not None]
+        if ok:
+            x = np.vstack([np.asarray(vv[i], dtype=np.float64) for i in ok])
+            codes = np.empty((len(ok), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                # EXPLICIT d-sequential accumulation (numpy's .sum()
+                # uses pairwise blocking): the SQL twin adds terms
+                # left-to-right, and identical fold order makes the
+                # doubles bit-identical before the integer keying
+                acc = np.zeros((xs.shape[0], n_codes))
+                for d in range(sub):
+                    diff = xs[:, [d]] - books[s][None, :, d]
+                    acc = acc + diff * diff
+                # integer keys: floor(d*1e6 + 0.5) == round-half-up
+                # on the non-negative distances — the same tie rule as
+                # Spark's round() and DuckDB's round(), so cross-engine
+                # argmin needs no float comparison semantics at all
+                codes[:, s] = np.argmin(
+                    np.floor(acc * 1e6 + 0.5).astype(np.int64), axis=1)
+            for r, i in enumerate(ok):
+                out[i] = [int(v) for v in codes[r]]
+        return pd.Series(out, dtype="object")
+
+    return _enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-side scale path next to IVF's list pruning: the
+    corpus is stored as ``m`` one-byte-ish codes per vector
+    (64 doubles -> 8 codes here, a 64x shrink), and a query scans
+    CODES, never raw vectors.
+
+    Encode: one Arrow pass closes over the (m, n_codes, dim/m)
+    codebook tensor (driver-bounded sample, `pq_codebooks`). Query:
+    each query precomputes its lookup table — round(squared L2, 6) to
+    every codeword of every subspace, m*n_codes doubles — broadcast as
+    a flat array; the approximate distance is a PURE CATALYST fold
+    over the code array (`aggregate(sequence, element_at(lut, ...))`),
+    no UDF and no vector bytes in the scan. Top-k ranks by
+    round(adist, 6) asc with neighbor-id tie-break.
+
+    Scale shape: the corpus side of the scoring join carries only
+    (id, m codes); at 10^10 rows that is ~100 GB instead of ~5 TB of
+    float vectors — the difference between a scan that fits in page
+    cache and one that doesn't. Composes with IVF (probe lists first,
+    ADC within lists). Planted-positive recall and ADC/true-L2
+    calibration are asserted in tests; the DuckDB oracle replicates
+    encode + ADC bit-for-bit (integerized micro-distances — order-free
+    integer sums — plus matching round-half-up ties). NOTE on quality:
+    on UNIFORM random vectors all pairwise distances concentrate into
+    a narrow band, so exact-top-k overlap is intrinsically poor for
+    any quantizer; real embeddings cluster and compress far better —
+    n_codes and k-means-refined codebooks are the quality dials."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    books = pq_codebooks(c, m, n_codes, dim)
+    sub = dim // m
+    codes = c.select(
+        "cid", _pq_encode_udf(books)("cv").alias("codes")
+    ).filter(F.col("codes").isNotNull())
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # lut[s*n_codes + j] = round(||q_sub_s - book[s][j]||^2, 6), built
+    # as a fully unrolled literal expression (m*n_codes*sub = ~1k
+    # terms): the codebook is plan-build-time constant, the fold order
+    # is the explicit left-to-right d=0..sub-1 — the same order numpy
+    # and the SQL twin use, so the rounded doubles are bit-identical
+    from functools import reduce
+
+    def _lut_entry(ss: int, jj: int):
+        # micro-distances as LONGS (round(d * 1e6)): integer sums are
+        # order-independent, so the ADC total is bit-identical across
+        # numpy / Catalyst / DuckDB with no float-fold-order hazard
+        terms = []
+        for d in range(sub):
+            diff = F.element_at(
+                F.col("qv"), ss * sub + d + 1
+            ) - F.lit(float(books[ss][jj][d]))
+            terms.append(diff * diff)
+        return F.round(
+            reduce(lambda a, b: a + b, terms) * F.lit(1e6)
+        ).cast("long")
+
+    lut = F.array(*[
+        _lut_entry(ss, jj) for ss in range(m) for jj in range(n_codes)
+    ])
+    qlut = q.select("query_id", lut.alias("lut"))
+    # adist = round(sum_s lut[s*n_codes + codes[s]], 6) — pure Catalyst
+    # fold over the code array, sequential s=0..m-1
+    picks = [
+        F.element_at(
+            F.col("lut"),
+            F.lit(ss * n_codes + 1)
+            + F.element_at(F.col("codes"), ss + 1),
+        )
+        for ss in range(m)
+    ]
+    adist_l = reduce(lambda a, b: a + b, picks)
+    adist = (adist_l / F.lit(1e6))
+    scored = (
+        codes.join(F.broadcast(qlut))
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("cid").alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist",
+                F.col("rank").cast("int").alias("rank"))
+    )
