@@ -664,43 +664,38 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    # lut[s*n_codes + j] = round(||q_sub_s - book[s][j]||^2, 6), built
-    # as a fully unrolled literal expression (m*n_codes*sub = ~1k
-    # terms): the codebook is plan-build-time constant, the fold order
-    # is the explicit left-to-right d=0..sub-1 — the same order numpy
-    # and the SQL twin use, so the rounded doubles are bit-identical
-    from functools import reduce
+    # lut[s*n_codes + j] = round(||q_sub_s - book[s][j]||^2 * 1e6) as
+    # LONGS: integer micro-distances sum order-independently, so the
+    # ADC total is bit-identical across numpy / Catalyst / DuckDB with
+    # no float-fold-order hazard (the per-entry d-fold is the explicit
+    # left-to-right order the numpy/SQL twins use). The 128-entry /
+    # ~1k-term expression is generated as ONE SQL string and parsed by
+    # a single F.expr call: building it from Column objects costs one
+    # py4j round trip per operator — 11 s of measured driver time —
+    # while the parser does it in milliseconds.
+    def _lit(x: float) -> str:
+        return repr(float(x)) + "D"  # D suffix: DOUBLE, not DECIMAL
 
-    def _lut_entry(ss: int, jj: int):
-        # micro-distances as LONGS (round(d * 1e6)): integer sums are
-        # order-independent, so the ADC total is bit-identical across
-        # numpy / Catalyst / DuckDB with no float-fold-order hazard
-        terms = []
-        for d in range(sub):
-            diff = F.element_at(
-                F.col("qv"), ss * sub + d + 1
-            ) - F.lit(float(books[ss][jj][d]))
-            terms.append(diff * diff)
-        return F.round(
-            reduce(lambda a, b: a + b, terms) * F.lit(1e6)
-        ).cast("long")
-
-    lut = F.array(*[
-        _lut_entry(ss, jj) for ss in range(m) for jj in range(n_codes)
-    ])
+    entries = []
+    for ss in range(m):
+        for jj in range(n_codes):
+            terms = " + ".join(
+                f"(element_at(qv, {ss * sub + d + 1}) - "
+                f"{_lit(books[ss][jj][d])})*"
+                f"(element_at(qv, {ss * sub + d + 1}) - "
+                f"{_lit(books[ss][jj][d])})"
+                for d in range(sub)
+            )
+            entries.append(f"CAST(round(({terms}) * 1e6) AS BIGINT)")
+    lut = F.expr("array(" + ", ".join(entries) + ")")
     qlut = q.select("query_id", lut.alias("lut"))
-    # adist = round(sum_s lut[s*n_codes + codes[s]], 6) — pure Catalyst
-    # fold over the code array, sequential s=0..m-1
-    picks = [
-        F.element_at(
-            F.col("lut"),
-            F.lit(ss * n_codes + 1)
-            + F.element_at(F.col("codes"), ss + 1),
-        )
+    # adist = (sum_s lut[s*n_codes + codes[s]]) / 1e6 — pure Catalyst,
+    # sequential fold spelled as one parsed expression
+    picks_sql = " + ".join(
+        f"element_at(lut, {ss * n_codes + 1} + element_at(codes, {ss + 1}))"
         for ss in range(m)
-    ]
-    adist_l = reduce(lambda a, b: a + b, picks)
-    adist = (adist_l / F.lit(1e6))
+    )
+    adist = F.expr(f"({picks_sql}) / 1e6")
     scored = (
         codes.join(F.broadcast(qlut))
         .filter(F.col("cid") != F.col("query_id"))
