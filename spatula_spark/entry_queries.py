@@ -1321,3 +1321,200 @@ def ann_pq_topk_q(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.pq_topk(emb, queries, k=5, m=8, n_codes=16)
+
+
+# --------------------------------------------------------------------------
+# Image+caption (media) pipeline queries — the graft cell's payload.
+#
+# The driver's oracle battery only ships text/embedding parquet, so these
+# derive a media-shaped corpus (image_id, w, h, fmt, caption-phrase, 64-bit
+# fingerprint) column-side from documents.doc_id with formulas BOTH engines
+# compute: metadata mirrors sources/synthweb.py media() (w/h/fmt closed
+# forms), the fingerprint plants near-dup groups (shared portable-hash base
+# per g%97 group, <=3 deterministic bit flips per member -> pairwise hamming
+# <=6), captions draw from the synthweb word pool via the portable hash.
+# This gives the banded/multi-index hamming join and the composed media
+# cleaning pipeline FULL cross-engine value-hash oracles; the codec-backed
+# sibling (image_near_dup_phash) stays rows-only because a JPEG entropy
+# coder is not SQL-expressible.
+# --------------------------------------------------------------------------
+def _derived_fp(g: str = "g"):
+    """Planted-near-dup 64-bit fingerprint, Spark side (see block comment).
+
+    base = portable_hash64('ph:' || g%97); members flip g%4 distinct bits
+    at positions (g*7 + 13*i) % 60, i < g%4 — distinct because 0,13,26 are
+    distinct mod 60, so pairwise in-group hamming <= 6 exactly."""
+    from .urls import portable_hash64
+
+    # F.shiftleft only takes a literal shift count, so the whole thing
+    # is one parsed SQL expression (also keeps the Column tree tiny —
+    # see the PQ LUT commit for the py4j-op-tree cost lesson)
+    flips = " | ".join(
+        f"(CASE WHEN {g} % 4 > {i} THEN "
+        f"shiftleft(cast(1 as bigint), cast(({g}*7 + {13 * i}) % 60 as int))"
+        f" ELSE cast(0 as bigint) END)"
+        for i in range(3)
+    )
+    base = (
+        f"cast(conv(substr(md5(concat('ph:', cast({g} % 97 as string)))"
+        f", 1, 15), 16, 10) as bigint)"
+    )
+    return F.expr(f"({base}) ^ ({flips})")
+
+
+def _duck_fp(gexpr: str = "g") -> str:
+    """DuckDB rendering of :func:`_derived_fp` (same bit arithmetic)."""
+    g = gexpr
+    flips = " | ".join(
+        f"(CASE WHEN {g} % 4 > {i} THEN "
+        f"(1::BIGINT << (({g}*7 + {13 * i}) % 60)) ELSE 0 END)"
+        for i in range(3)
+    )
+    base = duck_hash(f"'ph:' || ({g} % 97)::VARCHAR")
+    return f"xor({base}, ({flips}))"
+
+
+@register(
+    "media_phash_near_dups",
+    f"""
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+c AS (SELECT g, {_duck_fp('g')} AS fp FROM ids)
+SELECT a.g AS image_a, b.g AS image_b,
+       bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM c a JOIN c b
+  ON a.g < b.g AND bit_count(xor(a.fp, b.fp)) <= 7
+""",
+)
+def media_phash_near_dups_q(spark, sf_dir):
+    """The generic 64-bit hamming near-dup join (functions/dedup.py
+    hamming_near_dups, multi-index scheme at radius 7) under a FULL
+    cross-engine value-hash oracle: fingerprints are derived column-side
+    (portable hash + planted bit flips, see _derived_fp) so DuckDB can
+    brute-force ALL pairs with bit_count(xor()) while Spark runs the
+    4x16-bit multi-index equi-join — a hash match proves the MIH
+    candidate scheme is complete AND exact at the radius against an
+    independent engine, not just against Spark's own cross join
+    (tests pin that separately)."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    corpus = ids.select(
+        F.col("g").alias("image"), _derived_fp("g").alias("fp")
+    )
+    return dd.hamming_near_dups(corpus, "image", "fp", max_hamming=7)
+
+
+_DUCK_WLIST = None  # built lazily below (needs synthweb import)
+
+
+def _media_caption_exprs():
+    """(Spark phrase Column builder, DuckDB phrase SQL) from the one
+    synthweb word pool — caption words are picked by the portable hash
+    of (g%173, position), so both engines agree and the phrase key has
+    ~173 distinct values (planted caption-level duplicates)."""
+    from .sources.synthweb import _WORDS
+    from .urls import portable_hash64
+
+    def spark_phrase(g):
+        warr = F.array(*[F.lit(x) for x in _WORDS])
+        words = [
+            F.element_at(
+                warr,
+                (
+                    portable_hash64(
+                        F.concat(
+                            F.lit("cap:"),
+                            (g % 173).cast("string"),
+                            F.lit(f":{i}"),
+                        )
+                    )
+                    % 20
+                    + 1
+                ).cast("int"),
+            )
+            for i in range(4)
+        ]
+        return F.concat_ws(" ", *words)
+
+    wlist = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+    hashes = [
+        duck_hash(f"'cap:' || (g % 173)::VARCHAR || ':{i}'")
+        for i in range(4)
+    ]
+    duck_phrase = " || ' ' || ".join(
+        f"{wlist}[({h} % 20) + 1]" for h in hashes
+    )
+    return spark_phrase, duck_phrase
+
+
+_SPARK_PHRASE, _DUCK_PHRASE = _media_caption_exprs()
+
+
+@register(
+    "media_clean",
+    f"""
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+m AS (
+  SELECT g,
+    (16 + (g*5) % 49)::INT AS w,
+    (16 + (g*7) % 49)::INT AS h,
+    CASE WHEN g % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+    ({_DUCK_PHRASE}) AS phrase,
+    {_duck_fp('g')} AS fp
+  FROM ids),
+q AS (SELECT * FROM m
+      WHERE least(w, h) >= 24 AND greatest(w, h) <= 2 * least(w, h)),
+k AS (SELECT q.* FROM q
+      JOIN (SELECT phrase, min(g) AS g FROM q GROUP BY phrase) d
+        ON q.g = d.g AND q.phrase = d.phrase),
+nd AS (SELECT DISTINCT b.g AS g FROM k a JOIN k b
+       ON a.g < b.g AND bit_count(xor(a.fp, b.fp)) <= 7)
+SELECT g AS image_id, w, h, fmt, phrase,
+       'image ' || g || ': ' || phrase AS caption
+FROM k WHERE g NOT IN (SELECT g FROM nd)
+""",
+)
+def media_clean_q(spark, sf_dir):
+    """THE LAION-STYLE image+caption cleaning pipeline as ONE
+    oracle-gated query — the composed stage a 100 TB image-crawl corpus
+    actually runs before training: (1) metadata quality filter
+    (min-dimension >= 24 px, aspect ratio <= 2 — w/h/fmt mirror
+    sources/synthweb.py media()'s closed forms), (2) caption-level
+    exact dedup (many images share a stock caption phrase; keep the
+    lowest image_id per phrase), (3) image near-dup removal via the
+    multi-index hamming join over the 64-bit fingerprint (drop every
+    survivor with a lower-id survivor within hamming <= 7). Every
+    stage composes an already-verified operator; the DuckDB oracle
+    chains the same three stages with brute-force pairs, so the hash
+    match checks the filter/dedup/near-dup interplay end to end."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    g = F.col("g")
+    m = ids.select(
+        "g",
+        (F.lit(16) + (g * 5) % 49).cast("int").alias("w"),
+        (F.lit(16) + (g * 7) % 49).cast("int").alias("h"),
+        F.when(g % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        _SPARK_PHRASE(g).alias("phrase"),
+        _derived_fp("g").alias("fp"),
+    )
+    q = m.filter(
+        (F.least("w", "h") >= 24)
+        & (F.greatest("w", "h") <= 2 * F.least("w", "h"))
+    )
+    first = q.groupBy("phrase").agg(F.min("g").alias("g"))
+    # one shuffle for the first-wins dedup; localCheckpoint so the two
+    # consumers below (pair join legs + final anti-join) don't recompute
+    k = q.join(first, ["phrase", "g"]).localCheckpoint()
+    pairs = dd.hamming_near_dups(
+        k.select(F.col("g").alias("image"), "fp"), "image", "fp",
+        max_hamming=7,
+    )
+    drop = pairs.select(F.col("image_b").alias("g")).distinct()
+    return k.join(drop, "g", "left_anti").select(
+        g.alias("image_id"), "w", "h", "fmt", "phrase",
+        F.concat(F.lit("image "), g.cast("string"), F.lit(": "),
+                 F.col("phrase")).alias("caption"),
+    )

@@ -782,3 +782,90 @@ def test_pq_topk_recall_and_oracle_shape(spark):
     a = np.array([(r["adist"], true[r["neighbor_id"]]) for r in full])
     r = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
     assert r > 0.4, r
+
+
+def test_media_phash_near_dups_query(spark):
+    """Battery entry: the derived-fingerprint hamming join equals a
+    Spark brute-force all-pairs join (the DuckDB oracle is the
+    cross-engine twin of this check), and every planted in-group pair
+    (same g%97 base, <=6 bits apart) is present."""
+    from pyspark.sql import functions as F
+
+    from spatula_spark.entry_queries import QUERIES, _derived_fp
+
+    out = QUERIES["media_phash_near_dups"](spark, SF).collect()
+    got = {(r["image_a"], r["image_b"], r["hamming"]) for r in out}
+    assert got, "no near-dup pairs found"
+
+    ids = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    c = ids.select("g", _derived_fp("g").alias("fp"))
+    a, b = c.alias("a"), c.alias("b")
+    brute = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .select(
+            F.col("a.g").alias("image_a"),
+            F.col("b.g").alias("image_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .collect()
+    )
+    want = {(r["image_a"], r["image_b"], r["hamming"]) for r in brute}
+    assert got == want
+    # planted structure: every same-group pair is within radius
+    groups = {}
+    for (g,) in ids.collect():
+        groups.setdefault(g % 97, []).append(g)
+    planted = {
+        (x, y)
+        for mem in groups.values()
+        for i, x in enumerate(mem)
+        for y in mem[i + 1:]
+    }
+    pair_ids = {(x, y) for x, y, _ in got}
+    assert planted <= pair_ids
+
+
+def test_media_clean_stages(spark):
+    """Battery entry: each stage of the image+caption cleaning pipeline
+    does real work (filter drops rows, caption dedup drops rows, image
+    near-dup drops rows), survivors have unique caption phrases, and no
+    two survivors sit within hamming<=7 of each other."""
+    from pyspark.sql import functions as F
+
+    from spatula_spark.entry_queries import QUERIES, _derived_fp
+
+    rows = QUERIES["media_clean"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < n_docs
+
+    # metadata filter honored
+    for r in rows:
+        assert min(r["w"], r["h"]) >= 24
+        assert max(r["w"], r["h"]) <= 2 * min(r["w"], r["h"])
+        assert r["caption"] == f"image {r['image_id']}: {r['phrase']}"
+        assert r["fmt"] == ("png" if r["image_id"] % 2 == 0 else "jpeg")
+
+    # caption dedup: phrases unique among survivors
+    phrases = [r["phrase"] for r in rows]
+    assert len(phrases) == len(set(phrases))
+
+    # image near-dup: no surviving pair within radius (greedy keep-min
+    # semantics allow a pair's DROPPED member to "shield" others, but
+    # keep-if-no-smaller-survivor means survivors are pairwise far
+    # w.r.t. the kept set ordering)
+    surv = spark.createDataFrame(
+        [(r["image_id"],) for r in rows], "g long"
+    ).select("g", _derived_fp("g").alias("fp"))
+    a, b = surv.alias("a"), surv.alias("b")
+    close = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .filter(
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))) <= 7
+        )
+        .count()
+    )
+    assert close == 0
