@@ -127,6 +127,8 @@ HEADLINE = [
     "dedup_simhash",
     "simhash_near_dups",
     "image_near_dup_phash",
+    "media_phash_near_dups",
+    "media_clean",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",
