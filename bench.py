@@ -129,6 +129,7 @@ HEADLINE = [
     "image_near_dup_phash",
     "media_phash_near_dups",
     "media_clean",
+    "media_dedup_cc",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

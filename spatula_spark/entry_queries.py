@@ -1518,3 +1518,46 @@ def media_clean_q(spark, sf_dir):
         F.concat(F.lit("image "), g.cast("string"), F.lit(": "),
                  F.col("phrase")).alias("caption"),
     )
+
+
+@register(
+    "media_dedup_cc",
+    f"""
+WITH RECURSIVE ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+c AS (SELECT g, {_duck_fp('g')} AS fp FROM ids),
+p AS (SELECT a.g AS u, b.g AS v FROM c a JOIN c b
+      ON a.g < b.g AND bit_count(xor(a.fp, b.fp)) <= 7),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+walk(node, lab) AS (
+    SELECT g, g FROM ids
+  UNION
+    SELECT e.u, w.lab FROM e JOIN walk w ON w.node = e.v
+)
+SELECT node AS image_id, min(lab)::BIGINT AS component
+FROM walk GROUP BY node
+""",
+)
+def media_dedup_cc_q(spark, sf_dir):
+    """Cluster-based near-dup dedup: connected components over the
+    hamming<=7 pair graph (functions/dedup.py connected_components —
+    Boruvka tree hanging + pointer doubling), every doc labeled with
+    its component's min image id; isolated docs are their own
+    component. This is the dedup semantics a training corpus actually
+    wants (greedy pair-drop over-deletes chains; see media_clean for
+    the greedy spelling). The DuckDB oracle computes the transitive
+    closure independently with a recursive CTE over brute-force
+    all-pairs edges, so the value-hash match verifies BOTH the MIH
+    candidate join and the iterative contraction against an engine
+    that shares no code with either."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    corpus = ids.select(
+        F.col("g").alias("image"), _derived_fp("g").alias("fp")
+    )
+    pairs = dd.hamming_near_dups(corpus, "image", "fp", max_hamming=7)
+    cc = dd.connected_components(pairs, "image_a", "image_b")
+    return ids.join(cc, ids["g"] == cc["node"], "left").select(
+        F.col("g").alias("image_id"),
+        F.coalesce("component", "g").alias("component"),
+    )

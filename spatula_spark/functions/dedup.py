@@ -605,3 +605,123 @@ def _mih_near_dups(
     return cands.select(
         id_col + "_a", id_col + "_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph ->
+    ``(node, component)`` where ``component`` is the smallest node id
+    in the node's component.
+
+    Dedup at corpus scale clusters the candidate-pair graph instead of
+    greedily dropping the larger member of each pair (greedy pair-drop
+    over-deletes chains: for a~b, b~c but a!~c it keeps only a;
+    clustering keeps one doc per *component* and gives every doc a
+    stable cluster id for provenance).
+
+    Algorithm: Boruvka-style tree hanging + pointer doubling (the PRAM
+    CC shape, same family as GraphFrames' big-star/small-star). Each
+    outer round (1) hangs every node from ``min(self, neighbors)`` —
+    parent pointers strictly decrease, so they form a forest; (2)
+    flattens the forest to its roots by pointer doubling,
+    ``parent <- parent(parent)``, O(log depth) self-joins — this is
+    what kills the adversarial increasing-id chain (doc i near-dup of
+    doc i-1, the shape an incremental crawl of drifting pages emits),
+    where plain hash-min label propagation needs O(n) rounds; (3)
+    contracts edges to root pairs. Every tree merges with at least the
+    tree holding its min neighbor, so trees per component at least
+    halve per outer round: O(log n) outer rounds, O(log^2 n) short-key
+    shuffle joins worst case, each on the *contracted* graph. State is
+    ``localCheckpoint``-ed per round so lineage stays flat; no
+    driver-side collect at any size (the only actions are per-round
+    empty/convergence probes on contracted state).
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # hang: parent = min(self, neighbors); strictly-decreasing
+        # pointers == a forest over the contracted node set
+        par = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select(
+                F.col("u").alias("_n"), F.least("u", "_mn").alias("_p")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # flatten: pointer doubling until parent(parent) == parent
+        for _ in range(max_iter):
+            gp = par.select(
+                F.col("_n").alias("_pn"), F.col("_p").alias("_gp")
+            )
+            nxt = (
+                par.join(gp, par["_p"] == gp["_pn"], "left")
+                .select(
+                    "_n", F.coalesce("_gp", "_p").alias("_p")
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                nxt.join(par.withColumnRenamed("_p", "_old"), "_n")
+                .filter(F.col("_p") != F.col("_old"))
+                .isEmpty()
+            )
+            par = nxt
+            if moved:
+                break
+        else:
+            raise RuntimeError(
+                f"pointer doubling did not flatten in {max_iter} rounds"
+            )
+        # fold this round's roots into the global assignment
+        comp = (
+            comp.join(par, comp["rep"] == par["_n"], "left")
+            .select("node", F.coalesce("_p", "rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        # contract edges to root pairs
+        ru = par.select(F.col("_n").alias("u"), F.col("_p").alias("_ru"))
+        rv = par.select(F.col("_n").alias("v"), F.col("_p").alias("_rv"))
+        e = (
+            e.join(ru, "u")
+            .join(rv, "v")
+            .filter(F.col("_ru") != F.col("_rv"))
+            .select(
+                F.least("_ru", "_rv").alias("u"),
+                F.greatest("_ru", "_rv").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return comp.select("node", F.col("rep").alias("component"))

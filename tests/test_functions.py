@@ -869,3 +869,68 @@ def test_media_clean_stages(spark):
         .count()
     )
     assert close == 0
+
+
+def test_connected_components_adversarial_shapes(spark):
+    """Increasing-id chain (the incremental-crawl worst case for plain
+    hash-min propagation), clique, star, reversed chain — all resolve
+    to the component-min label within the logarithmic round budget."""
+    from spatula_spark.functions.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(40)]
+    pairs += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [(200, 200 + i) for i in range(1, 6)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b", max_iter=10).collect()
+    }
+    assert all(out[i] == 0 for i in range(41))
+    assert all(out[100 + i] == 100 for i in range(5))
+    assert all(out[200 + i] == 200 for i in range(6))
+
+    rev = spark.createDataFrame(
+        [(50 - i, 49 - i) for i in range(40)], "a long, b long"
+    )
+    labs = {
+        r["component"]
+        for r in connected_components(rev, "a", "b", max_iter=10).collect()
+    }
+    assert labs == {10}
+
+
+def test_media_dedup_cc_matches_union_find(spark):
+    """Battery entry: the distributed contraction equals a driver-side
+    union-find over the same pair set, and component ids are the
+    member minima."""
+    from spatula_spark.entry_queries import QUERIES, _derived_fp
+    from spatula_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    out = {
+        r["image_id"]: r["component"]
+        for r in QUERIES["media_dedup_cc"](spark, SF).collect()
+    }
+    ids = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    corpus = ids.select(F.col("g").alias("image"), _derived_fp("g").alias("fp"))
+    pairs = dd.hamming_near_dups(corpus, "image", "fp", max_hamming=7)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = find(r["image_a"]), find(r["image_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {g: find(g) if g in parent else g for (g,) in ids.collect()}
+    assert out == want
+    assert len(set(out.values())) > 1
+    for g, c in out.items():
+        assert c <= g
