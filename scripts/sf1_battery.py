@@ -202,6 +202,21 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
 
     out["banded8_cand_volume"] = _cand_volume(8, 8, 1)
     out["mih_cand_volume"] = _cand_volume(16, 4, 17)
+
+    # connected-components dedup over the planted fingerprint pair
+    # graph: the scale claim is that Boruvka contraction rounds stay
+    # ~CONSTANT as the corpus grows (rounds track component diameter,
+    # not corpus size), so the shuffle count is scale-invariant
+    t = time.time()
+    cc_stats = {}
+    cc = dd.connected_components(
+        dd.hamming_near_dups(allfp, "img_id", "fp", max_hamming=7),
+        "img_id_a", "img_id_b", stats=cc_stats)
+    out["cc_nodes"] = cc.count()
+    out["cc_components"] = cc.select("component").distinct().count()
+    out["cc_rounds"] = cc_stats["rounds"]
+    out["cc_jumps"] = cc_stats["jumps"]
+    out["cc_s"] = round(time.time() - t, 2)
     allfp.unpersist()
 
     ev = synth_events(spark, n_events).persist()
@@ -250,6 +265,8 @@ def main():
                                       1.5),
         # multi-index hamming: planted pairs dominate => ~linear growth
         "mih_pairs_growth": (ratio("mih_pairs"), 20.0),
+        # contraction rounds must NOT grow with the corpus
+        "cc_rounds_growth": (ratio("cc_rounds"), 1.0),
     }
     # candidate-volume advantage of multi-index over 8-bit bands must
     # hold at the bigger scale too (background is n^2-shaped for BOTH
@@ -276,6 +293,7 @@ def main():
     for k in ("n_docs", "minhash_cands", "minhash_pairs", "simhash_neardups",
               "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
               "mih_pairs", "banded8_cand_volume", "mih_cand_volume",
+              "cc_nodes", "cc_components", "cc_rounds", "cc_jumps",
               "asof_rows", "range_rows"):
         lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
     lines += [
@@ -285,7 +303,7 @@ def main():
     ]
     for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
               "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
-              "asof_s", "range_s"):
+              "cc_s", "asof_s", "range_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
     lines += [
         "",

@@ -1561,3 +1561,44 @@ def media_dedup_cc_q(spark, sf_dir):
         F.col("g").alias("image_id"),
         F.coalesce("component", "g").alias("component"),
     )
+
+
+def _corpus_split_oracle() -> str:
+    from .functions.sampling import duck_split_sql
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, {duck_split_sql('doc_id')} AS split,
+         {_duck_lang_guess()} AS lang_guess,
+         ({_duck_ntok})::INT AS n_tokens
+  FROM documents)
+SELECT lang_guess, split, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM s GROUP BY lang_guess, split
+"""
+
+
+@register("corpus_split", None)
+def corpus_split_q(spark, sf_dir):
+    """Deterministic stratified train/val/test split
+    (functions/sampling.py hash_split): assignment is a pure column
+    function of doc_id — stable under repartitioning, cluster size,
+    and reruns, unlike randomSplit's per-partition seeded sampling —
+    grouped by the language-ID stratum to show per-language
+    proportions hold. The oracle recomputes the md5 bucket arithmetic
+    and the lang-ID argmax independently in DuckDB."""
+    from .functions import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    s = sp.hash_split(docs, "doc_id").select(
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+        "split",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return s.groupBy("lang_guess", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+ORACLES["corpus_split"] = _corpus_split_oracle()

@@ -613,6 +613,7 @@ def connected_components(
     a_col: str,
     b_col: str,
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph ->
     ``(node, component)`` where ``component`` is the smallest node id
@@ -640,6 +641,11 @@ def connected_components(
     ``localCheckpoint``-ed per round so lineage stays flat; no
     driver-side collect at any size (the only actions are per-round
     empty/convergence probes on contracted state).
+
+    ``stats``, when given, receives ``{"rounds": k, "jumps": j}`` —
+    outer contraction rounds and total pointer-doubling joins — so
+    scale harnesses can assert round counts stay ~constant as the
+    corpus grows (see scripts/sf1_battery.py).
     """
     e = (
         pairs.select(
@@ -660,9 +666,11 @@ def connected_components(
         .select("node", F.col("node").alias("rep"))
         .localCheckpoint(eager=True)
     )
+    rounds = jumps = 0
     for _ in range(max_iter):
         if e.isEmpty():
             break
+        rounds += 1
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -681,6 +689,7 @@ def connected_components(
             gp = par.select(
                 F.col("_n").alias("_pn"), F.col("_p").alias("_gp")
             )
+            jumps += 1
             nxt = (
                 par.join(gp, par["_p"] == gp["_pn"], "left")
                 .select(
@@ -724,4 +733,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats.update(rounds=rounds, jumps=jumps)
     return comp.select("node", F.col("rep").alias("component"))

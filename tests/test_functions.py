@@ -934,3 +934,36 @@ def test_media_dedup_cc_matches_union_find(spark):
     assert len(set(out.values())) > 1
     for g, c in out.items():
         assert c <= g
+
+
+def test_hash_split_deterministic_and_stratified(spark):
+    """Split assignment is a pure function of the id (identical under
+    any partitioning — the property randomSplit lacks), proportions
+    track the weights, and the battery query covers every (lang,
+    split) cell consistently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spatula_spark.entry_queries import QUERIES
+    from spatula_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = hash_split(docs.repartition(1), "doc_id").select("doc_id", "split")
+    b = hash_split(docs.repartition(16), "doc_id").select("doc_id", "split")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    n = docs.count()
+    counts = dict(
+        hash_split(docs, "doc_id").groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.90) < 0.05
+    assert abs(counts["val"] / n - 0.05) < 0.04
+    assert abs(counts["test"] / n - 0.05) < 0.04
+
+    cells = QUERIES["corpus_split"](spark, SF).collect()
+    assert sum(r["n_docs"] for r in cells) == n
+    assert all(r["total_tokens"] > 0 for r in cells)
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", weights={"train": 50, "test": 49})
