@@ -130,6 +130,7 @@ HEADLINE = [
     "media_phash_near_dups",
     "media_clean",
     "media_dedup_cc",
+    "corpus_split",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",
