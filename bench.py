@@ -131,6 +131,9 @@ HEADLINE = [
     "media_clean",
     "media_dedup_cc",
     "corpus_split",
+    "doc_repetition_filters",
+    "decontaminate",
+    "quality_sample",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

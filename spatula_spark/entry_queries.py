@@ -1602,3 +1602,119 @@ def corpus_split_q(spark, sf_dir):
 
 
 ORACLES["corpus_split"] = _corpus_split_oracle()
+
+
+# ==========================================================================
+# 10. Corpus hygiene: repetition filters / decontamination / sampling
+# ==========================================================================
+_DUCK_NWORDS = "len(words)"
+
+
+def _duck_rep_metrics() -> str:
+    """DuckDB mirror of quality.repetition_profile's metric columns
+    (expects a CTE `w(doc_id, words)` of normalized word lists)."""
+    n = _DUCK_NWORDS
+    bigrams = (
+        f"list_transform(range(1, {n}), i -> words[i] || ' ' || words[i+1])"
+    )
+    trigrams = (
+        f"list_transform(range(1, {n}-1), "
+        "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+    )
+    dw = f"round(({n} - len(list_distinct(words)))::DOUBLE / greatest({n}, 1), 6)"
+    db = (
+        f"round((CASE WHEN {n} >= 2 THEN ({n}-1) - len(list_distinct({bigrams})) "
+        f"ELSE 0 END)::DOUBLE / greatest(CASE WHEN {n} >= 2 THEN {n}-1 ELSE 0 END, 1), 6)"
+    )
+    dt = (
+        f"round((CASE WHEN {n} >= 3 THEN ({n}-2) - len(list_distinct({trigrams})) "
+        f"ELSE 0 END)::DOUBLE / greatest(CASE WHEN {n} >= 3 THEN {n}-2 ELSE 0 END, 1), 6)"
+    )
+    adj = (
+        f"round((len(list_filter(range(1, {n}), i -> words[i] = words[i+1])))"
+        f"::DOUBLE / greatest({n}-1, 1), 6)"
+    )
+    from .functions import quality as ql
+
+    return f"""
+  {n}::INT AS n_words,
+  {dw} AS dup_word_frac,
+  {db} AS dup_bigram_frac,
+  {dt} AS dup_trigram_frac,
+  {adj} AS adjacent_dup_frac,
+  ({dw} <= {ql.MAX_DUP_WORD_FRAC} AND {db} <= {ql.MAX_DUP_BIGRAM_FRAC}
+   AND {adj} <= {ql.MAX_ADJACENT_DUP_FRAC}) AS keep"""
+
+
+@register("doc_repetition_filters", None)
+def doc_repetition_filters_q(spark, sf_dir):
+    """Gopher-style repetition removal (functions/quality.py
+    repetition_profile): duplicate word/bigram/trigram fractions +
+    adjacent-duplicate-word fraction + keep flag, all map-side array
+    expressions (no shuffle — streams at scan speed at 100 TB)."""
+    from .functions import quality as ql
+
+    return ql.repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["doc_repetition_filters"] = f"""
+WITH w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM documents)
+SELECT doc_id,{_duck_rep_metrics()}
+FROM w
+"""
+
+
+@register("decontaminate", None)
+def decontaminate_q(spark, sf_dir):
+    """Benchmark n-gram decontamination (functions/quality.py
+    decontaminate): flag non-benchmark docs sharing any word 3-gram
+    with the hash-designated benchmark subset. Benchmark gram set is
+    broadcast; corpus side stays map-side until the per-doc count."""
+    from .functions import quality as ql
+
+    return ql.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["decontaminate"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{DUCK_SHINGLES_CTE.strip().rstrip()},
+b AS (SELECT doc_id FROM documents
+      WHERE {duck_hash("'bench:' || doc_id::VARCHAR")} % 20 = 0),
+bg AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh
+       WHERE doc_id IN (SELECT doc_id FROM b)),
+rg AS (SELECT doc_id, unnest(shingles) AS gram FROM sh
+       WHERE doc_id NOT IN (SELECT doc_id FROM b))
+SELECT doc_id,
+  (count(*) FILTER (WHERE gram IN (SELECT gram FROM bg)))::BIGINT
+    AS n_hit_shingles,
+  (count(*) FILTER (WHERE gram IN (SELECT gram FROM bg)) > 0)
+    AS contaminated
+FROM rg GROUP BY doc_id
+"""
+
+
+@register("quality_sample", None)
+def quality_sample_q(spark, sf_dir):
+    """Deterministic quality-weighted sampling (functions/quality.py
+    weighted_sample): keep each doc with probability = its quality
+    score, via a pure hash-threshold predicate — stable under
+    repartitioning and rerun, zero-shuffle (one scan at 100 TB),
+    unlike df.sample's per-partition RNG."""
+    from .functions import quality as ql
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("weight"),
+    )
+    return ql.weighted_sample(weighted, "doc_id", F.col("weight"))
+
+
+ORACLES["quality_sample"] = f"""
+SELECT doc_id, weight FROM (
+  SELECT doc_id, {_duck_quality} AS weight,
+    ({duck_hash("'qsample:' || doc_id::VARCHAR")})::DOUBLE
+      / 1152921504606846976.0 AS u
+  FROM documents)
+WHERE u < weight
+"""

@@ -1,0 +1,178 @@
+"""Corpus-quality operators: repetition filters, decontamination,
+quality-weighted sampling — the filter layer of a training-data
+pipeline, 100% native Catalyst.
+
+The reference (spatula) scrapes; it has no corpus hygiene. These are
+the operators a 100 TB image+caption corpus needs between crawl and
+training, each a pure column function (whole-stage codegen, zero
+Python in the hot path, zero shuffles except where noted) with exact
+DuckDB mirrors wired in ``entry_queries``:
+
+* :func:`repetition_profile` — Gopher-style repeated-n-gram fractions
+  (Rae et al. 2021 §A1.1 "repetition removal"): duplicate word /
+  bigram / trigram fractions and an adjacent-duplicate-word fraction,
+  plus a keep flag. Map-side only — per-row array expressions, no
+  shuffle, so it streams at scan speed over any corpus size.
+* :func:`decontaminate` — benchmark n-gram overlap flagging (the
+  GPT-3/PaLM eval-decontamination step): any document sharing a word
+  3-gram with the benchmark set is flagged. The benchmark gram set is
+  broadcast (benchmark suites are ~10^6 grams — MBs), so the corpus
+  side stays a map-side broadcast join; the only shuffle is the final
+  per-doc count. At larger benchmark sets swap the broadcast for the
+  sharded Bloom filter in ``operators/seen.py`` (same anti-join
+  shape the crawl frontier uses).
+* :func:`weighted_sample` — deterministic importance sampling: keep a
+  row iff portable_hash(id)/2^60 < weight. A pure column predicate —
+  stable under repartitioning/cluster size (unlike ``df.sample``'s
+  per-partition RNG), recomputable by any engine from the id alone,
+  and zero-shuffle, so sampling 100 TB costs one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..urls import portable_hash64
+from .dedup import normalized_words, word_shingles
+
+# keep thresholds, calibrated so the synthetic corpus splits both ways
+# (the operator shape is the point; production thresholds are Gopher's)
+MAX_DUP_WORD_FRAC = 0.55
+MAX_DUP_BIGRAM_FRAC = 0.05
+MAX_ADJACENT_DUP_FRAC = 0.08
+
+SAMPLE_DENOM = float(1 << 60)  # portable_hash64 is uniform in [0, 2^60)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word n-grams of the normalized text, WITH multiplicity
+    (repetition metrics need counts; the distinct variant is
+    :func:`~spatula_spark.functions.dedup.word_shingles`). Empty array
+    when the doc has fewer than n words."""
+    w = normalized_words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - n + 1),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_frac(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    occurrence: (total - distinct) / total."""
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return F.round(dup / F.greatest(total, F.lit(1)), 6)
+
+
+def adjacent_dup_frac(text: Column) -> Column:
+    """Fraction of adjacent word pairs that are the same word — the
+    "aaaa aaaa aaaa" degenerate-generation signal."""
+    w = normalized_words(text)
+    adj = F.when(
+        F.size(w) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.element_at(w, i) == F.element_at(w, i + 1),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return F.round(adj / F.greatest(F.size(w) - 1, F.lit(1)), 6)
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics + keep flag. Map-side only."""
+    t = F.col(text_col)
+    w = normalized_words(t)
+    dw = _dup_frac(w)  # 1-grams are just the word array
+    db = _dup_frac(word_ngrams(t, 2))
+    dt = _dup_frac(word_ngrams(t, 3))
+    adj = adjacent_dup_frac(t)
+    keep = (
+        (dw <= MAX_DUP_WORD_FRAC)
+        & (db <= MAX_DUP_BIGRAM_FRAC)
+        & (adj <= MAX_ADJACENT_DUP_FRAC)
+    )
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        dw.alias("dup_word_frac"),
+        db.alias("dup_bigram_frac"),
+        dt.alias("dup_trigram_frac"),
+        adj.alias("adjacent_dup_frac"),
+        keep.alias("keep"),
+    )
+
+
+def benchmark_member(id_col: Column, mod: int = 20, salt: str = "bench") -> Column:
+    """Deterministic pseudo-benchmark membership: hash-buckets 1/mod of
+    the ids. Stands in for a real eval-suite doc list (which would arrive
+    as its own table); keeps the operator self-contained and oracle-
+    reproducible."""
+    return (
+        F.pmod(
+            portable_hash64(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+            F.lit(mod),
+        )
+        == 0
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    bench_mod: int = 20,
+) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with the benchmark set.
+
+    Returns (doc_id, n_hit_shingles, contaminated) for every
+    non-benchmark doc. The benchmark gram set is deduped then
+    broadcast; corpus grams are exploded map-side and left-joined
+    against it, so the lone shuffle is the per-doc hit count
+    aggregation (keyed on doc_id — no skew: explode fan-out is bounded
+    by doc length)."""
+    t = F.col(text_col)
+    is_bench = benchmark_member(F.col("doc_id"), bench_mod)
+    bench_grams = (
+        df.filter(is_bench)
+        .select(F.explode(word_shingles(t, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    rest_grams = df.filter(~is_bench).select(
+        "doc_id", F.explode(word_shingles(t, n)).alias("gram")
+    )
+    hits = (
+        rest_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit_shingles"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_hit_shingles",
+        (F.col("n_hit_shingles") > 0).alias("contaminated"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "qsample",
+) -> DataFrame:
+    """Keep each row independently with probability ``weight`` (a
+    column in [0, 1]), deterministically: u = hash(salt:id)/2^60 and
+    keep iff u < weight. Same-id rows always get the same verdict;
+    the expected kept fraction is mean(weight)."""
+    u = (
+        portable_hash64(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).cast("double")
+        / F.lit(SAMPLE_DENOM)
+    )
+    return df.filter(u < weight)
