@@ -1710,6 +1710,40 @@ def quality_sample_q(spark, sf_dir):
     return ql.weighted_sample(weighted, "doc_id", F.col("weight"))
 
 
+@register("pack_sequences", None)
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing
+    (functions/packing.py): hash-shard docs into independent streams,
+    per-stream running-sum window assigns token offsets, pack_id is a
+    pure column function of the offset. One shuffle; deterministic
+    epoch ordering for free (the hash order is the shuffle)."""
+    from .functions import packing as pk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pk.pack_sequences(docs, "doc_id", "n_tokens").select(
+        "doc_id", "stream", "offset", "pack_id", "pack_pos"
+    )
+
+
+ORACLES["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, ({_duck_ntok})::INT AS n_tokens,
+    {duck_hash("'pack:' || doc_id::VARCHAR")} AS h
+  FROM documents),
+s AS (SELECT doc_id, n_tokens, h, h % 8 AS stream FROM t),
+c AS (SELECT doc_id, stream,
+    (sum(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id)
+     - n_tokens)::BIGINT AS "offset"
+  FROM s)
+SELECT doc_id, stream, "offset",
+  ("offset" // 512)::BIGINT AS pack_id,
+  ("offset" % 512)::BIGINT AS pack_pos
+FROM c
+"""
+
+
 ORACLES["quality_sample"] = f"""
 SELECT doc_id, weight FROM (
   SELECT doc_id, {_duck_quality} AS weight,
