@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_repetition_filters",
     "decontaminate",
     "quality_sample",
+    "pack_sequences",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

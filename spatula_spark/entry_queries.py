@@ -1693,6 +1693,21 @@ FROM rg GROUP BY doc_id
 """
 
 
+@register(
+    "stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys_q(spark, sf_dir):
+    """Streaming URL-seen (streaming/dedup.py): first-occurrence key
+    emission via dropDuplicatesWithinWatermark — watermark-bounded
+    state (the 10^10-key requirement), drained over the finite events
+    file where it equals global distinct (the oracle). Two-batch
+    state-eviction semantics pinned in tests/test_streaming_dedup.py."""
+    from .streaming.dedup import stream_distinct_keys
+
+    return stream_distinct_keys(spark, f"{sf_dir}/events.parquet")
+
+
 @register("quality_sample", None)
 def quality_sample_q(spark, sf_dir):
     """Deterministic quality-weighted sampling (functions/quality.py

@@ -1,0 +1,74 @@
+"""Streaming URL-seen: the frontier dedup as a continuous query.
+
+The batch engine dedups its frontier with a seen-set anti-join
+(operators/seen.py). The streaming spelling of the same semantic is
+``dropDuplicatesWithinWatermark``: first occurrence of a key passes,
+repeats are dropped, and — the part that matters at 10^10 keys — the
+dedup state is EVICTED once the watermark passes a key's event time,
+so state is bounded by the watermark horizon x key arrival rate
+instead of growing forever (plain streaming ``dropDuplicates`` never
+evicts). A key recurring after its state expired is re-emitted: that
+is the documented trade (eviction is lazy — end-of-batch — so tests
+pin it with a three-batch drain), and
+it mirrors the sharded-Bloom seen-set's compaction story on the batch
+side.
+
+For local verification the finite parquet file drains in one
+micro-batch, where within-watermark dedup equals global distinct —
+giving the exact DuckDB oracle in ``entry_queries``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .windows import EVENTS_SCHEMA
+
+
+def _as_stream_dir(path: str) -> str:
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="spatula_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+        return d
+    return path
+
+
+def stream_distinct_keys(
+    spark: SparkSession,
+    events_path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """First-occurrence key emission with watermark-bounded state.
+
+    Projects to the key columns after the dedup so the output is
+    independent of which physical row arrived first (the retained
+    row's other columns are arrival-order-dependent; the key set is
+    not)."""
+    name = "dedup_" + uuid.uuid4().hex[:12]
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(_as_stream_dir(events_path))
+        .withWatermark("ts", watermark)
+        .select(*keys, "ts")
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -118,3 +118,32 @@ def test_salted_repartition_spreads_hot_host(spark):
     assert max(unsalted) >= 990        # the hot host is one straggler
     assert max(salted) <= 990 / 3      # spread across >=3 partitions
     assert sum(salted) == 1000
+
+
+def test_repetition_profile_is_map_side_only(spark):
+    """Gopher repetition metrics must stream at scan speed: no
+    Exchange (shuffle) anywhere in the plan, only doc_id+text read."""
+    p = _plan(entry.queries()["doc_repetition_filters"](spark, SF))
+    assert "Exchange" not in p, p
+    cols = {c.split("#")[0] for c in _read_schemas(p)[0].split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_quality_sample_is_map_side_only(spark):
+    p = _plan(entry.queries()["quality_sample"](spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Benchmark gram set must broadcast; the corpus side must not be
+    sort-merge joined."""
+    p = _plan(entry.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """One hash-partition exchange for the per-stream window; no
+    second shuffle downstream of it."""
+    p = _plan(entry.queries()["pack_sequences"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1, p
