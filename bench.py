@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_pq_topk",
     "stream_window_counts",
     "stream_sessionize",
+    "stream_dedup_keys",
     "crawl_doc_tree",
 ]
 
