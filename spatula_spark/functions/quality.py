@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..urls import portable_hash64
-from .dedup import normalized_words, word_shingles
+from .dedup import _spread, normalized_words, word_shingles
 
 # keep thresholds, calibrated so the synthetic corpus splits both ways
 # (the operator shape is the point; production thresholds are Gopher's)
@@ -138,13 +138,17 @@ def decontaminate(
     by doc length)."""
     t = F.col(text_col)
     is_bench = benchmark_member(F.col("doc_id"), bench_mod)
+    # higher-order array functions are interpreted (no codegen), so the
+    # shingle build is CPU-bound: spread the handful-of-file input to
+    # full session width before computing it
+    spread = _spread(df)
     bench_grams = (
-        df.filter(is_bench)
+        spread.filter(is_bench)
         .select(F.explode(word_shingles(t, n)).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    rest_grams = df.filter(~is_bench).select(
+    rest_grams = spread.filter(~is_bench).select(
         "doc_id", F.explode(word_shingles(t, n)).alias("gram")
     )
     hits = (
