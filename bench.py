@@ -130,6 +130,7 @@ HEADLINE = [
     "media_phash_near_dups",
     "media_clean",
     "media_dedup_cc",
+    "multimodal_dedup_cc",
     "corpus_split",
     "doc_repetition_filters",
     "decontaminate",

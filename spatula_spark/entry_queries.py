@@ -1563,6 +1563,138 @@ def media_dedup_cc_q(spark, sf_dir):
     )
 
 
+# ---- multimodal dedup: image-phash edges ∪ caption-equality edges ----
+# blocks of 6 docs (b = g div 6): members 0-2 share a phash base (each
+# flips <=3 bits -> pairwise hamming <=6), members 2-4 share a caption
+# phrase; 5 is isolated. So image edges alone cluster {0,1,2}, caption
+# edges alone {2,3,4}, and the MULTIMODAL union must produce {0..4}+{5}
+# per block — each modality contributes edges the other cannot see.
+_MM_SUB = "(CASE WHEN {g} % 6 < 3 THEN -1 ELSE {g} % 6 END)"
+_MM_CSUB = "(CASE WHEN {g} % 6 BETWEEN 2 AND 4 THEN -1 ELSE {g} % 6 END)"
+
+
+def _mm_fp_spark(g: str = "g"):
+    sub = _MM_SUB.format(g=g)
+    key = (
+        f"concat('mmph:', cast({g} div 6 as string), ':', "
+        f"cast({sub} as string))"
+    )
+    base = f"cast(conv(substr(md5({key}), 1, 15), 16, 10) as bigint)"
+    flips = " | ".join(
+        f"(CASE WHEN {g} % 4 > {i} THEN "
+        f"shiftleft(cast(1 as bigint), cast(({g}*7 + {13 * i}) % 60 as int))"
+        f" ELSE cast(0 as bigint) END)"
+        for i in range(3)
+    )
+    return F.expr(f"({base}) ^ ({flips})")
+
+
+def _mm_fp_duck(g: str = "g") -> str:
+    sub = _MM_SUB.format(g=g)
+    key = f"'mmph:' || ({g} // 6)::VARCHAR || ':' || ({sub})::VARCHAR"
+    flips = " | ".join(
+        f"(CASE WHEN {g} % 4 > {i} THEN "
+        f"(1::BIGINT << (({g}*7 + {13 * i}) % 60)) ELSE 0 END)"
+        for i in range(3)
+    )
+    return f"xor({duck_hash(key)}, ({flips}))"
+
+
+def _mm_caption_exprs():
+    from .sources.synthweb import _WORDS
+    from .urls import portable_hash64
+
+    def spark_phrase():  # over a column literally named g
+        warr = F.array(*[F.lit(x) for x in _WORDS])
+        csub = F.expr(_MM_CSUB.format(g="g"))
+        key = F.concat(
+            F.lit("mmcap:"),
+            F.expr("g div 6").cast("string"),
+            F.lit(":"),
+            csub.cast("string"),
+        )
+        words = [
+            F.element_at(
+                warr,
+                (
+                    portable_hash64(F.concat(key, F.lit(f":{i}"))) % 20 + 1
+                ).cast("int"),
+            )
+            for i in range(3)
+        ]
+        return F.concat_ws(" ", *words)
+
+    wlist = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+    csub = _MM_CSUB.format(g="g")
+    key = f"'mmcap:' || (g // 6)::VARCHAR || ':' || ({csub})::VARCHAR"
+    parts = []
+    for i in range(3):
+        kexpr = f"{key} || ':{i}'"
+        parts.append(f"{wlist}[({duck_hash(kexpr)} % 20) + 1]")
+    return spark_phrase, " || ' ' || ".join(parts)
+
+
+_MM_SPARK_PHRASE, _MM_DUCK_PHRASE = _mm_caption_exprs()
+
+
+@register(
+    "multimodal_dedup_cc",
+    f"""
+WITH RECURSIVE ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+c AS (SELECT g, {_mm_fp_duck('g')} AS fp, ({_MM_DUCK_PHRASE}) AS phrase
+      FROM ids),
+img AS (SELECT a.g AS u, b.g AS v FROM c a JOIN c b
+        ON a.g < b.g AND bit_count(xor(a.fp, b.fp)) <= 7),
+cap AS (SELECT c.g AS u, d.v FROM c
+        JOIN (SELECT phrase, min(g) AS v FROM c GROUP BY phrase) d
+          ON c.phrase = d.phrase AND c.g <> d.v),
+p AS (SELECT u, v FROM img UNION SELECT u, v FROM cap),
+e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+walk(node, lab) AS (
+    SELECT g, g FROM ids
+  UNION
+    SELECT e.u, w.lab FROM e JOIN walk w ON w.node = e.v
+)
+SELECT node AS image_id, min(lab)::BIGINT AS component
+FROM walk GROUP BY node
+""",
+)
+def multimodal_dedup_cc_q(spark, sf_dir):
+    """MULTIMODAL near-dup clustering: one connected-components pass
+    over the union of image edges (64-bit phash hamming <= 7 via the
+    multi-index join) and caption edges (exact phrase match). Caption
+    cliques are spelled as STAR edges (member -> per-phrase min id) —
+    same closure, linear edge count — because stock captions form
+    10^6-member cliques at web scale and pairwise edges would explode
+    quadratically. The planted-block corpus (see _MM_SUB comment)
+    makes each modality contribute edges the other cannot see, so the
+    value-hash match proves the union closure, not either modality
+    alone. Oracle: brute-force edges + recursive-CTE closure."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    corpus = ids.select(
+        "g", _mm_fp_spark("g").alias("fp"),
+        _MM_SPARK_PHRASE().alias("phrase"),
+    ).localCheckpoint()  # two edge builds + final label join read it
+    img = dd.hamming_near_dups(
+        corpus.select(F.col("g").alias("image"), "fp"), "image", "fp",
+        max_hamming=7,
+    ).select(F.col("image_a").alias("u"), F.col("image_b").alias("v"))
+    first = corpus.groupBy("phrase").agg(F.min("g").alias("v"))
+    cap = (
+        corpus.join(first, "phrase")
+        .filter(F.col("g") != F.col("v"))
+        .select(F.col("g").alias("u"), "v")
+    )
+    edges = img.unionByName(cap)
+    cc = dd.connected_components(edges, "u", "v")
+    return ids.join(cc, ids["g"] == cc["node"], "left").select(
+        F.col("g").alias("image_id"),
+        F.coalesce("component", "g").alias("component"),
+    )
+
+
 def _corpus_split_oracle() -> str:
     from .functions.sampling import duck_split_sql
 
