@@ -219,6 +219,64 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     out["cc_s"] = round(time.time() - t, 2)
     allfp.unpersist()
 
+    # corpus hygiene / packing / multimodal CC (round-3 additions)
+    from spatula_spark import entry_queries as eq
+    from spatula_spark.functions import packing as pk
+    from spatula_spark.functions import quality as ql
+    from spatula_spark.functions import text as tx
+
+    t = time.time()
+    out["rep_keep"] = ql.repetition_profile(docs).filter("keep").count()
+    out["rep_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    dec = ql.decontaminate(docs).persist()
+    out["decon_rows"] = dec.count()
+    out["decon_flagged"] = dec.filter("contaminated").count()
+    out["decon_s"] = round(time.time() - t, 2)
+    dec.unpersist()
+    # the two gram sets whose growth IS the scale property: corpus-side
+    # explode rows (must be ~linear in corpus tokens) and the broadcast
+    # benchmark gram set (linear in the benchmark subset)
+    from spatula_spark.functions.dedup import word_shingles
+    is_b = ql.benchmark_member(F.col("doc_id"))
+    out["decon_bench_grams"] = (
+        docs.filter(is_b)
+        .select(F.explode(word_shingles(F.col("text"), 3)).alias("g"))
+        .distinct().count()
+    )
+
+    t = time.time()
+    toks = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    out["pack_packs"] = (
+        pk.pack_sequences(toks, "doc_id", "n_tokens")
+        .select("stream", "pack_id").distinct().count()
+    )
+    out["pack_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    mm_stats = {}
+    mm = spark.range(n_docs).select(
+        F.col("id").alias("g"),
+        eq._mm_fp_spark("g").alias("fp"),
+        eq._MM_SPARK_PHRASE().alias("phrase"),
+    ).localCheckpoint()
+    img = dd.hamming_near_dups(
+        mm.select(F.col("g").alias("image"), "fp"), "image", "fp",
+        max_hamming=7,
+    ).select(F.col("image_a").alias("u"), F.col("image_b").alias("v"))
+    first = mm.groupBy("phrase").agg(F.min("g").alias("v"))
+    cap = (mm.join(first, "phrase").filter(F.col("g") != F.col("v"))
+           .select(F.col("g").alias("u"), "v"))
+    edges = img.unionByName(cap).persist()
+    out["mm_edges"] = edges.count()
+    mmcc = dd.connected_components(edges, "u", "v", stats=mm_stats)
+    out["mm_components"] = mmcc.select("component").distinct().count()
+    out["mm_rounds"] = mm_stats["rounds"]
+    out["mm_s"] = round(time.time() - t, 2)
+    edges.unpersist()
+
     ev = synth_events(spark, n_events).persist()
     ev.count()
     left = ev.filter(F.pmod(F.xxhash64("user_id", "ts"), F.lit(10)) == 0)
@@ -267,6 +325,12 @@ def main():
         "mih_pairs_growth": (ratio("mih_pairs"), 20.0),
         # contraction rounds must NOT grow with the corpus
         "cc_rounds_growth": (ratio("cc_rounds"), 1.0),
+        # round-3 ops: packing output and decontamination explode rows
+        # track corpus tokens (~linear); multimodal contraction rounds
+        # stay constant like the unimodal CC
+        "pack_packs_growth": (ratio("pack_packs"), 20.0),
+        "decon_rows_growth": (ratio("decon_rows"), 20.0),
+        "mm_rounds_growth": (ratio("mm_rounds"), 1.0),
     }
     # candidate-volume advantage of multi-index over 8-bit bands must
     # hold at the bigger scale too (background is n^2-shaped for BOTH
@@ -294,6 +358,9 @@ def main():
               "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
               "mih_pairs", "banded8_cand_volume", "mih_cand_volume",
               "cc_nodes", "cc_components", "cc_rounds", "cc_jumps",
+              "rep_keep", "decon_rows", "decon_flagged",
+              "decon_bench_grams", "pack_packs", "mm_edges",
+              "mm_components", "mm_rounds",
               "asof_rows", "range_rows"):
         lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
     lines += [
@@ -303,10 +370,21 @@ def main():
     ]
     for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
               "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
-              "cc_s", "asof_s", "range_s"):
+              "cc_s", "rep_s", "decon_s", "pack_s", "mm_s",
+              "asof_s", "range_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
     lines += [
         "",
+        "`decon_flagged` grows superlinearly BY CONSTRUCTION: the "
+        "benchmark subset is 5% of the corpus, so its gram set grows "
+        "10x too and each doc faces 10x the contamination surface "
+        "(production benchmark suites are fixed-size; the linear "
+        "check is `decon_rows`/`decon_bench_grams`). `mm_components` "
+        "COLLAPSES at 10x because the 3-word phrase space (20^3 = 8k) "
+        "saturates under 50k docs — accidental caption collisions "
+        "chain blocks into giant components; the evidence is that "
+        "`mm_rounds` stays 3 anyway (contraction rounds track "
+        "component diameter, not size). "
         "`range_rows` grows ~100x by design: BOTH join sides scale 10x "
         "and the containment join's OUTPUT is the cross product of "
         "overlapping (point, interval) pairs — that's result size, not "
