@@ -122,6 +122,7 @@ HEADLINE = [
     "url_canonicalize",
     "sessionize",
     "text_profile",
+    "tfidf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1826,6 +1826,35 @@ FROM rg GROUP BY doc_id
 
 
 @register(
+    "tfidf_topk",
+    f"""
+WITH w AS (
+  SELECT doc_id, unnest(words) AS word
+  FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM documents)),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*)::BIGINT AS dfreq FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+    round(tf.tf * ln((SELECT count(*)::DOUBLE FROM documents)
+                     / dfreq.dfreq), 6) AS score
+  FROM tf JOIN dfreq USING (word)),
+r AS (
+  SELECT doc_id, word, tf, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, word) AS rank
+  FROM s)
+SELECT doc_id, rank, word, tf, score FROM r WHERE rank <= 3
+""",
+)
+def tfidf_topk_q(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms (functions/text.py tfidf_topk):
+    keyword extraction as the textbook explode -> tf -> df -> window
+    pipeline; ranking on the rounded score with a term tiebreaker so
+    both engines agree bit-for-bit."""
+    return tx.tfidf_topk(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "stream_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

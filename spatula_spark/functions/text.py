@@ -103,6 +103,47 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
 
+def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf, the textbook distributed
+    spelling: explode words -> per-(doc, word) term counts -> document
+    frequency over the distinct (doc, word) pairs -> score join ->
+    per-doc window top-k. Three shuffles total (tf agg, df agg + join,
+    doc window), each keyed and skew-free; the df table is vocabulary-
+    sized (Heaps-law sublinear in the corpus), so at web scale the
+    score join is the only wide one.
+
+    score = tf * ln(N / df). Ranking uses the ROUNDED score (6 dp)
+    with the term as tiebreaker so the DuckDB oracle reproduces the
+    exact top-k independent of last-ulp libm differences.
+    """
+    from .dedup import normalized_words
+
+    n_docs = df.count()  # one bounded job; the only driver scalar
+    words = df.select(
+        "doc_id", F.explode(normalized_words(F.col(text_col))).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tf", "score")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: every operator above over a documents table."""
     t = F.col(text_col)

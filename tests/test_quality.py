@@ -110,3 +110,27 @@ class TestWeightedSample:
         )
         assert kept1 == kept2
         assert 200 <= len(kept1) <= 300  # ~Binomial(500, .5)
+
+
+class TestTfidfTopk:
+    def test_golden_small(self, spark):
+        from spatula_spark.functions import text as tx
+
+        df = spark.createDataFrame(
+            [
+                (0, "apple apple banana"),
+                (1, "banana cherry"),
+                (2, "cherry cherry cherry date"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["rank"]): (r["word"], r["tf"])
+            for r in tx.tfidf_topk(df, k=2).collect()
+        }
+        # apple: tf=2, df=1 -> top of doc 0; date df=1 beats cherry df=2
+        # at tf ties? doc 2: cherry tf=3 df=2 score=3*ln(1.5)=1.216;
+        # date tf=1 df=1 score=ln(3)=1.099 -> cherry first
+        assert rows[(0, 1)] == ("apple", 2)
+        assert rows[(2, 1)] == ("cherry", 3)
+        assert rows[(2, 2)] == ("date", 1)
