@@ -133,6 +133,8 @@ HEADLINE = [
     "media_dedup_cc",
     "multimodal_dedup_cc",
     "corpus_split",
+    "lang_rebalance",
+    "redact_pii",
     "doc_repetition_filters",
     "decontaminate",
     "quality_sample",

@@ -1855,6 +1855,69 @@ def tfidf_topk_q(spark, sf_dir):
 
 
 @register(
+    "lang_rebalance",
+    f"""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM c),
+r AS (SELECT lang, (SELECT mn FROM m)::DOUBLE / cnt AS rate FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ({duck_hash("'rebal:' || doc_id::VARCHAR")})::DOUBLE
+      / 1152921504606846976.0 < r.rate
+""",
+)
+def lang_rebalance_q(spark, sf_dir):
+    """Training-mixture construction (functions/sampling.py
+    rebalance): downsample every language to the rarest one's size via
+    per-group hash-threshold rates — one tiny aggregate broadcast back,
+    then a map-side predicate; deterministic under repartitioning."""
+    from .functions import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sp.rebalance(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+_PII_CASE_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(' contact bob', "
+    "cast(doc_id as string), '@mail.example.com') "
+    "WHEN doc_id % 7 = 1 THEN ' call 555-123-4567' ELSE '' END"
+)
+_PII_CASE_DUCK = (
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact bob' || doc_id::VARCHAR "
+    "|| '@mail.example.com' "
+    "WHEN doc_id % 7 = 1 THEN ' call 555-123-4567' ELSE '' END"
+)
+
+
+@register(
+    "redact_pii",
+    f"""
+WITH p AS (
+  SELECT doc_id, text || ({_PII_CASE_DUCK}) AS pii FROM documents)
+SELECT doc_id,
+  regexp_matches(pii, '{tx.EMAIL_RE}') AS has_email,
+  regexp_matches(pii, '{tx.PHONE_RE}') AS has_phone,
+  md5(regexp_replace(regexp_replace(pii, '{tx.EMAIL_RE}', '<PII>', 'g'),
+      '{tx.PHONE_RE}', '<PII>', 'g')) AS red_md5
+FROM p
+""",
+)
+def redact_pii_q(spark, sf_dir):
+    """C4-style PII scrub (functions/text.py redact_pii): emails and
+    phone numbers planted deterministically on 2/7 of docs, scrubbed
+    with lookahead-free patterns both engines evaluate identically;
+    the md5 of the redacted text pins the replacement byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(F.col("text"), F.expr(_PII_CASE_SPARK))
+    return docs.select(
+        "doc_id",
+        pii.rlike(tx.EMAIL_RE).alias("has_email"),
+        pii.rlike(tx.PHONE_RE).alias("has_phone"),
+        F.md5(tx.redact_pii(pii)).alias("red_md5"),
+    )
+
+
+@register(
     "stream_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -71,3 +71,42 @@ def duck_split_sql(id_expr: str, weights: dict[str, int] | None = None,
         hi += w
         case += f" WHEN {b} < {hi} THEN '{name}'"
     return case + f" ELSE '{last}' END"
+
+
+def rebalance(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    salt: str = "rebal",
+) -> DataFrame:
+    """Deterministic group rebalancing (the training-mixture op):
+    downsample every group to the size of the smallest one, so the
+    output is a balanced mix. Per-group keep rate = min_count/count
+    comes from one small aggregate (broadcast back); membership is the
+    same hash-threshold predicate as :func:`weighted_sample` in
+    quality.py — stable under repartitioning, recomputable from the id
+    alone, and the scan stays map-side after the tiny rate join.
+
+    Expected kept rows per group = min_count (exact in expectation,
+    binomial spread around it; exact-k variants need a per-group sort
+    — a full shuffle — which mixture construction rarely justifies).
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_cnt"))
+    min_cnt = counts.agg(F.min("_cnt").alias("_min"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        group_col,
+        (F.col("_min").cast("double") / F.col("_cnt")).alias("_rate"),
+    )
+    u = (
+        portable_hash64(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -103,6 +103,22 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
 
+# PII scrub patterns — the lookahead-free common subset of Java regex
+# (Spark) and RE2 (DuckDB), so oracles evaluate the identical pattern
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+REDACTED = "<PII>"
+
+
+def redact_pii(text: Column) -> Column:
+    """C4-style PII scrub: replace email addresses and phone numbers
+    with a redaction token. Pure regexp_replace — map-side, codegen'd,
+    streams at scan speed."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, REDACTED), PHONE_RE, REDACTED
+    )
+
+
 def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Per-document top-k terms by tf-idf, the textbook distributed
     spelling: explode words -> per-(doc, word) term counts -> document

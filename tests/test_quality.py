@@ -134,3 +134,51 @@ class TestTfidfTopk:
         assert rows[(0, 1)] == ("apple", 2)
         assert rows[(2, 1)] == ("cherry", 3)
         assert rows[(2, 2)] == ("date", 1)
+
+
+class TestRebalance:
+    def test_balanced_and_stable(self, spark):
+        from spatula_spark.functions import sampling as sp
+
+        rows = [(i, "big") for i in range(900)] + [
+            (i + 1000, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = sp.rebalance(df, "lang", "doc_id")
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(
+                F.count("*").alias("n")).collect()
+        }
+        assert by_lang["small"] == 100  # rate 1.0: rarest group intact
+        assert 60 <= by_lang["big"] <= 140  # ~Binomial(900, 1/9)
+        a = sorted(r["doc_id"] for r in kept.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in sp.rebalance(df.repartition(17), "lang", "doc_id").collect()
+        )
+        assert a == b
+
+
+class TestRedactPii:
+    def test_patterns_scrubbed(self, spark):
+        from spatula_spark.functions import text as tx
+
+        df = spark.createDataFrame(
+            [
+                (0, "write to alice.smith+x@corp.example.org today"),
+                (1, "call +1 555-123-4567 or 555 987 6543 now"),
+                (2, "no pii here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["red"]
+            for r in df.select(
+                "doc_id", tx.redact_pii(F.col("text")).alias("red")
+            ).collect()
+        }
+        assert out[0] == "write to <PII> today"
+        assert "<PII>" in out[1] and "555-123-4567" not in out[1]
+        assert "555 987 6543" not in out[1]  # space-separated form too
+        assert out[2] == "no pii here at all"
