@@ -185,6 +185,20 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # no-Spark hardware control measured in the SAME window as the
+    # crawl: raw-kernel items/sec under multiprocessing (this sandbox
+    # is a shared host whose capability swings ~3x between windows —
+    # see BENCH/BASELINE.md; this number lets any two bench runs be
+    # read against the host capability of their moment)
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+    )
+    import hw_kernel_bench as hw  # normal import: picklable for mp.Pool
+
+    hw_rate, _ = hw.run(16, 6000)
+    hw_control = {"workers": 16, "items_per_sec": round(hw_rate, 1)}
+
     # headline crawl throughput on the bench frontier
     n_urls = int(os.environ.get("SPATULA_BENCH_URLS", "200000"))
     # scale BREADTH (hosts), not chain depth: host0 (skew 4) tops out at
@@ -206,6 +220,7 @@ def main() -> None:
                 "sf": sf,
                 "crawl": crawl,
                 "cpus": cpus,
+                "hw_control": hw_control,
             }
         )
     )
