@@ -91,13 +91,19 @@ def rebalance(
     binomial spread around it; exact-k variants need a per-group sort
     — a full shuffle — which mixture construction rarely justifies).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     counts = df.groupBy(group_col).agg(F.count("*").alias("_cnt"))
-    min_cnt = counts.agg(F.min("_cnt").alias("_min"))
-    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+    # global min via an unpartitioned window over the group-cardinality
+    # sized counts table (tiny), not a scalar cross join — keeps the
+    # plan free of BroadcastNestedLoopJoin
+    whole = Window.partitionBy()
+    rates = counts.select(
         group_col,
-        (F.col("_min").cast("double") / F.col("_cnt")).alias("_rate"),
+        (F.min("_cnt").over(whole).cast("double") / F.col("_cnt")).alias(
+            "_rate"
+        ),
     )
     u = (
         portable_hash64(

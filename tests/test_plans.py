@@ -147,3 +147,14 @@ def test_pack_sequences_single_shuffle(spark):
     second shuffle downstream of it."""
     p = _plan(entry.queries()["pack_sequences"](spark, SF))
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_redact_pii_is_map_side_only(spark):
+    p = _plan(entry.queries()["redact_pii"](spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_lang_rebalance_broadcasts_rates(spark):
+    p = _plan(entry.queries()["lang_rebalance"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
