@@ -37,9 +37,14 @@ _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 def _spread(df: DataFrame) -> DataFrame:
     """Small-file inputs arrive in 1-2 partitions; the per-row hashing
-    here is CPU-heavy, so spread to the session's parallelism first
-    (a tiny shuffle buying full-width compute)."""
+    here is CPU-heavy (interpreted HOFs / Arrow UDFs), so spread to
+    the session's parallelism first (a tiny shuffle buying full-width
+    compute). WIDEN-ONLY: an input already at or above session width
+    (any real-scale table) passes through untouched — repartition(n)
+    on a 10^5-partition corpus would otherwise COLLAPSE it to n."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 # ------------------------------------------------------------------- exact
