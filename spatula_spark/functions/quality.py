@@ -127,6 +127,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     bench_mod: int = 20,
+    broadcast_max_grams: int | None = 5_000_000,
 ) -> DataFrame:
     """Flag corpus docs sharing any word n-gram with the benchmark set.
 
@@ -151,8 +152,16 @@ def decontaminate(
     rest_grams = spread.filter(~is_bench).select(
         "doc_id", F.explode(word_shingles(t, n)).alias("gram")
     )
+    # broadcast only while the gram set is broadcast-sized (one
+    # bounded count job on the small side); oversized benchmark sets
+    # fall back to a shuffle join — same result, and the next step up
+    # is the sharded-Bloom prefilter from operators/seen.py
+    if broadcast_max_grams is None or (
+        bench_grams.count() <= broadcast_max_grams
+    ):
+        bench_grams = F.broadcast(bench_grams)
     hits = (
-        rest_grams.join(F.broadcast(bench_grams), "gram", "left")
+        rest_grams.join(bench_grams, "gram", "left")
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit_shingles"))
     )

@@ -182,3 +182,14 @@ class TestRedactPii:
         assert "<PII>" in out[1] and "555-123-4567" not in out[1]
         assert "555 987 6543" not in out[1]  # space-separated form too
         assert out[2] == "no pii here at all"
+
+
+def test_decontaminate_shuffle_fallback_same_result(spark):
+    """broadcast_max_grams=0 forces the shuffle join; the verdicts
+    must be identical to the broadcast path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, ql.decontaminate(docs).collect()))
+    b = sorted(
+        map(tuple, ql.decontaminate(docs, broadcast_max_grams=0).collect())
+    )
+    assert a == b
