@@ -989,11 +989,39 @@ def ann_ivf_kmeans_topk_q(spark, sf_dir):
                         lloyd_iters=1)
 
 
-@register("ann_lsh_topk")  # approximate by design -> rows-only check;
+_DUCK_ANN_BUCKET_COLS = ", ".join(
+    f"{_duck_bucket('v', t * 5, 5)} AS b{t}" for t in range(4)
+)
+_DUCK_ANN_MATCH = " OR ".join(f"q.b{t} = c.b{t}" for t in range(4))
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_DUCK_ANN_BUCKET_COLS} FROM e),
+q AS (SELECT * FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM q JOIN b c ON c.vec_id <> q.vec_id AND ({_DUCK_ANN_MATCH})),
+s AS (
+  SELECT query_id, neighbor_id,
+    round(list_cosine_similarity(qb.v, cb.v), 6) AS cos
+  FROM cand JOIN b qb ON qb.vec_id = query_id
+            JOIN b cb ON cb.vec_id = neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id))::INT AS rank FROM s)
+WHERE rank <= 5
+""",
+)
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of embedding_topk).
-    No SQL oracle: recall vs brute force is asserted in
-    tests/test_functions.py instead."""
+    FULL oracle since round 3 session 3: the approximation is
+    deterministic (hyperplanes are plan-build-time literals), so
+    DuckDB replays the bucket arithmetic, candidate union, exact
+    rescoring, and rank — recall vs brute force is additionally
+    asserted in tests/test_functions.py."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
