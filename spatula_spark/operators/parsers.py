@@ -22,10 +22,26 @@ from __future__ import annotations
 import csv
 import io
 import json
+import weakref
 import xml.etree.ElementTree as ET
 from html.parser import HTMLParser
 from typing import Any
 from urllib.parse import urljoin
+
+# source-line sidecar (lxml's .sourceline equivalent): ElementTree
+# elements can't carry extra attributes, and storing the line in
+# .attrib would leak into attribute selectors, so it lives in a weak
+# map keyed by element identity
+SOURCE_LINES: "weakref.WeakKeyDictionary[ET.Element, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def source_line(el: ET.Element) -> int | None:
+    """Line number the element's start tag appeared on (1-based), or
+    None for elements not built by :func:`parse_html`."""
+    return SOURCE_LINES.get(el)
+
 
 _VOID_TAGS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
@@ -43,6 +59,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         el = ET.SubElement(self.stack[-1], tag, {k: v or "" for k, v in attrs})
+        SOURCE_LINES[el] = self.getpos()[0]
         if tag not in _VOID_TAGS:
             self.stack.append(el)
 

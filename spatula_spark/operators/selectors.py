@@ -47,16 +47,12 @@ class SelectorError(ValueError):
 
 
 def _display_element(el: ET.Element) -> str:
-    """Reference ``utils._display_element`` (utils.py:17-27) minus the
-    lxml ``sourceline`` (ElementTree does not track line numbers)."""
-    s = f"<{el.tag} "
-    if id_str := el.get("id"):
-        s += f"id='{id_str}'"
-    elif class_str := el.get("class"):
-        s += f"class='{class_str}'"
-    else:
-        s += " ".join(f"{k}='{v}'" for k, v in el.attrib.items())
-    return f"{s.strip()}>"
+    """Reference ``utils._display_element`` (utils.py:17-27),
+    including the ``@ line N`` suffix for parse_html-built elements
+    (see utils.display_element — the canonical copy)."""
+    from ..utils import display_element
+
+    return display_element(el)
 
 
 class Selector(ABC):

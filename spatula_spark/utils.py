@@ -8,18 +8,48 @@ import xml.etree.ElementTree as ET
 from typing import Any
 
 
-def display_element(el: ET.Element, max_len: int = 100) -> str:
-    """Short element repr for error messages / CLI output
-    (reference ``utils.py:27-42``)."""
-    s = ET.tostring(el, encoding="unicode").strip()
-    return s if len(s) <= max_len else s[: max_len - 3] + "..."
+def display_element(el: ET.Element) -> str:
+    """Reference ``utils._display_element`` (utils.py:17-27): id wins
+    over class over the full attribute list; line number comes from
+    the parse-time sidecar (parsers.source_line — the stdlib stand-in
+    for lxml's ``.sourceline``); elements that weren't built by
+    parse_html (e.g. raw XML) omit the line suffix."""
+    s = f"<{el.tag} "
+    if id_str := el.get("id"):
+        s += f"id='{id_str}'"
+    elif class_str := el.get("class"):
+        s += f"class='{class_str}'"
+    else:
+        s += " ".join(f"{k}='{v}'" for k, v in el.attrib.items())
+    s = s.strip() + ">"
+    from .operators.parsers import source_line
+
+    line = source_line(el)
+    return f"{s} @ line {line}" if line is not None else s
 
 
-def display(obj: Any, max_len: int = 100) -> str:
+def display(obj: Any) -> str:
+    """Reference ``utils._display`` (utils.py:34-42): elements via
+    :func:`display_element`; dict-representable objects (None, dict,
+    dataclass, attrs, pydantic) via ``pprint.pformat`` of their dict
+    form; everything else via ``str`` (so strings print unquoted)."""
+    import dataclasses
+    import pprint
+
     if isinstance(obj, ET.Element):
-        return display_element(obj, max_len)
-    s = repr(obj)
-    return s if len(s) <= max_len else s[: max_len - 3] + "..."
+        return display_element(obj)
+    if (
+        obj is None
+        or isinstance(obj, dict)
+        or dataclasses.is_dataclass(obj)
+        or hasattr(obj, "__attrs_attrs__")
+        or hasattr(obj, "model_dump")
+        or (hasattr(obj, "dict") and hasattr(obj, "__fields__"))
+    ):
+        from .plans.pagespec import obj_to_dict
+
+        return pprint.pformat(obj_to_dict(obj))
+    return str(obj)
 
 
 def synthesize_input(

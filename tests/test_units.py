@@ -518,3 +518,52 @@ def test_obj_to_dict():
     assert obj_to_dict(None) is None
     with pytest.raises(TypeError):
         obj_to_dict(object())
+
+
+def test_display_reference_parity():
+    """Reference tests/test_utils.py table: pformat for dict-able,
+    str for scalars, '<tag id> @ line N' for parsed elements."""
+    import pprint
+    from dataclasses import dataclass
+
+    from spatula_spark.operators.parsers import parse_html
+    from spatula_spark.utils import display
+
+    for data in ({}, {"a": 1, "b": ["x", "y", "z"]}):
+        assert display(data) == pprint.pformat(data)
+    for item, out in [
+        ("some str", "some str"),
+        (True, "True"),
+        (None, "None"),
+        (1234, "1234"),
+    ]:
+        assert display(item) == out
+
+    @dataclass
+    class Obj:
+        a: int
+        b: str
+
+    assert display(Obj(1, "two")) == pprint.pformat({"a": 1, "b": "two"})
+
+    cases = [
+        ("<b>test</b>", "b", "<b> @ line 1"),
+        ("<p id='p1'>test</p>", "p", "<p id='p1'> @ line 1"),
+        ("<p class='styled'>test</p>", "p", "<p class='styled'> @ line 1"),
+        ("<p id='p2' class='styled'>t</p>", "p", "<p id='p2'> @ line 1"),
+        (
+            "<p class='styled' data-elem='ignored'>t</p>",
+            "p",
+            "<p class='styled'> @ line 1",
+        ),
+    ]
+    for html, tag, want in cases:
+        root = parse_html(html)  # single-element docs unwrap to the element
+        el = root if root.tag == tag else root.find(f".//{tag}")
+        assert display(el) == want
+
+    # multi-line documents report the start-tag's line
+    el = parse_html("<div>\n<span>x</span>\n<p id='late'>y</p></div>").find(
+        ".//p"
+    )
+    assert display(el) == "<p id='late'> @ line 3"
