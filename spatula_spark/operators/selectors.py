@@ -190,9 +190,10 @@ class CSS(Selector):
       ``+``, general sibling ``~``
     * selector lists: ``a, b`` — union, document order, deduped
 
-    The scope element itself is never matched (cssselect/lxml
-    behavior); structural pseudo-classes use a parent map built per
-    ``get_items`` call (ElementTree has no parent pointers).
+    The scope element itself CAN match (lxml cssselect evaluates with
+    a ``descendant-or-self::`` prefix); structural pseudo-classes use
+    a parent map built per ``get_items`` call (ElementTree has no
+    parent pointers).
     """
 
     def __init__(self, css_selector: str, **kw):
@@ -380,9 +381,6 @@ class CSS(Selector):
                         return False
             return True
 
-        # :root names the scope element, which is otherwise excluded
-        # from candidates — get_items widens the first step for it
-        pred.wants_root = any(k == "root" for k, _ in pseudos)
         return pred
 
     # ----------------------------------------------------------- matching
@@ -418,13 +416,12 @@ class CSS(Selector):
             current: list[ET.Element] | None = None  # None = scope root
             for comb, p in group:
                 if current is None:
-                    # first step: search the whole scope (descendants;
-                    # the scope element itself only for :root)
+                    # first step: descendant-OR-SELF — lxml cssselect
+                    # translates with a descendant-or-self:: prefix, so
+                    # the scope element itself can match (reference
+                    # parity; pinned by the CSS-vs-XPath property test)
                     current = [
-                        el for el in element.iter()
-                        if (el is not element
-                            or getattr(p, "wants_root", False))
-                        and run_pred(p, el)
+                        el for el in element.iter() if run_pred(p, el)
                     ]
                     continue
                 nxt: list[ET.Element] = []

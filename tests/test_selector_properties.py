@@ -1,0 +1,65 @@
+"""Property-based cross-engine selector checks: on random trees, a
+CSS selector and its XPath equivalent must select the identical
+element set — two independently-implemented engines (the compiled CSS
+grammar and the XPath 1.0 evaluator) agreeing on arbitrary input is a
+far stronger pin than the golden tables alone."""
+
+import xml.etree.ElementTree as ET
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spatula_spark.operators.selectors import CSS, XPath
+
+TAGS = ("div", "p", "span")
+
+
+@st.composite
+def trees(draw):
+    def node(depth):
+        tag = draw(st.sampled_from(TAGS))
+        el = ET.Element(tag)
+        if draw(st.booleans()):
+            el.set("id", draw(st.sampled_from(("x", "y"))))
+        if draw(st.booleans()):
+            el.set("class", draw(st.sampled_from(("a", "b", "a b"))))
+        if depth < 3:
+            for _ in range(draw(st.integers(0, 3))):
+                el.append(node(depth + 1))
+        return el
+
+    root = ET.Element("root")
+    for _ in range(draw(st.integers(1, 4))):
+        root.append(node(1))
+    return root
+
+
+EQUIVALENCES = [
+    ("p", "//p"),
+    ("div p", "//div//p"),
+    ("div > p", "//div/p"),
+    ("[id='x']", "//*[@id='x']"),
+    ("p[id]", "//p[@id]"),
+    ("p:first-child", "//p[not(preceding-sibling::*)]"),
+    ("p:last-child", "//p[not(following-sibling::*)]"),
+    ("div span, p", "//div//span | //p"),
+    ("p:empty", "//p[not(*)][not(text())]"),
+    ("p:nth-child(2)", "//p[count(preceding-sibling::*) = 1]"),
+    (":not([id])", "//*[not(@id)]"),
+    ("p ~ span", "//p/following-sibling::span"),
+    ("p + span", "//p/following-sibling::*[1][self::span]"),
+    ("div.a", "//div[@class='a' or starts-with(@class, 'a ')]"),
+]
+
+
+def _ids(els):
+    return sorted(id(e) for e in els)
+
+
+@settings(max_examples=60, deadline=None)
+@given(trees())
+def test_css_xpath_equivalence(root):
+    for css_sel, xpath_sel in EQUIVALENCES:
+        css = _ids(CSS(css_sel, min_items=None).match(root))
+        xp = _ids(XPath(xpath_sel, min_items=None).match(root))
+        assert css == xp, (css_sel, xpath_sel, ET.tostring(root))
