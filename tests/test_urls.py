@@ -73,3 +73,40 @@ def test_portable_hash_cross_engine(spark):
         ).fetchone()[0]
         assert duck == spark_hashes[v], v
         assert 0 <= duck < 2**60
+
+
+def test_canonicalize_idempotent_and_parity_on_generated_urls(spark):
+    """Combinatorial adversarial URLs: canonicalization must be
+    IDEMPOTENT (canon(canon(u)) == canon(u) — the seen-set key must be
+    a fixed point or re-crawls of emitted URLs double-fetch) and the
+    DuckDB rendering must agree byte-for-byte on every one."""
+    import itertools
+
+    schemes = ["http", "HTTP", "https"]
+    hosts = ["Example.com", "h0.example.COM"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a//b/", "/x///y//", "/a/b/"]
+    queries = ["", "?b=2&a=1", "?z=1", "?a=&b"]
+    frags = ["", "#frag"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{f}"
+        for s, h, po, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    con = duckdb.connect()
+    expr = canonicalize_url_duckdb("url")
+    for r in rows:
+        assert r["c1"] == r["c2"], f"not idempotent: {r['url']} -> {r['c1']} -> {r['c2']}"
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [r["url"]]
+        ).fetchone()[0]
+        assert got == r["c1"], f"dialect drift: {r['url']}: duck={got} spark={r['c1']}"
