@@ -41,3 +41,33 @@ def test_bloom_no_false_negatives(keys):
     arr = np.unique(np.array(keys, dtype=np.int64) * 7919)
     bf.add(arr)
     assert bf.contains(arr).all()
+
+
+# --------------------------------------------------------------- codecs
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 10_000),
+    st.sampled_from([(8, 8), (16, 8), (17, 13), (32, 24)]),
+    st.sampled_from([85, 95, 98]),
+)
+def test_jpeg_roundtrip_property(seed, wh, quality):
+    """Any synthesized image, any (non-multiple-of-8) size: the real
+    baseline-JFIF codec must preserve shape/dtype/markers, clear a
+    lossy sanity floor, and at the pipeline's own setting (quality=98,
+    images.lossy_encode) clear the 40 dB north-rule bar."""
+    from spatula_spark.functions.images import psnr, synth_pixels
+    from spatula_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    w, h = wh
+    px = synth_pixels(seed, w, h)
+    data = jpeg_encode(px, quality=quality)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = jpeg_decode(data)
+    assert out.shape == px.shape and out.dtype == px.dtype
+    p = psnr(out, px)
+    assert p >= 25.0
+    if quality == 98:
+        assert p >= 40.0
