@@ -166,6 +166,16 @@ class CrawlConfig:
     salt_buckets: int = 8
     fail_fast: bool = True
     checkpoint_dir: str | None = None
+    # Iceberg-style snapshot compaction: every K committed seen DELTAS,
+    # the checkpoint rewrites the accumulated seen set as one
+    # ``seen_base`` under the current wave (manifest-flagged), so
+    # resume reads ONE base + at most K-1 deltas instead of every
+    # wave's delta since the crawl began — a 1000-wave crawl at
+    # 10^10-URL scale would otherwise fan in 1000 small parquet dirs.
+    # LSM-style tradeoff: compaction costs one O(|seen|) rewrite per K
+    # waves; K trades resume fan-in against rewrite amortization.
+    # 0 disables (every delta kept live forever, pre-compaction shape).
+    checkpoint_compact_every: int = 16
     target_partitions: int | None = None  # defaults to shuffle partitions
     verbose: bool = False  # per-wave step timings to stderr
     # per-wave materialization. "parquet" writes each wave's frontier/
@@ -1706,9 +1716,64 @@ class CrawlEngine:
                 os.path.join(d, "seen_delta")
             )
         items.write.mode("overwrite").parquet(os.path.join(d, "items"))
+        has_base = self._maybe_compact_seen(base, wave, seen_delta)
         with open(os.path.join(d, "MANIFEST.json"), "w") as f:
             json.dump({"wave": wave, "complete": True,
-                       "metrics": metrics_rows}, f)
+                       "seen_base": has_base, "metrics": metrics_rows}, f)
+
+    def _maybe_compact_seen(self, base, wave, seen_delta) -> bool:
+        """Compact the seen set into ``wave=N/seen_base`` when
+        ``checkpoint_compact_every`` deltas have accumulated since the
+        last base (Iceberg manifest-rewrite analogue). Runs BEFORE this
+        wave's manifest, so a kill mid-compaction leaves the previous
+        snapshot chain fully intact. Per-wave deltas are disjoint by
+        construction (each holds only keys NEW that wave), so the base
+        is a plain union — no distinct shuffle."""
+        every = self.config.checkpoint_compact_every
+        if not every:
+            return False
+        base_wave, delta_waves = self._seen_sources(base, upto=wave - 1)
+        pending = len(delta_waves) + (1 if seen_delta is not None else 0)
+        if pending < every:
+            return False
+        parts = []
+        if base_wave is not None:
+            parts.append(os.path.join(base, f"wave={base_wave}", "seen_base"))
+        parts += [os.path.join(base, f"wave={w}", "seen_delta")
+                  for w in delta_waves]
+        d = os.path.join(base, f"wave={wave}")
+        if seen_delta is not None:
+            parts.append(os.path.join(d, "seen_delta"))
+        # one reader over all source dirs: a single scan+write job
+        self.spark.read.parquet(*parts).select("url_hash", "seen_key") \
+            .write.mode("overwrite").parquet(os.path.join(d, "seen_base"))
+        return True
+
+    def _seen_sources(self, base, upto):
+        """(latest committed base wave <= upto or None, delta waves to
+        union after it). The seen set as of wave ``upto`` is
+        seen_base(base_wave) ∪ deltas of waves in (base_wave, upto] —
+        bounded fan-in regardless of crawl length."""
+        base_wave = None
+        deltas = []
+        if not os.path.isdir(base):
+            return None, []
+        for entry in os.listdir(base):
+            if not entry.startswith("wave="):
+                continue
+            w = int(entry.split("=")[1])
+            d = os.path.join(base, entry)
+            if w > upto or not os.path.exists(
+                    os.path.join(d, "MANIFEST.json")):
+                continue
+            if os.path.isdir(os.path.join(d, "seen_base")) and (
+                    base_wave is None or w > base_wave):
+                base_wave = w
+            if os.path.isdir(os.path.join(d, "seen_delta")):
+                deltas.append(w)
+        return base_wave, sorted(
+            w for w in deltas if base_wave is None or w > base_wave
+        )
 
     def _try_resume(self, base):
         if not os.path.isdir(base):
@@ -1730,10 +1795,15 @@ class CrawlEngine:
             if c not in frontier.columns:
                 frontier = frontier.withColumn(c, F.lit(None).cast("long"))
         seen = self.spark.createDataFrame([], "url_hash long, seen_key long")
-        for w in sorted(waves):
-            delta = os.path.join(base, f"wave={w}", "seen_delta")
-            if os.path.isdir(delta):
-                seen = seen.union(self.spark.read.parquet(delta))
+        base_wave, delta_waves = self._seen_sources(base, upto=last)
+        parts = ([os.path.join(base, f"wave={base_wave}", "seen_base")]
+                 if base_wave is not None else [])
+        parts += [os.path.join(base, f"wave={w}", "seen_delta")
+                  for w in delta_waves]
+        if parts:
+            seen = seen.union(
+                self.spark.read.parquet(*parts).select("url_hash", "seen_key")
+            )
         results = [
             self.spark.read.parquet(os.path.join(base, f"wave={w}", "items"))
             for w in sorted(waves)

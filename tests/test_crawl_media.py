@@ -286,6 +286,54 @@ def test_checkpoint_resume_identical(spark, web, store, tmp_path):
     shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_checkpoint_seen_compaction_bounds_resume_fanin(
+        spark, web, store, tmp_path):
+    """checkpoint_compact_every=K rewrites the accumulated seen set as
+    one seen_base every K deltas (Iceberg manifest-rewrite analogue),
+    so resume reads one base + <K deltas no matter how many waves ran —
+    without it a long crawl's resume unions every wave's little delta
+    dir since wave 0. Kill-and-resume must stay byte-identical."""
+    import os
+
+    ck = str(tmp_path / "ckc")
+    full = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig()).crawl(web.seeds())
+    CrawlEngine(spark, media_registry(), page_store=store,
+                config=CrawlConfig(checkpoint_dir=ck, max_waves=2,
+                                   checkpoint_compact_every=2)
+                ).crawl(web.seeds())
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(checkpoint_dir=ck,
+                                         checkpoint_compact_every=2))
+    res = eng.crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    want = {r["url"] for r in crawl_items_df(full.results).collect()}
+    assert got == want
+    assert res.seen.count() == full.seen.count()
+
+    last = max(int(e.split("=")[1]) for e in os.listdir(ck)
+               if e.startswith("wave="))
+    base_wave, deltas = eng._seen_sources(ck, upto=last)
+    assert base_wave is not None  # compaction actually ran
+    assert len(deltas) < 2  # bounded fan-in: fewer than K deltas live
+    # the compacted view (base + post-base deltas) must equal the
+    # union of every per-wave delta ever written
+    live = [os.path.join(ck, f"wave={base_wave}", "seen_base")] + [
+        os.path.join(ck, f"wave={w}", "seen_delta") for w in deltas]
+    every_delta = [
+        os.path.join(ck, e, "seen_delta") for e in os.listdir(ck)
+        if e.startswith("wave=")
+        and os.path.isdir(os.path.join(ck, e, "seen_delta"))
+    ]
+    a = {tuple(r) for r in spark.read.parquet(*live).collect()}
+    b = {tuple(r) for r in spark.read.parquet(*every_delta).collect()}
+    assert a == b
+    # deltas are disjoint by construction (compaction relies on it)
+    n_delta_rows = spark.read.parquet(*every_delta).count()
+    assert n_delta_rows == len(b)
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def test_scout_lists_only_first_level(spark, web, store):
     eng = CrawlEngine(spark, media_registry(), page_store=store,
                       config=CrawlConfig())
