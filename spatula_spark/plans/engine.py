@@ -685,20 +685,15 @@ class CrawlEngine:
         the cluster-side table (dedup anti-join, bloom backfill/regrow)
         triggers it."""
         if len(self._seen_slices) > 8:
-            u = self._seen_slices[0]
-            for sl in self._seen_slices[1:]:
-                u = u.union(sl)
             u, _ = self._materialize(
-                u.coalesce(self._nparts), "seen_compact"
+                _union_tree(self._seen_slices).coalesce(self._nparts),
+                "seen_compact",
             )
             self._seen_slices = [u]
         if not self._seen_slices:
             return self.spark.createDataFrame(
                 [], "url_hash long, seen_key long")
-        u = self._seen_slices[0]
-        for sl in self._seen_slices[1:]:
-            u = u.union(sl)
-        return u
+        return _union_tree(self._seen_slices)
 
     # ---------------------------------------------------------------- crawl
     def crawl(self, seeds: list[dict] | DataFrame) -> CrawlResult:
@@ -1332,12 +1327,13 @@ class CrawlEngine:
 
             wave += 1
 
-        all_results = spark.createDataFrame([], schemas.RESULT_SCHEMA)
-        for df in results:
-            all_results = all_results.unionByName(df)
-        all_dead = spark.createDataFrame([], _EMISSION_OUT_SCHEMA)
-        for df in dead:
-            all_dead = all_dead.unionByName(df, allowMissingColumns=True)
+        all_results = _union_tree(
+            [spark.createDataFrame([], schemas.RESULT_SCHEMA)] + results
+        )
+        all_dead = _union_tree(
+            [spark.createDataFrame([], _EMISSION_OUT_SCHEMA)] + dead,
+            allow_missing=True,
+        )
         return CrawlResult(
             results=all_results,
             dead=all_dead,
@@ -1830,6 +1826,23 @@ class CrawlEngine:
             self.config = saved
         rows = res.results.orderBy("path").select("item_json").collect()
         return [json.loads(r["item_json"]) for r in rows]
+
+
+def _union_tree(dfs: list, allow_missing: bool = False):
+    """Union a list of DataFrames as a balanced tree. A left-deep fold
+    hands Catalyst a plan whose analysis cost grows quadratically with
+    leg count — at a 1000-wave crawl the one-shot final union becomes a
+    driver stall; the balanced shape is O(N log N) with identical
+    row-level semantics (union is associative; order of rows is not
+    part of the contract — consumers sort by ``path``)."""
+    assert dfs
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i].unionByName(dfs[i + 1], allowMissingColumns=allow_missing)
+            if i + 1 < len(dfs) else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0]
 
 
 def _json_string_literal(col) -> "F.Column":
