@@ -176,6 +176,12 @@ class CrawlConfig:
     # waves; K trades resume fan-in against rewrite amortization.
     # 0 disables (every delta kept live forever, pre-compaction shape).
     checkpoint_compact_every: int = 16
+    # time-travel resume (Iceberg rollback_to_snapshot analogue):
+    # resume from the wave=N snapshot even when later snapshots exist.
+    # Later wave dirs are DELETED at resume so the replayed timeline is
+    # linear — without the rollback a subsequent resume would pick up
+    # stale post-N state from the abandoned branch. None = latest.
+    resume_upto_wave: int | None = None
     target_partitions: int | None = None  # defaults to shuffle partitions
     verbose: bool = False  # per-wave step timings to stderr
     # per-wave materialization. "parquet" writes each wave's frontier/
@@ -1774,14 +1780,30 @@ class CrawlEngine:
     def _try_resume(self, base):
         if not os.path.isdir(base):
             return None
+        upto = self.config.resume_upto_wave
         waves = []
         for entry in os.listdir(base):
             m = os.path.join(base, entry, "MANIFEST.json")
             if entry.startswith("wave=") and os.path.exists(m):
-                waves.append(int(entry.split("=")[1]))
+                w = int(entry.split("=")[1])
+                if upto is None or w <= upto:
+                    waves.append(w)
         if not waves:
+            if upto is not None:
+                raise CrawlError(
+                    f"resume_upto_wave={upto}: no committed snapshot at "
+                    f"or before that wave in {base}"
+                )
             return None
         last = max(waves)
+        if upto is not None:
+            # rollback: delete snapshots newer than the target so the
+            # replayed timeline is linear (abandoned-branch dirs would
+            # otherwise poison the NEXT resume's max-wave scan)
+            for entry in os.listdir(base):
+                if entry.startswith("wave=") and (
+                        int(entry.split("=")[1]) > last):
+                    shutil.rmtree(os.path.join(base, entry))
         d = os.path.join(base, f"wave={last}")
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)

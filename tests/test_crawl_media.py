@@ -334,6 +334,41 @@ def test_checkpoint_seen_compaction_bounds_resume_fanin(
     shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_checkpoint_rollback_time_travel(spark, web, store, tmp_path):
+    """resume_upto_wave=N rolls the crawl back to the wave=N snapshot
+    (Iceberg rollback_to_snapshot analogue): later snapshots are
+    deleted, the replay from N+1 reproduces the full run exactly, and
+    the replayed snapshot chain is linear (a later plain resume sees
+    only the replayed timeline)."""
+    import os
+
+    ck = str(tmp_path / "ckr")
+    full = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig(checkpoint_dir=ck)
+                       ).crawl(web.seeds())
+    waves_full = sorted(int(e.split("=")[1]) for e in os.listdir(ck)
+                        if e.startswith("wave="))
+    res = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(checkpoint_dir=ck,
+                                         resume_upto_wave=1)
+                      ).crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    want = {r["url"] for r in crawl_items_df(full.results).collect()}
+    assert got == want
+    assert res.seen.count() == full.seen.count()
+    waves_replayed = sorted(int(e.split("=")[1]) for e in os.listdir(ck)
+                            if e.startswith("wave="))
+    assert waves_replayed == waves_full  # replay rebuilt the chain
+    # rolling back past the first snapshot is an error, not a silent
+    # from-scratch restart over a dirty checkpoint dir
+    with pytest.raises(Exception, match="resume_upto_wave"):
+        CrawlEngine(spark, media_registry(), page_store=store,
+                    config=CrawlConfig(checkpoint_dir=ck,
+                                       resume_upto_wave=-1)
+                    ).crawl(web.seeds())
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def test_scout_lists_only_first_level(spark, web, store):
     eng = CrawlEngine(spark, media_registry(), page_store=store,
                       config=CrawlConfig())
