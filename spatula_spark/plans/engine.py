@@ -1822,10 +1822,13 @@ class CrawlEngine:
             seen = seen.union(
                 self.spark.read.parquet(*parts).select("url_hash", "seen_key")
             )
-        results = [
-            self.spark.read.parquet(os.path.join(base, f"wave={w}", "items"))
-            for w in sorted(waves)
-        ]
+        # one multi-path scan: the wave number rides IN the data (the
+        # checkpoint writes the wave-lit column), so a 1000-wave resume
+        # costs one scan node, not 1000 union legs
+        results = [self.spark.read.parquet(
+            *[os.path.join(base, f"wave={w}", "items")
+              for w in sorted(waves)]
+        )]
         return frontier, seen, results, list(manifest["metrics"]), last + 1
 
     # ----------------------------------------------------------------- scout
