@@ -176,6 +176,14 @@ class CrawlConfig:
     # waves; K trades resume fan-in against rewrite amortization.
     # 0 disables (every delta kept live forever, pre-compaction shape).
     checkpoint_compact_every: int = 16
+    # snapshot expiry (Iceberg expire_snapshots analogue): after a
+    # successful compaction, delete the seen deltas and older bases the
+    # new base supersedes. Keeps seen storage at ~1x instead of 2x (+
+    # one full copy per retained base); the tradeoff is that rollback
+    # to a wave older than the latest base becomes impossible — resume
+    # detects the gap via the manifests' has_delta flags and raises
+    # instead of silently rebuilding an incomplete seen set.
+    checkpoint_expire_deltas: bool = False
     # time-travel resume (Iceberg rollback_to_snapshot analogue):
     # resume from the wave=N snapshot even when later snapshots exist.
     # Later wave dirs are DELETED at resume so the replayed timeline is
@@ -1719,9 +1727,42 @@ class CrawlEngine:
             )
         items.write.mode("overwrite").parquet(os.path.join(d, "items"))
         has_base = self._maybe_compact_seen(base, wave, seen_delta)
+        # Iceberg-manifest file stats: per-file bytes + row counts read
+        # from the parquet footers (no data scan) — resumability and
+        # skew diagnostics ride the snapshot itself
+        stats = {
+            sub: _parquet_dir_stats(os.path.join(d, sub))
+            for sub in ("frontier", "seen_delta", "seen_base", "items")
+            if os.path.isdir(os.path.join(d, sub))
+        }
         with open(os.path.join(d, "MANIFEST.json"), "w") as f:
             json.dump({"wave": wave, "complete": True,
-                       "seen_base": has_base, "metrics": metrics_rows}, f)
+                       "has_delta": seen_delta is not None,
+                       "seen_base": has_base, "files": stats,
+                       "metrics": metrics_rows}, f)
+        if has_base and self.config.checkpoint_expire_deltas:
+            self._expire_superseded(base, wave)
+
+    def _expire_superseded(self, base, new_base_wave):
+        """Delete seen deltas and older seen bases that the freshly
+        committed base at ``new_base_wave`` supersedes (Iceberg
+        expire_snapshots). Runs only AFTER the new base's manifest is
+        on disk, so a kill between compaction and expiry never loses
+        state. Manifests are untouched: their ``has_delta`` flags are
+        how a later rollback detects it cannot reach past the base."""
+        for entry in os.listdir(base):
+            if not entry.startswith("wave="):
+                continue
+            w = int(entry.split("=")[1])
+            if w > new_base_wave:
+                continue
+            d = os.path.join(base, entry)
+            delta = os.path.join(d, "seen_delta")
+            if os.path.isdir(delta):
+                shutil.rmtree(delta)
+            old_base = os.path.join(d, "seen_base")
+            if w < new_base_wave and os.path.isdir(old_base):
+                shutil.rmtree(old_base)
 
     def _maybe_compact_seen(self, base, wave, seen_delta) -> bool:
         """Compact the seen set into ``wave=N/seen_base`` when
@@ -1796,14 +1837,6 @@ class CrawlEngine:
                 )
             return None
         last = max(waves)
-        if upto is not None:
-            # rollback: delete snapshots newer than the target so the
-            # replayed timeline is linear (abandoned-branch dirs would
-            # otherwise poison the NEXT resume's max-wave scan)
-            for entry in os.listdir(base):
-                if entry.startswith("wave=") and (
-                        int(entry.split("=")[1]) > last):
-                    shutil.rmtree(os.path.join(base, entry))
         d = os.path.join(base, f"wave={last}")
         with open(os.path.join(d, "MANIFEST.json")) as f:
             manifest = json.load(f)
@@ -1814,6 +1847,33 @@ class CrawlEngine:
                 frontier = frontier.withColumn(c, F.lit(None).cast("long"))
         seen = self.spark.createDataFrame([], "url_hash long, seen_key long")
         base_wave, delta_waves = self._seen_sources(base, upto=last)
+        for w in sorted(waves):
+            # expiry leaves manifests intact; a wave that HAD a delta
+            # but lost the dir and isn't covered by a base at or before
+            # ``last`` means this rollback target predates the latest
+            # compaction — fail loudly, never rebuild an incomplete
+            # seen set (it would silently refetch)
+            if base_wave is not None and w <= base_wave:
+                continue
+            if w in delta_waves:
+                continue
+            with open(os.path.join(base, f"wave={w}", "MANIFEST.json")) as f:
+                if json.load(f).get("has_delta"):
+                    raise CrawlError(
+                        f"wave {w}'s seen delta was expired by a later "
+                        f"compaction; cannot resume as of wave {last} — "
+                        f"resume at or after the latest seen_base snapshot"
+                    )
+        if upto is not None:
+            # rollback: delete snapshots newer than the target so the
+            # replayed timeline is linear (abandoned-branch dirs would
+            # otherwise poison the NEXT resume's max-wave scan). Runs
+            # only after the completeness validation above — a REFUSED
+            # rollback must leave the live snapshot chain untouched.
+            for entry in os.listdir(base):
+                if entry.startswith("wave=") and (
+                        int(entry.split("=")[1]) > last):
+                    shutil.rmtree(os.path.join(base, entry))
         parts = ([os.path.join(base, f"wave={base_wave}", "seen_base")]
                  if base_wave is not None else [])
         parts += [os.path.join(base, f"wave={w}", "seen_delta")
@@ -1851,6 +1911,28 @@ class CrawlEngine:
             self.config = saved
         rows = res.results.orderBy("path").select("item_json").collect()
         return [json.loads(r["item_json"]) for r in rows]
+
+
+def _parquet_dir_stats(d: str) -> list[dict]:
+    """Per-file (relative path, bytes, rows) for every parquet part in
+    a snapshot dir — rows come from the footer metadata, no data scan.
+    The Iceberg-manifest analogue: size/row skew across part files is
+    visible from the manifest alone."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _, names in os.walk(d):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            try:
+                rows = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                rows = None
+            out.append({"path": os.path.relpath(p, d),
+                        "bytes": os.path.getsize(p), "rows": rows})
+    return out
 
 
 def _union_tree(dfs: list, allow_missing: bool = False):

@@ -369,6 +369,66 @@ def test_checkpoint_rollback_time_travel(spark, web, store, tmp_path):
     shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_checkpoint_expiry_and_manifest_stats(spark, web, store, tmp_path):
+    """checkpoint_expire_deltas deletes what each new seen_base
+    supersedes (storage stays ~1x the seen set), manifests carry
+    per-file byte/row stats from the parquet footers, resume from the
+    live snapshot still works, and rolling back past the latest base
+    fails loudly instead of rebuilding an incomplete seen set."""
+    import json as _json
+    import os
+
+    ck = str(tmp_path / "cke")
+    cfg = CrawlConfig(checkpoint_dir=ck, checkpoint_compact_every=2,
+                      checkpoint_expire_deltas=True)
+    res = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=cfg).crawl(web.seeds())
+    n_items = res.results.count()
+
+    wave_dirs = sorted(
+        (int(e.split("=")[1]), os.path.join(ck, e))
+        for e in os.listdir(ck) if e.startswith("wave=")
+    )
+    bases = [w for w, d in wave_dirs
+             if os.path.isdir(os.path.join(d, "seen_base"))]
+    assert len(bases) == 1  # superseded bases expired
+    for w, d in wave_dirs:
+        if w <= bases[0]:  # superseded deltas expired
+            assert not os.path.isdir(os.path.join(d, "seen_delta"))
+
+    # manifest file stats: footer row counts sum to the real item count
+    total_item_rows = 0
+    for w, d in wave_dirs:
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            mf = _json.load(f)
+        total_item_rows += sum(
+            fi["rows"] or 0 for fi in mf["files"].get("items", ())
+        )
+        assert all(fi["bytes"] > 0 for grp in mf["files"].values()
+                   for fi in grp)
+    assert total_item_rows == n_items
+
+    # resume of the finished crawl reproduces it from the live snapshot
+    res2 = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=cfg).crawl(web.seeds())
+    a = {r["url"] for r in crawl_items_df(res2.results).collect()}
+    b = {r["url"] for r in crawl_items_df(res.results).collect()}
+    assert a == b
+    assert res2.seen.count() == res.seen.count()
+
+    # rollback to a wave whose deltas were expired must raise
+    with pytest.raises(Exception, match="expired"):
+        CrawlEngine(spark, media_registry(), page_store=store,
+                    config=CrawlConfig(checkpoint_dir=ck,
+                                       resume_upto_wave=max(0, bases[0] - 1))
+                    ).crawl(web.seeds())
+    # and the refused rollback must leave the live chain untouched
+    res3 = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=cfg).crawl(web.seeds())
+    assert res3.seen.count() == res.seen.count()
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def test_scout_lists_only_first_level(spark, web, store):
     eng = CrawlEngine(spark, media_registry(), page_store=store,
                       config=CrawlConfig())
