@@ -2019,3 +2019,100 @@ SELECT doc_id, weight FROM (
   FROM documents)
 WHERE u < weight
 """
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 robots matching (operators/politeness.py)
+# --------------------------------------------------------------------------
+# Rules are plan-build-time literals shared VERBATIM by both engines:
+# Spark compiles them through robots_allow_expr (the engine's small-
+# rule-set path: prefix arms codegen'd startswith, wildcard arms
+# anchored rlike), the DuckDB oracle inlines the same patterns as
+# regexes (robots_pattern_regex is prefix-equivalent for non-wild
+# rules) and replays longest-pattern / allow-wins-ties precedence with
+# a window. Reference parity note: the reference delegates fetching to
+# scrapelib with NO robots handling (cli.py:79-85); robots is a
+# north-rule mandate, so the spec here is RFC 9309 as deployed
+# (Google's reference matcher examples), pinned by
+# tests/test_crawl_media.py::test_robots_rfc9309_grammar.
+_ROBOTS_RFC_RULES = [
+    ("h0", "/fish", False),
+    ("h0", "/fish*.php$", True),
+    ("h0", "/page", False),
+    ("h1", "/*.php$", False),
+    ("h1", "/page", True),
+    ("h1", "/*.htm", False),
+    ("h2", "/", False),
+    ("h2", "/folder", True),
+    ("h2", "/misc*1", True),
+]
+
+
+@register("robots_rfc_match", None)
+def robots_rfc_match_q(spark, sf_dir):
+    """RFC 9309 robots matching as a relational operator: URLs
+    synthesized column-side from documents.doc_id (host, path segment,
+    extension, query-string variety), decided by the engine's compiled
+    CASE expression. Scale shape: ZERO shuffle — the whole decision
+    evaluates inline during the scan; a 10^10-row frontier pays one
+    map stage, no join, no sort."""
+    from .operators import politeness as P
+
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 3).cast("string"))
+    seg = F.element_at(
+        F.array(F.lit("fish"), F.lit("page"), F.lit("folder"),
+                F.lit("misc")),
+        (i % 4 + 1).cast("int"),
+    )
+    ext = F.element_at(
+        F.array(F.lit(".php"), F.lit(".htm"), F.lit(""), F.lit("/")),
+        (F.expr("doc_id div 4") % 4 + 1).cast("int"),
+    )
+    qs = F.when(
+        i % 5 == 0, F.concat(F.lit("?id="), i.cast("string"))
+    ).otherwise(F.lit(""))
+    target = F.concat(F.lit("/"), seg, (i % 7).cast("string"), ext, qs)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, target).alias("url"),
+    )
+    return docs.withColumn(
+        "allowed", P.robots_allow_expr(_ROBOTS_RFC_RULES)
+    ).select("doc_id", "url", "allowed")
+
+
+def _robots_rfc_oracle() -> str:
+    from .operators.politeness import robots_pattern_regex as _rrx
+
+    rule_rows = ",\n  ".join(
+        f"('{h}', {len(p)}, {str(a).lower()}, '{_rrx(p)}')"
+        for h, p, a in _ROBOTS_RFC_RULES
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    'h' || (doc_id % 3)::VARCHAR AS host,
+    '/' || (['fish','page','folder','misc'])[(doc_id % 4 + 1)::INT]
+        || (doc_id % 7)::VARCHAR
+        || (['.php','.htm','','/'])[((doc_id // 4) % 4 + 1)::INT]
+        || (CASE WHEN doc_id % 5 = 0
+            THEN '?id=' || doc_id::VARCHAR ELSE '' END) AS target
+  FROM documents),
+r(host, l, allow, rx) AS (VALUES
+  {rule_rows}),
+m AS (
+  SELECT d.doc_id, d.host, d.target, r.allow,
+    row_number() OVER (PARTITION BY d.doc_id
+      ORDER BY r.l DESC, r.allow DESC) AS rn
+  FROM d LEFT JOIN r
+    ON d.host = r.host AND regexp_matches(d.target, r.rx)
+)
+SELECT doc_id, 'http://' || host || target AS url,
+  coalesce(allow, true) AS allowed
+FROM m WHERE rn = 1
+"""
+
+
+ORACLES["robots_rfc_match"] = _robots_rfc_oracle()

@@ -19,8 +19,12 @@ Scale notes:
   per-host budgets in the low thousands the windowed data per host is
   tiny after the wave cap — the salting matters for the fetch join and
   the transform stage, which carry payload bytes.
-* robots rules are a small table -> broadcast join on host + prefix
-  match; longest-prefix wins, allow beats disallow at equal length.
+* robots rules are a small table, matched per RFC 9309 as deployed:
+  ``*`` wildcards and ``$`` end anchors, longest-pattern precedence,
+  allow beats disallow at equal length, path+query as the target.
+  Small rule sets compile to one CASE expression evaluated inline in
+  the frontier scan; oversized sets use a broadcast prefix join
+  hybridized with a compiled expression for the (few) wildcard rules.
 """
 
 from __future__ import annotations
@@ -93,23 +97,84 @@ def split_by_host_budget(
 ROBOTS_EXPR_MAX_RULES = 5000
 
 
+def robots_pattern_is_wild(p: str) -> bool:
+    """True when the rule needs RFC 9309 pattern matching (``*``
+    anywhere, ``$`` end anchor) rather than a plain prefix test."""
+    return "*" in p or p.endswith("$")
+
+
+def robots_pattern_regex(p: str) -> str:
+    """RFC 9309 rule pattern -> anchored regex. ``*`` matches any run
+    (including empty), a trailing ``$`` anchors the end, everything
+    else is literal. The output is dialect-portable: Java (Catalyst
+    rlike) and RE2 (DuckDB regexp_matches) agree on ``^``, ``$``,
+    ``.*`` and backslash-escaped punctuation."""
+    import re as _re
+
+    anchor = p.endswith("$")
+    body = p[:-1] if anchor else p
+    rx = "^" + ".*".join(_re.escape(seg) for seg in body.split("*"))
+    return rx + "$" if anchor else rx
+
+
+def _robots_match_cond(url_path: Column, pattern: str) -> Column:
+    if robots_pattern_is_wild(pattern):
+        return url_path.rlike(robots_pattern_regex(pattern))
+    return url_path.startswith(pattern)
+
+
+def robots_match_target() -> Column:
+    """The string robots patterns match against: URI path plus query
+    when present (RFC 9309 as deployed — Google's reference matcher
+    includes the query, e.g. ``/*.php$`` does NOT block
+    ``/filename.php?parameters``)."""
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    q = F.parse_url(F.col("url"), F.lit("QUERY"))
+    return F.when(
+        q.isNotNull(), F.concat(path, F.lit("?"), q)
+    ).otherwise(path)
+
+
 def robots_allow_expr(rules: list[tuple[str, str, bool]]) -> Column:
     """Compile robots rules into one Catalyst CASE expression.
 
-    ``rules``: (host, path_prefix, allow) sorted longest-prefix-first,
-    allow-wins on ties — the first matching arm decides. A compiled
-    expression beats a join+window: no shuffle, no per-row sort, and
-    whole-stage codegen evaluates it inline during the frontier scan.
-    Robots corpora are small even web-scale (rules live per *host*,
-    not per URL); beyond ROBOTS_EXPR_MAX_RULES fall back to a
-    broadcast join.
+    ``rules``: (host, pattern, allow). RFC 9309 precedence: the
+    longest PATTERN (raw octets, wildcards counted as written) wins,
+    allow beats disallow on ties — encoded by evaluation order, so the
+    first matching arm decides. Patterns may use ``*`` / trailing
+    ``$`` (compiled to an anchored rlike); plain prefixes stay
+    startswith (codegen'd, no regex engine). A compiled expression
+    beats a join+window: no shuffle, no per-row sort, and whole-stage
+    codegen evaluates it inline during the frontier scan. Robots
+    corpora are small even web-scale (rules live per *host*, not per
+    URL); beyond ROBOTS_EXPR_MAX_RULES fall back to a broadcast join.
     """
     ordered = sorted(rules, key=lambda r: (-len(r[1]), not r[2]))
-    url_path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    url_path = robots_match_target()
     expr = F.lit(True)
-    for host, prefix, allow in reversed(ordered):
-        cond = (F.col("host") == host) & url_path.startswith(prefix)
+    for host, pattern, allow in reversed(ordered):
+        cond = (F.col("host") == host) & _robots_match_cond(
+            url_path, pattern)
         expr = F.when(cond, F.lit(bool(allow))).otherwise(expr)
+    return expr
+
+
+def robots_wild_best_expr(
+    rules: list[tuple[str, str, bool]], url_path: Column
+) -> Column:
+    """Best (longest, allow-wins) matching WILDCARD rule as a
+    ``struct(l, a)`` column, null when none match — the wildcard half
+    of the oversized-rule-set hybrid (see robots_broadcast_join)."""
+    ordered = sorted(rules, key=lambda r: (-len(r[1]), not r[2]))
+    expr = F.lit(None).cast("struct<l:int,a:boolean>")
+    for host, pattern, allow in reversed(ordered):
+        cond = (F.col("host") == host) & _robots_match_cond(
+            url_path, pattern)
+        expr = F.when(
+            cond,
+            F.struct(F.lit(len(pattern)).alias("l"),
+                     F.lit(bool(allow)).alias("a")),
+        ).otherwise(expr)
     return expr
 
 
@@ -140,18 +205,56 @@ def apply_robots(
             decided.filter(~F.col("_allowed")).drop("_allowed"),
         )
 
-    return robots_broadcast_join(frontier, robots)
+    prefix_df, wild = split_robots_rules(robots)
+    return robots_broadcast_join(frontier, prefix_df, wild)
+
+
+def _robots_wild_cond() -> Column:
+    return (
+        F.instr(F.col("path_prefix"), "*") > 0
+    ) | F.col("path_prefix").endswith("$")
+
+
+def split_robots_rules(robots: DataFrame):
+    """(prefix-only rules DF, collected wildcard rule list) for the
+    oversized-rule-set hybrid. Wildcard rules must fit the compiled
+    expression (they are hand-written per host; a corpus where they
+    alone exceed ROBOTS_EXPR_MAX_RULES is pathological and refused
+    rather than silently mis-matched)."""
+    wild_rows = (
+        robots.filter(_robots_wild_cond())
+        .limit(ROBOTS_EXPR_MAX_RULES + 1)
+        .collect()
+    )
+    if len(wild_rows) > ROBOTS_EXPR_MAX_RULES:
+        raise ValueError(
+            f"more than {ROBOTS_EXPR_MAX_RULES} wildcard robots rules; "
+            "the join fallback compiles wildcard rules into an "
+            "expression and cannot scale past that"
+        )
+    wild = [(r["host"], r["path_prefix"], bool(r["allow"]))
+            for r in wild_rows]
+    return robots.filter(~_robots_wild_cond()), wild
 
 
 def robots_broadcast_join(
-    frontier: DataFrame, robots: DataFrame
+    frontier: DataFrame,
+    robots: DataFrame,
+    wild_rules: list[tuple[str, str, bool]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Oversized-rule-set path: broadcast join + longest-prefix max_by
-    aggregate. Used by the engine when the rule count exceeds
-    ROBOTS_EXPR_MAX_RULES — the CASE expression would otherwise
-    silently truncate to an arbitrary subset."""
-    path_col = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    fr = frontier.withColumn("_path", path_col)
+    """Oversized-rule-set path: broadcast join + longest-match
+    aggregate over the PREFIX rules, combined with a compiled
+    expression over the (few) WILDCARD rules. Used by the engine when
+    the rule count exceeds ROBOTS_EXPR_MAX_RULES — the CASE expression
+    would otherwise silently truncate to an arbitrary subset.
+
+    RFC 9309 precedence across both halves: each yields its best match
+    as ``struct(l=pattern length, a=allow)``; the struct max (length
+    first, allow beats disallow on ties — boolean true > false) picks
+    the winner, no-match defaults to allowed. ``robots`` must hold
+    prefix-only rules when ``wild_rules`` is given (split_robots_rules
+    does the split)."""
+    fr = frontier.withColumn("_path", robots_match_target())
     joined = fr.join(
         F.broadcast(robots.withColumnRenamed("host", "r_host")),
         (F.col("host") == F.col("r_host"))
@@ -159,19 +262,28 @@ def robots_broadcast_join(
         "left",
     )
     keep = [c for c in fr.columns]
-    decided = (
-        joined.groupBy(*keep)
-        .agg(
-            F.coalesce(
-                F.max_by(
-                    F.col("allow"),
-                    F.struct(F.length("path_prefix"), F.col("allow")),
+    best = joined.groupBy(*keep).agg(
+        F.max(
+            F.when(
+                F.col("path_prefix").isNotNull(),
+                F.struct(
+                    F.length("path_prefix").alias("l"),
+                    F.col("allow").alias("a"),
                 ),
-                F.lit(True),
-            ).alias("_allowed")
-        )
-        .drop("_path")
+            )
+        ).alias("_best")
     )
+    if wild_rules:
+        best = best.withColumn(
+            "_best",
+            F.greatest(
+                F.col("_best"),
+                robots_wild_best_expr(wild_rules, F.col("_path")),
+            ),
+        )
+    decided = best.withColumn(
+        "_allowed", F.coalesce(F.col("_best")["a"], F.lit(True))
+    ).drop("_best", "_path")
     allowed = decided.filter(F.col("_allowed")).drop("_allowed")
     blocked = decided.filter(~F.col("_allowed")).drop("_allowed")
     return allowed, blocked

@@ -555,6 +555,8 @@ class CrawlEngine:
         # rules per wave would cost one job each
         self._robots_rules = None
         self._robots_join = False
+        self._robots_prefix_df = None
+        self._robots_wild = None
         if robots is not None:
             rows = robots.limit(
                 politeness_ops.ROBOTS_EXPR_MAX_RULES + 1
@@ -562,8 +564,14 @@ class CrawlEngine:
             if len(rows) > politeness_ops.ROBOTS_EXPR_MAX_RULES:
                 # oversized rule set: the CASE expression would silently
                 # truncate to an arbitrary subset; use the broadcast-join
-                # longest-prefix path per wave instead
+                # longest-match path per wave instead. Wildcard rules
+                # are split out ONCE here (they ride a compiled
+                # expression on top of the prefix join — collecting
+                # them per wave would cost a job each).
                 self._robots_join = True
+                self._robots_prefix_df, self._robots_wild = (
+                    politeness_ops.split_robots_rules(robots)
+                )
             else:
                 self._robots_rules = [
                     (r["host"], r["path_prefix"], bool(r["allow"]))
@@ -1073,7 +1081,8 @@ class CrawlEngine:
                     elif self._robots_join:
                         scheduled, blocked = (
                             politeness_ops.robots_broadcast_join(
-                                scheduled, self.robots
+                                scheduled, self._robots_prefix_df,
+                                self._robots_wild,
                             )
                         )
 

@@ -222,6 +222,73 @@ def test_robots_oversized_ruleset_uses_join(spark, web, store, monkeypatch):
     assert res.dead.filter("emit_kind = 'blocked'").count() == len(blocked)
 
 
+def test_robots_rfc9309_grammar(spark):
+    """RFC 9309 matching as deployed (Google's reference matcher
+    examples): ``*`` wildcards, ``$`` end anchor, longest-pattern
+    precedence with allow-wins ties, query string included in the
+    matched target. Both the compiled-CASE path and the oversized
+    hybrid join path must agree with the spec on every row."""
+    from spatula_spark.operators import politeness as P
+
+    cases = [
+        # (rules [(pattern, allow)], path[?query], expect_allowed)
+        ([("/fish", False)], "/fish", False),
+        ([("/fish", False)], "/fishheads/yummy.html", False),
+        ([("/fish", False)], "/fish.php?id=anything", False),
+        ([("/fish", False)], "/Fish.asp", True),
+        ([("/fish", False)], "/catfish", True),
+        ([("/fish", False)], "/?id=fish", True),
+        ([("/fish*", False)], "/fish", False),
+        ([("/fish*", False)], "/catfish", True),
+        ([("/fish/", False)], "/fish", True),
+        ([("/fish/", False)], "/fish/?id=anything", False),
+        ([("/*.php", False)], "/index.php", False),
+        ([("/*.php", False)], "/", True),
+        ([("/*.php", False)], "/windows.PHP", True),
+        ([("/*.php$", False)], "/filename.php", False),
+        ([("/*.php$", False)], "/filename.php?parameters", True),
+        ([("/*.php$", False)], "/filename.php/", True),
+        ([("/fish*.php", False)], "/fishheads/catfish.php?parameters",
+         False),
+        ([("/fish*.php", False)], "/Fish.PHP", True),
+        # precedence: longest pattern wins, allow beats disallow on ties
+        ([("/p", True), ("/", False)], "/page", True),
+        ([("/folder/", True), ("/folder", False)], "/folder/page", True),
+        ([("/page", True), ("/*.htm", False)], "/page.htm", False),
+        ([("/page", True), ("/*.ph", False)], "/page.php5", True),
+        ([("/$", True), ("/", False)], "/", True),
+        ([("/$", True), ("/", False)], "/page.htm", False),
+        ([("/x", False)], "/y", True),  # no rule matches -> allowed
+    ]
+    rules = [(f"h{i}", pat, allow)
+             for i, (rs, _, _) in enumerate(cases) for pat, allow in rs]
+    frontier = spark.createDataFrame(
+        [(f"http://h{i}{path}", f"h{i}", i)
+         for i, (_, path, _) in enumerate(cases)],
+        "url string, host string, case_id int",
+    )
+
+    compiled = frontier.withColumn(
+        "_allowed", P.robots_allow_expr(rules)
+    )
+    got_case = {r["case_id"]: r["_allowed"] for r in compiled.collect()}
+
+    robots_df = spark.createDataFrame(
+        rules, "host string, path_prefix string, allow boolean"
+    )
+    prefix_df, wild = P.split_robots_rules(robots_df)
+    assert wild and prefix_df.count() + len(wild) == len(rules)
+    allowed_j, blocked_j = P.robots_broadcast_join(
+        frontier, prefix_df, wild
+    )
+    got_join = {r["case_id"]: True for r in allowed_j.collect()}
+    got_join.update({r["case_id"]: False for r in blocked_j.collect()})
+
+    for i, (rs, path, want) in enumerate(cases):
+        assert got_case[i] == want, (rs, path, "compiled")
+        assert got_join[i] == want, (rs, path, "join")
+
+
 def test_robots_blocks_prefix(spark, web, store):
     eng = CrawlEngine(spark, media_registry(), page_store=store,
                       robots=web.robots(spark), config=CrawlConfig())
