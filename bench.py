@@ -139,6 +139,9 @@ HEADLINE = [
     "decontaminate",
     "quality_sample",
     "pack_sequences",
+    "caption_image_alignment",
+    "sitemap_frontier",
+    "crawl_trap_hosts",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

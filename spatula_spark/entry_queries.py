@@ -2116,3 +2116,276 @@ FROM m WHERE rn = 1
 
 
 ORACLES["robots_rfc_match"] = _robots_rfc_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-3 session-5 additions: CLIP-style alignment filter, sitemap
+# frontier seeding, spider-trap detection
+# --------------------------------------------------------------------------
+
+def _alignment_oracle() -> str:
+    cv = tx.feature_hash_embedding_duckdb("string_split(phrase, ' ')", 16)
+    return f"""
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+m AS (SELECT g, ({_DUCK_PHRASE}) AS phrase, {_duck_fp('g')} AS fp FROM ids),
+v AS (
+  SELECT g, phrase, {cv} AS cv,
+    list_transform(range(0, 16), d -> ((fp >> (4*d)) & 15) - 7.5) AS iv
+  FROM m),
+s AS (
+  SELECT g, phrase,
+    list_sum(list_transform(range(1, 17), i -> cv[i] * iv[i])) AS dot,
+    list_sum(list_transform(cv, x -> x*x)) AS na2,
+    list_sum(list_transform(iv, x -> x*x)) AS nb2
+  FROM v)
+SELECT g AS image_id, phrase,
+  CASE WHEN na2 * nb2 = 0 THEN NULL
+       ELSE round(dot / sqrt(na2 * nb2), 6) END AS align,
+  coalesce(CASE WHEN na2 * nb2 = 0 THEN NULL
+                ELSE round(dot / sqrt(na2 * nb2), 6) END >= 0.0,
+           false) AS keep
+FROM s
+"""
+
+
+@register("caption_image_alignment", None)
+def caption_image_alignment_q(spark, sf_dir):
+    """CLIP-score-style image/caption alignment filtering — the LAION
+    gate that decides whether a crawled (image, caption) pair is
+    usable training data. Real deployments score cosine(text-encoder,
+    image-encoder); here both encoders are deterministic stand-ins so
+    the DuckDB oracle can verify the whole pipe bit-exactly: the
+    caption side is the hashing-trick embedder
+    (functions/text.feature_hash_embedding — stateless, vocabulary-
+    free, the shape a learned embedding column drops into) and the
+    image side unpacks the 64-bit perceptual fingerprint into 16
+    nibble features. All bucket sums and dot products are exact
+    integers/halves, so the only float ops are one sqrt and one
+    divide — bit-identical across engines.
+
+    Scale shape: ZERO shuffles — pure per-row HOF arithmetic in one
+    map stage over the scan; at 10^10 pairs this runs at scan speed
+    and the keep flag prunes the corpus before any heavy stage."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    g = F.col("g")
+    fp = _derived_fp("g")
+    m = ids.select(
+        "g",
+        _SPARK_PHRASE(g).alias("phrase"),
+        fp.alias("fp"),
+    ).select(
+        "g", "phrase",
+        tx.feature_hash_embedding(F.split(F.col("phrase"), " "), 16)
+        .alias("cv"),
+        F.array(*[
+            (F.shiftright(F.col("fp"), 4 * d).bitwiseAND(F.lit(15))
+             .cast("double") - F.lit(7.5))
+            for d in range(16)
+        ]).alias("iv"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    s = m.select(
+        g.alias("image_id"), "phrase",
+        dot("cv", "iv").alias("_dot"),
+        dot("cv", "cv").alias("_na2"),
+        dot("iv", "iv").alias("_nb2"),
+    )
+    align = F.when(
+        F.col("_na2") * F.col("_nb2") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.col("_dot") / F.sqrt(F.col("_na2") * F.col("_nb2")), 6)
+    )
+    return s.select(
+        "image_id", "phrase", align.alias("align"),
+        F.coalesce(align >= 0.0, F.lit(False)).alias("keep"),
+    )
+
+
+ORACLES["caption_image_alignment"] = _alignment_oracle()
+
+
+@register("sitemap_frontier", None)
+def sitemap_frontier_q(spark, sf_dir):
+    """Frontier seeding from sitemaps (operators/sitemaps.py): build
+    one sitemaps.org <urlset> document per host (deterministic XML
+    aggregation), run the REAL namespace-aware parser (Arrow-batched
+    pandas UDF) to explode entries back out, canonicalize every <loc>
+    (urls.canonicalize_url — messy scheme case / default port /
+    duplicate slashes / unsorted query in the synthesized locs),
+    anti-join the already-crawled seen set, and keep the 3 most
+    recently modified URLs per host (budget-aware seeding ranked by
+    <lastmod>). The DuckDB oracle constructs the same entries
+    directly, so the value-hash match proves the XML aggregate→parse
+    round trip is lossless AND the canonicalizer agrees cross-engine.
+
+    Scale shape: sitemaps cap at 50k URLs by spec, so one document =
+    one row and the parse is a shuffle-free explode; the only wide
+    stages are the seen anti-join (the engine's bloom-backed shape)
+    and the per-host top-k window (host-keyed, skew-salted upstream in
+    the engine)."""
+    from .operators.sitemaps import sitemap_entries
+
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    g = F.col("g")
+    hostn = (g % 41).cast("int")
+    loc = F.concat(
+        F.lit("HTTPS://Img-H"), hostn.cast("string"),
+        F.lit(".Example:443/gal//item/"), g.cast("string"),
+        F.lit("/?b=2&a=1"),
+    )
+    lastmod = F.date_add(
+        F.to_date(F.lit("2026-01-01")), ((g * 13) % 365).cast("int")
+    ).cast("string")
+    # sitemaps are XML: '&' in a loc URL must ship as '&amp;' (the
+    # parser unescapes it back — the round trip is part of the oracle)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.regexp_replace(loc, "&", "&amp;"),
+        F.lit("</loc><lastmod>"), lastmod, F.lit("</lastmod></url>"),
+    )
+    xml = (
+        ids.select(
+            hostn.alias("host"), F.struct(g.alias("g"), entry.alias("e"))
+            .alias("s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = sitemap_entries(xml, "xml", keep=("host",))
+    canon = parsed.select(
+        "host", canonicalize_url(F.col("loc")).alias("url"), "lastmod"
+    )
+    seen = ids.filter(g % 7 == 0).select(
+        canonicalize_url(loc).alias("url")
+    )
+    fresh = canon.join(seen, "url", "left_anti")
+    w = Window.partitionBy("host").orderBy(F.col("lastmod").desc(), "url")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "url", "lastmod", "rn")
+    )
+
+
+ORACLES["sitemap_frontier"] = f"""
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+e AS (SELECT g, (g % 41)::INT AS host,
+  'HTTPS://Img-H' || (g % 41)::VARCHAR || '.Example:443/gal//item/'
+      || g::VARCHAR || '/?b=2&a=1' AS loc,
+  (DATE '2026-01-01' + ((g*13) % 365)::INT)::VARCHAR AS lastmod
+  FROM ids),
+c AS (SELECT host, {canonicalize_url_duckdb('loc')} AS url, lastmod, g
+      FROM e),
+f AS (SELECT host, url, lastmod FROM c
+      WHERE url NOT IN (SELECT url FROM c WHERE g % 7 = 0))
+SELECT host, url, lastmod, rn FROM (
+  SELECT host, url, lastmod,
+    (row_number() OVER (PARTITION BY host
+                        ORDER BY lastmod DESC, url))::INT AS rn
+  FROM f) WHERE rn <= 3
+"""
+
+
+@register("crawl_trap_hosts", None)
+def crawl_trap_hosts_q(spark, sf_dir):
+    """Spider-trap detection (operators/politeness.trap_hosts) over a
+    synthesized crawl log with planted traps: hosts ≡0 (mod 5) mint
+    4× more URLs at every depth while serving one constant content
+    fingerprint (the calendar-page signature); honest hosts grow
+    linearly with fully distinct content. The operator flags a
+    (host, depth) level only when BOTH the distinct-URL growth ratio
+    and the content-diversity ratio cross their thresholds — the
+    oracle brute-forces the same aggregate + lag window in DuckDB.
+
+    Scale shape: one shuffle (the (host, depth) distinct-count
+    aggregate, map-side partials) and a window over the tiny
+    |hosts|×|depths| table; the crawl log itself is touched once."""
+    from .operators.politeness import trap_hosts
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("host")
+    )
+    hd = n.select(
+        "host", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("depth")
+    )
+    trap = F.col("host") % 5 == 0
+    cnt = F.when(
+        trap,
+        F.element_at(
+            F.array(F.lit(5), F.lit(20), F.lit(80), F.lit(320)),
+            F.col("depth").cast("int"),
+        ),
+    ).otherwise(F.col("depth") * 5)
+    rows = hd.select(
+        "host", "depth",
+        F.explode(F.sequence(F.lit(1), cnt.cast("int"))).alias("i"),
+    )
+    crawl = rows.select(
+        "host", "depth",
+        F.concat(
+            F.lit("https://h"), F.col("host").cast("string"),
+            F.lit(".example/p/"), F.col("depth").cast("string"),
+            F.lit("/"), F.col("i").cast("string"),
+        ).alias("url"),
+        F.when(
+            trap, F.concat(F.lit("dup:"), F.col("host").cast("string"))
+        ).otherwise(
+            F.concat_ws(
+                ":", F.lit("u"), F.col("host").cast("string"),
+                F.col("depth").cast("string"), F.col("i").cast("string"),
+            )
+        ).alias("content_fp"),
+    )
+    return trap_hosts(crawl)
+
+
+ORACLES["crawl_trap_hosts"] = """
+WITH h AS (SELECT n_nationkey::BIGINT AS host FROM nation),
+hd AS (SELECT host, unnest([1,2,3,4]) AS depth FROM h),
+cnt AS (SELECT host, depth,
+  CASE WHEN host % 5 = 0 THEN ([5,20,80,320])[depth]
+       ELSE depth*5 END AS c
+  FROM hd),
+rows_ AS (SELECT host, depth, unnest(range(1, c+1)) AS i FROM cnt),
+crawl AS (SELECT host, depth,
+  'https://h' || host || '.example/p/' || depth || '/' || i AS url,
+  CASE WHEN host % 5 = 0 THEN 'dup:' || host
+       ELSE 'u:' || host || ':' || depth || ':' || i END AS content_fp
+  FROM rows_),
+agg AS (SELECT host, depth, count(DISTINCT url) AS n_urls,
+               count(DISTINCT content_fp) AS n_fp
+        FROM crawl GROUP BY host, depth),
+wdw AS (SELECT host, depth, n_urls, n_fp,
+  round(n_urls / (lag(n_urls) OVER (PARTITION BY host ORDER BY depth)),
+        6) AS growth,
+  round(n_fp / n_urls, 6) AS diversity
+  FROM agg)
+SELECT host, depth, n_urls, n_fp, growth, diversity
+FROM wdw WHERE depth >= 2 AND growth >= 4.0 AND diversity <= 0.25
+"""

@@ -103,6 +103,59 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
 
+def feature_hash_embedding(
+    words: Column, dim: int = 16, seed: str = "fh"
+) -> Column:
+    """Hashing-trick text embedding (Weinberger et al., ICML 2009):
+    every token hashes to one of ``dim`` buckets and contributes a ±1
+    sign drawn from an independent bit of the same hash. No vocabulary
+    and no fit step, so the projection is stateless — identical on
+    every executor with nothing broadcast — which is what makes it
+    usable as the deterministic stand-in for a learned text encoder in
+    alignment / similarity filters at 100 TB (a real model embedding
+    slots into the same array<double> column).
+
+    Pure HOF arithmetic per row (transform × aggregate), zero
+    shuffles; ``portable_hash64`` keeps a DuckDB oracle bit-exact
+    (the bucket sums are exact small integers, so cross-engine
+    float drift is impossible before any later normalization).
+    """
+    from ..urls import portable_hash64
+
+    def term(w: Column, d: Column) -> Column:
+        h = portable_hash64(F.concat(F.lit(seed + ":"), w))
+        sign = F.when(
+            F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        return F.when(h % dim == d, sign).otherwise(F.lit(0.0))
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<bigint>"),
+        lambda d: F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + term(w, d)
+        ),
+    )
+
+
+def feature_hash_embedding_duckdb(
+    words_expr: str, dim: int = 16, seed: str = "fh"
+) -> str:
+    """DuckDB rendering of :func:`feature_hash_embedding` (same hash,
+    same sign bit, same bucket arithmetic) for exact oracles."""
+    from ..urls import portable_hash64_duckdb
+
+    h = portable_hash64_duckdb(f"'{seed}:' || w")
+    term = (
+        f"CASE WHEN ({h}) % {dim} = d THEN "
+        f"(CASE WHEN (({h}) >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) "
+        f"ELSE 0.0 END"
+    )
+    return (
+        f"list_transform(range(0, {dim}), "
+        f"d -> list_sum(list_transform({words_expr}, w -> {term})))"
+    )
+
+
 # PII scrub patterns — the lookahead-free common subset of Java regex
 # (Spark) and RE2 (DuckDB), so oracles evaluate the identical pattern
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

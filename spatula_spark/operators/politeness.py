@@ -295,3 +295,62 @@ def salted_repartition(df: DataFrame, n: int, salt_buckets: int, url_col: str = 
     return df.repartition(
         n, F.col("host"), F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
     )
+
+
+def trap_hosts(
+    crawl: DataFrame,
+    host_col: str = "host",
+    depth_col: str = "depth",
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+    growth_threshold: float = 4.0,
+    diversity_max: float = 0.25,
+    min_depth: int = 2,
+) -> DataFrame:
+    """Spider-trap detection over a crawl log.
+
+    A trap host (calendar pages, faceted search, session-id URL
+    mints) shows two signatures at once: the distinct-URL count per
+    depth grows geometrically (``growth_threshold``× wave over wave)
+    while the *content* behind those URLs stays near-constant
+    (distinct-fingerprint / distinct-URL ratio ≤ ``diversity_max``).
+    Either alone misfires — a genuinely large site grows fast with
+    diverse content; a mirror farm is repetitive but bounded — so a
+    depth level is flagged only when both hold (and ``depth >=
+    min_depth``, since depth-1 fan-out from a seed page is normal).
+    Flagged hosts feed the politeness table as budget-0 / blocklist
+    rows; the reference has no counterpart (single-site scrapers
+    can't fall into cross-host traps).
+
+    Plan shape at 10^10 URLs: ONE shuffle — the (host, depth)
+    aggregate with map-side partial distinct-count expansion — then a
+    per-host window over ≤ max_depth rows per host (the aggregated
+    table is |hosts|×|depths|, tiny next to the log). Returns the
+    flagged (host, depth) rows with their evidence columns, ordered
+    for deterministic downstream use.
+    """
+    per_depth = (
+        crawl.groupBy(
+            F.col(host_col).alias("host"), F.col(depth_col).alias("depth")
+        )
+        .agg(
+            F.countDistinct(url_col).alias("n_urls"),
+            F.countDistinct(fp_col).alias("n_fp"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("depth")
+    return (
+        per_depth.withColumn("_prev", F.lag("n_urls").over(w))
+        .withColumn(
+            "growth", F.round(F.col("n_urls") / F.col("_prev"), 6)
+        )
+        .withColumn(
+            "diversity", F.round(F.col("n_fp") / F.col("n_urls"), 6)
+        )
+        .filter(
+            (F.col("depth") >= min_depth)
+            & (F.col("growth") >= growth_threshold)
+            & (F.col("diversity") <= diversity_max)
+        )
+        .select("host", "depth", "n_urls", "n_fp", "growth", "diversity")
+    )

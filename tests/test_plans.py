@@ -134,6 +134,25 @@ def test_quality_sample_is_map_side_only(spark):
     assert "Exchange" not in p, p
 
 
+def test_caption_image_alignment_is_map_side_only(spark):
+    """The CLIP-style alignment gate must run at scan speed: pure
+    per-row HOF arithmetic, no Exchange, only doc_id read (captions
+    and fingerprints are derived column-side in this query)."""
+    p = _plan(entry.queries()["caption_image_alignment"](spark, SF))
+    assert "Exchange" not in p, p
+    cols = {c.split("#")[0] for c in _read_schemas(p)[0].split(",")}
+    assert cols == {"doc_id"}
+
+
+def test_trap_hosts_single_shuffle_before_window(spark):
+    """Trap detection touches the crawl log once: one hash aggregate
+    (plus its distinct-expand exchange) feeds the tiny per-host
+    window — no join, no resort of the log itself."""
+    p = _plan(entry.queries()["crawl_trap_hosts"](spark, SF))
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """Benchmark gram set must broadcast; the corpus side must not be
     sort-merge joined."""
