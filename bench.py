@@ -142,6 +142,7 @@ HEADLINE = [
     "caption_image_alignment",
     "sitemap_frontier",
     "crawl_trap_hosts",
+    "recrawl_priority",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

@@ -2389,3 +2389,59 @@ wdw AS (SELECT host, depth, n_urls, n_fp,
 SELECT host, depth, n_urls, n_fp, growth, diversity
 FROM wdw WHERE depth >= 2 AND growth >= 4.0 AND diversity <= 0.25
 """
+
+
+@register("recrawl_priority", None)
+def recrawl_priority_q(spark, sf_dir):
+    """Freshness-aware recrawl scheduling
+    (operators/recrawl.recrawl_priority — Cho & Garcia-Molina change-
+    rate estimation with a bit-exact Padé staleness surrogate, see the
+    module docstring): the events table plays the fetch history (url
+    <- user, fingerprint <- event_type, so change points are real),
+    and the schedule keeps the 3 stalest URLs per host. The DuckDB
+    oracle replays the identical lag-window change detection,
+    smoothing arithmetic and rounded ranking."""
+    from .operators.recrawl import recrawl_priority
+
+    e = _t(spark, sf_dir, "events")
+    hist = e.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 5).cast("string"),
+            F.lit(".example/u/"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        (F.col("user_id") % 5).alias("host"),
+        F.col("ts").alias("fetch_ts"),
+        F.col("event_type").alias("content_fp"),
+    )
+    return recrawl_priority(hist)
+
+
+ORACLES["recrawl_priority"] = """
+WITH hist AS (
+  SELECT 'https://h' || (user_id % 5)::VARCHAR || '.example/u/'
+           || user_id::VARCHAR AS url,
+         user_id % 5 AS host,
+         epoch_ms(ts) AS ms,
+         event_type AS fp
+  FROM events),
+chg AS (
+  SELECT url, host, ms,
+    CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY ms, fp) IS NOT NULL
+          AND fp != lag(fp) OVER (PARTITION BY url ORDER BY ms, fp)
+         THEN 1 ELSE 0 END AS c
+  FROM hist),
+pu AS (
+  SELECT url, host, count(*) AS n_fetches, sum(c)::BIGINT AS n_changes,
+         min(ms) AS first_ms, max(ms) AS last_ms
+  FROM chg GROUP BY url, host),
+sc AS (
+  SELECT url, host, n_fetches, n_changes,
+    ((n_changes + 0.5) / ((last_ms - first_ms) / 1000.0 + 3600.0))
+      * ((max(last_ms) OVER () - last_ms) / 1000.0) AS x
+  FROM pu)
+SELECT host, url, n_fetches, n_changes,
+       round(x / (x + 1.0), 6) AS score, rn
+FROM (SELECT *, (row_number() OVER (PARTITION BY host
+        ORDER BY round(x / (x + 1.0), 6) DESC, url))::INT AS rn FROM sc)
+WHERE rn <= 3
+"""

@@ -159,3 +159,29 @@ def test_feature_hash_embedding_exact_and_stateless(spark):
         [(["amber", "basalt", "amber"],)], "words array<string>"
     ).select(feature_hash_embedding(F.col("words"), 8)).collect()
     assert a2 == a["v"]
+
+
+def test_recrawl_priority_ranks_changing_urls_first(spark):
+    from datetime import datetime
+
+    from spatula_spark.operators.recrawl import recrawl_priority
+
+    def t(h):
+        return datetime(2026, 1, 1, h)
+
+    rows = []
+    # churn: fingerprint changes on every fetch
+    rows += [("u/churn", 0, t(h), f"v{h}") for h in range(0, 10)]
+    # static: fetched just as often, never changes
+    rows += [("u/static", 0, t(h), "same") for h in range(0, 10)]
+    # fresh: single fetch at the very end (zero age -> zero score)
+    rows += [("u/fresh", 0, t(10), "x")]
+    hist = spark.createDataFrame(
+        rows, "url string, host long, fetch_ts timestamp, content_fp string"
+    )
+    got = {r["url"]: r for r in recrawl_priority(hist, k=3).collect()}
+    assert got["u/churn"]["n_changes"] == 9
+    assert got["u/static"]["n_changes"] == 0
+    assert got["u/churn"]["rn"] == 1  # stalest: high rate x same age
+    assert got["u/fresh"]["score"] == 0.0  # age 0 -> nothing to refresh
+    assert 0.0 < got["u/static"]["score"] < got["u/churn"]["score"]
