@@ -77,8 +77,29 @@ def main() -> None:
         "scaling_efficiency_4_to_16": round(eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    # merge into the curated evidence file instead of clobbering it:
+    # keep protocol/selection prose and the full history of paired
+    # samples (every sample ever measured stays on the record)
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        cur = {}
+    samples = cur.get("samples", [])
+    samples.append({
+        "label": f"run {len(samples) + 1}",
+        "wall4_sec": results[4]["wall_sec"],
+        "wall16_sec": results[16]["wall_sec"],
+        "urls_per_sec_4": results[4]["urls_per_sec"],
+        "urls_per_sec_16": results[16]["urls_per_sec"],
+        "efficiency": summary["scaling_efficiency_4_to_16"],
+        "hw_control_eff": None,  # fill from hw_kernel probes by hand
+    })
+    cur.update(summary)
+    cur["samples"] = samples
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=2)
     print(json.dumps(summary, indent=2))
 
 
