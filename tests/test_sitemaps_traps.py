@@ -185,3 +185,45 @@ def test_recrawl_priority_ranks_changing_urls_first(spark):
     assert got["u/churn"]["rn"] == 1  # stalest: high rate x same age
     assert got["u/fresh"]["score"] == 0.0  # age 0 -> nothing to refresh
     assert 0.0 < got["u/static"]["score"] < got["u/churn"]["score"]
+
+
+# ---------------------------------------------------------------------------
+# property: serialize -> parse round trip over adversarial URL content
+# ---------------------------------------------------------------------------
+from xml.sax.saxutils import escape as _xml_escape  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_URL_CHARS = st.text(
+    alphabet=st.sampled_from(
+        list("abcz09-._~:/?#[]@!$&'()*+,;=%<>\" \t") + ["é", "中"]
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_URL_CHARS, min_size=1, max_size=8), st.booleans())
+def test_sitemap_serialize_parse_roundtrip(suffixes, gz):
+    """Any loc content a generator can mint (entities, quotes, unicode,
+    whitespace-free core) survives escape -> serialize -> (gzip) ->
+    parse exactly — the property behind the sitemap_frontier oracle's
+    lossless-round-trip claim."""
+    locs = ["https://ex.com/" + s.strip() for s in suffixes]
+    body = "".join(
+        f"<url><loc>{_xml_escape(loc)}</loc></url>" for loc in locs
+    )
+    doc: bytes | str = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + body + "</urlset>"
+    )
+    if gz:
+        doc = gzip.compress(doc.encode())
+    got = [e["loc"] for e in parse_sitemap(doc)]
+    # the parser strips surrounding whitespace (spec: loc is a URL) and
+    # drops entries whose loc collapses to empty
+    want = [u.strip() for u in locs if u.strip()]
+    assert got == want
