@@ -293,6 +293,85 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
         ev.select("ts"), iv, bucket_seconds=1800).count()
     out["range_s"] = round(time.time() - t, 2)
 
+    # session-5 crawl ops: trap flags / recrawl schedules / sitemap
+    # entries must track their planted inputs linearly (hosts and
+    # corpus rows), never a pair space; alignment keep-rate must stay
+    # ~constant (a pure hash-driven per-row gate)
+    from spatula_spark.operators import politeness as P
+    from spatula_spark.operators import recrawl as rc
+    from spatula_spark.operators import sitemaps as sm
+
+    n_hosts = max(10, n_docs // 1000)
+    t = time.time()
+    hd = spark.range(n_hosts).select(
+        F.col("id").alias("host"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("depth"))
+    trapc = F.when(
+        F.col("host") % 5 == 0,
+        F.element_at(F.array(F.lit(5), F.lit(20), F.lit(80), F.lit(320)),
+                     F.col("depth").cast("int")),
+    ).otherwise(F.col("depth") * 5)
+    log = hd.select(
+        "host", "depth",
+        F.explode(F.sequence(F.lit(1), trapc.cast("int"))).alias("i"),
+    ).select(
+        "host", "depth",
+        F.concat_ws("/", "host", "depth", "i").alias("url"),
+        F.when(F.col("host") % 5 == 0,
+               F.concat(F.lit("d"), F.col("host").cast("string")))
+        .otherwise(F.concat_ws(":", "host", "depth", "i"))
+        .alias("content_fp"),
+    )
+    out["trap_flags"] = P.trap_hosts(log).count()
+    out["trap_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    hist = ev.select(
+        F.concat(F.lit("u/"), F.col("user_id").cast("string")).alias("url"),
+        (F.col("user_id") % max(2, (n_events // 100) // 10)).alias("host"),
+        F.col("ts").alias("fetch_ts"),
+        F.pmod(F.xxhash64("user_id", "ts"), F.lit(5)).cast("string")
+        .alias("content_fp"),
+    )
+    out["recrawl_rows"] = rc.recrawl_priority(hist).count()
+    out["recrawl_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    sm_entry = F.concat(
+        F.lit("<url><loc>https://h"), (F.col("id") % n_hosts).cast("string"),
+        F.lit(".ex/p/"), F.col("id").cast("string"), F.lit("</loc></url>"))
+    smx = (
+        spark.range(n_docs)
+        .select((F.col("id") % n_hosts).alias("host"),
+                F.struct(F.col("id").alias("g"), sm_entry.alias("e"))
+                .alias("s"))
+        .groupBy("host")
+        .agg(F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s["e"]), ""),
+            F.lit("</urlset>")).alias("xml"))
+    )
+    out["sitemap_locs"] = sm.sitemap_entries(smx, "xml").count()
+    out["sitemap_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    fpc = F.xxhash64("doc_id")
+    iv = F.array(*[
+        (F.shiftright(fpc, 4 * d).bitwiseAND(F.lit(15)).cast("double")
+         - F.lit(7.5)) for d in range(16)
+    ])
+    al = docs.select(
+        tx.feature_hash_embedding(tx.tokens(F.col("text")), 16).alias("cv"),
+        iv.alias("iv"),
+    )
+    dotc = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x)
+    out["align_keep"] = al.select((dotc >= 0).alias("k")).filter("k").count()
+    out["align_s"] = round(time.time() - t, 2)
+
     for d in (docs, corpus, emb, pert, ev):
         d.unpersist()
     return out
@@ -331,6 +410,20 @@ def main():
         "pack_packs_growth": (ratio("pack_packs"), 20.0),
         "decon_rows_growth": (ratio("decon_rows"), 20.0),
         "mm_rounds_growth": (ratio("mm_rounds"), 1.0),
+        # session-5 crawl ops: flags/schedules/entries linear in hosts
+        # and corpus rows; alignment keep-rate scale-invariant
+        "trap_flags_growth": (ratio("trap_flags"), 20.0),
+        "recrawl_rows_growth": (ratio("recrawl_rows"), 20.0),
+        "sitemap_locs_growth": (ratio("sitemap_locs"), 20.0),
+        "align_keep_frac_ratio": (
+            round(max(
+                (r10["align_keep"] / r10["n_docs"])
+                / max(r1["align_keep"] / r1["n_docs"], 1e-9),
+                (r1["align_keep"] / r1["n_docs"])
+                / max(r10["align_keep"] / r10["n_docs"], 1e-9),
+            ), 2),
+            1.3,
+        ),
     }
     # candidate-volume advantage of multi-index over 8-bit bands must
     # hold at the bigger scale too (background is n^2-shaped for BOTH
@@ -361,7 +454,8 @@ def main():
               "rep_keep", "decon_rows", "decon_flagged",
               "decon_bench_grams", "pack_packs", "mm_edges",
               "mm_components", "mm_rounds",
-              "asof_rows", "range_rows"):
+              "asof_rows", "range_rows",
+              "trap_flags", "recrawl_rows", "sitemap_locs", "align_keep"):
         lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
     lines += [
         "",
@@ -371,7 +465,8 @@ def main():
     for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
               "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
               "cc_s", "rep_s", "decon_s", "pack_s", "mm_s",
-              "asof_s", "range_s"):
+              "asof_s", "range_s",
+              "trap_s", "recrawl_s", "sitemap_s", "align_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
     lines += [
         "",
