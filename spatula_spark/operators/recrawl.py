@@ -42,14 +42,17 @@ def recrawl_priority(
     alpha: float = 0.5,
     beta_s: float = 3600.0,
     k: int = 3,
+    now_ms: int | None = None,
 ) -> DataFrame:
     """Per-host top-``k`` recrawl schedule from a fetch-history table.
 
     For each URL: ``n_fetches``, ``n_changes`` (consecutive fetches
     whose content fingerprint differs), smoothed change rate
     ``λ = (n_changes + alpha) / (observed_span_s + beta_s)``, age
-    since the last fetch measured against the corpus-wide latest
-    fetch time, and ``score = λ·age / (1 + λ·age)`` — the staleness
+    since the last fetch measured against ``now_ms`` (epoch millis;
+    production passes the scheduler's wall clock — None derives the
+    corpus-wide latest fetch time, the deterministic choice the oracle
+    battery needs), and ``score = λ·age / (1 + λ·age)`` — the staleness
     probability surrogate (see module docstring). Returns the ``k``
     highest-score URLs per host, rank-stable (score desc, url asc).
     """
@@ -76,12 +79,15 @@ def recrawl_priority(
             F.max("_ms").alias("_last_ms"),
         )
     )
-    # corpus-wide "now" = latest observed fetch, attached as a 1-row
-    # broadcast (an unpartitioned max window would drag the whole
-    # per-URL table onto a single partition — fatal at 10^10 URLs; the
-    # broadcast nested-loop join with a 1-row build side just streams)
-    now = per_url.agg(F.max("_last_ms").alias("_now_ms"))
-    per_url = per_url.crossJoin(F.broadcast(now))
+    if now_ms is None:
+        # corpus-wide "now" = latest observed fetch, attached as a
+        # 1-row broadcast (an unpartitioned max window would drag the
+        # whole per-URL table onto a single partition — fatal at 10^10
+        # URLs; a 1-row broadcast nested-loop join just streams)
+        now = per_url.agg(F.max("_last_ms").alias("_now_ms"))
+        per_url = per_url.crossJoin(F.broadcast(now))
+    else:
+        per_url = per_url.withColumn("_now_ms", F.lit(int(now_ms)))
     span_s = (F.col("_last_ms") - F.col("_first_ms")) / 1000.0
     age_s = (F.col("_now_ms") - F.col("_last_ms")) / 1000.0
     lam = (F.col("n_changes") + F.lit(alpha)) / (span_s + F.lit(beta_s))
