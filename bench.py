@@ -143,6 +143,7 @@ HEADLINE = [
     "sitemap_frontier",
     "crawl_trap_hosts",
     "recrawl_priority",
+    "anchor_text_topk",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

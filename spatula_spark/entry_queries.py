@@ -2445,3 +2445,68 @@ FROM (SELECT *, (row_number() OVER (PARTITION BY host
         ORDER BY round(x / (x + 1.0), 6) DESC, url))::INT AS rn FROM sc)
 WHERE rn <= 3
 """
+
+
+@register("anchor_text_topk", None)
+def anchor_text_topk_q(spark, sf_dir):
+    """Anchor-text aggregation (functions/text.anchor_text_topk): the
+    link graph is synthesized from documents (each doc links its
+    div-5 parent; the anchor phrase is hash-picked so every target
+    sees a few competing phrases repeated across distinct source
+    hosts), then each target page gets its top-3 anchor phrases ranked
+    by distinct-host support — the anti-spam web-search labeling
+    signal. All ranking keys are integers, so the oracle is exact."""
+    from .sources.synthweb import _WORDS
+    from .urls import portable_hash64
+
+    warr = F.array(*[F.lit(x) for x in _WORDS])
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    src = F.col("src")
+    dst = F.expr("src div 5")
+    pid = portable_hash64(
+        F.concat(F.lit("anc:"), src.cast("string"))
+    ) % 3
+    word = lambda expr: F.element_at(warr, (expr % 20 + 1).cast("int"))  # noqa: E731
+    anchor = F.concat(
+        F.lit("  "), word(dst + pid), F.lit("   "), word(dst * 7 + pid),
+        F.lit(" "),
+    )
+    links = d.select(
+        dst.alias("dst"), (src % 13).alias("src_host"),
+        anchor.alias("anchor"),
+    )
+    return tx.anchor_text_topk(links)
+
+
+def _anchor_oracle() -> str:
+    from .sources.synthweb import _WORDS
+
+    wlist = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+    pid = duck_hash("'anc:' || src::VARCHAR") + " % 3"
+    return f"""
+WITH d AS (SELECT doc_id::BIGINT AS src FROM documents),
+l AS (
+  SELECT src // 5 AS dst, src % 13 AS src_host,
+    '  ' || {wlist}[(((src // 5) + ({pid})) % 20 + 1)::INT]
+    || '   ' || {wlist}[(((src // 5) * 7 + ({pid})) % 20 + 1)::INT]
+    || ' ' AS anchor
+  FROM d),
+n AS (
+  SELECT dst, src_host,
+    lower(regexp_replace(trim(anchor), '\\s+', ' ', 'g')) AS phrase
+  FROM l),
+per AS (
+  SELECT dst, phrase, count(DISTINCT src_host) AS n_hosts,
+         count(*) AS n_links
+  FROM n GROUP BY dst, phrase)
+SELECT dst, phrase, n_hosts, n_links, rn FROM (
+  SELECT dst, phrase, n_hosts, n_links,
+    (row_number() OVER (PARTITION BY dst
+       ORDER BY n_hosts DESC, n_links DESC, phrase))::INT AS rn
+  FROM per) WHERE rn <= 3
+"""
+
+
+ORACLES["anchor_text_topk"] = _anchor_oracle()

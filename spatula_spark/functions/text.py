@@ -103,6 +103,52 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
 
+def anchor_text_topk(
+    links: DataFrame,
+    dst_col: str = "dst",
+    host_col: str = "src_host",
+    text_col: str = "anchor",
+    k: int = 3,
+) -> DataFrame:
+    """Per-target top-``k`` anchor phrases from a link graph — the
+    web-search / WebLI-style signal where the text OTHER pages use to
+    link to a page labels that page (often better than its own title).
+    Anti-spam weighting: a phrase is ranked first by how many distinct
+    *source hosts* use it (one host repeating an anchor a million
+    times counts once), then by raw link count, then lexically —
+    all-integer keys, so a cross-engine oracle is exact. Anchors are
+    normalized (trim / lowercase / collapse runs of whitespace) before
+    counting.
+
+    Plan shape at a 10^11-edge link graph: one distinct-host aggregate
+    keyed (dst, phrase, host) with map-side partials, one (dst,
+    phrase) rollup on the same keys (exchange reuse), one per-dst
+    window over the phrase-vocabulary-sized rollup. Never a self-join,
+    never a collect."""
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    per = (
+        links.select(
+            F.col(dst_col).alias("dst"), F.col(host_col).alias("h"),
+            norm.alias("phrase"),
+        )
+        .groupBy("dst", "phrase")
+        .agg(
+            F.countDistinct("h").alias("n_hosts"),
+            F.count("*").alias("n_links"),
+        )
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_hosts").desc(), F.col("n_links").desc(), "phrase"
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("dst", "phrase", "n_hosts", "n_links", "rn")
+    )
+
+
 def feature_hash_embedding(
     words: Column, dim: int = 16, seed: str = "fh"
 ) -> Column:
