@@ -120,11 +120,12 @@ def anchor_text_topk(
     normalized (trim / lowercase / collapse runs of whitespace) before
     counting.
 
-    Plan shape at a 10^11-edge link graph: one distinct-host aggregate
-    keyed (dst, phrase, host) with map-side partials, one (dst,
-    phrase) rollup on the same keys (exchange reuse), one per-dst
-    window over the phrase-vocabulary-sized rollup. Never a self-join,
-    never a collect."""
+    Plan shape at a 10^11-edge link graph (pinned in test_plans.py):
+    join-free, exactly three keyed exchanges — the (dst, phrase, host)
+    pre-distinct aggregate with map-side partials (the only one that
+    sees edge-scale data), the (dst, phrase) distinct rollup, and the
+    per-dst window over the anchor-vocabulary-sized result. Never a
+    self-join, never a collect."""
     from pyspark.sql import Window
 
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))

@@ -144,6 +144,15 @@ def test_caption_image_alignment_is_map_side_only(spark):
     assert cols == {"doc_id"}
 
 
+def test_anchor_text_topk_join_free_three_exchanges(spark):
+    """Anchor aggregation must never self-join the link graph: one
+    edge-scale pre-distinct aggregate, the (dst, phrase) rollup, the
+    per-dst window — three keyed exchanges, zero joins."""
+    p = _plan(entry.queries()["anchor_text_topk"](spark, SF))
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 3, p
+
+
 def test_trap_hosts_single_shuffle_before_window(spark):
     """Trap detection touches the crawl log once: one hash aggregate
     (plus its distinct-expand exchange) feeds the tiny per-host
