@@ -58,11 +58,21 @@ def run(cores: int, n_urls: int) -> dict:
         capture_output=True, text=True, timeout=5400,
         cwd=REPO, env=env,
     )
+    # full child logs always land on disk — a failed 1-hour leg whose
+    # root cause only survives as a 2000-char stderr tail is
+    # undiagnosable (scratch/ is gitignored)
+    logdir = os.path.join(REPO, "scratch")
+    os.makedirs(logdir, exist_ok=True)
+    for stream, text_ in (("out", proc.stdout), ("err", proc.stderr)):
+        with open(os.path.join(
+                logdir, f"scaling_child_{cores}.{stream}"), "w") as f:
+            f.write(text_)
     for line in proc.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line.split(" ", 1)[1])
     raise RuntimeError(
-        f"cores={cores} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"cores={cores} failed (full logs in scratch/scaling_child_"
+        f"{cores}.*):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
 
 
