@@ -72,14 +72,19 @@ def parse_sitemap(content: bytes | str) -> list[dict]:
                 content = gzip.decompress(content)
             except OSError:
                 return []
-        try:
-            content = content.decode("utf-8", errors="replace")
-        except Exception:  # pragma: no cover - decode w/ replace is total
-            return []
     try:
+        # bytes go to ET directly so a non-UTF-8 encoding declaration
+        # (latin-1 sitemaps exist) is honored rather than mangled
         root = ET.fromstring(content)
-    except ET.ParseError:
-        return []
+    except (ET.ParseError, ValueError):
+        if not isinstance(content, bytes):
+            return []
+        try:
+            # mis-declared / undeclared non-UTF-8 bytes: salvage what
+            # decodes rather than crash the Arrow batch
+            root = ET.fromstring(content.decode("utf-8", errors="replace"))
+        except (ET.ParseError, ValueError):
+            return []
     kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(
         _localname(root.tag)
     )

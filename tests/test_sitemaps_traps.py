@@ -227,3 +227,13 @@ def test_sitemap_serialize_parse_roundtrip(suffixes, gz):
     # drops entries whose loc collapses to empty
     want = [u.strip() for u in locs if u.strip()]
     assert got == want
+
+
+def test_parse_latin1_declared_bytes():
+    doc = (
+        '<?xml version="1.0" encoding="latin-1"?>'
+        "<urlset><url><loc>http://ex.com/café</loc></url></urlset>"
+    )
+    assert parse_sitemap(doc.encode("latin-1")) == [
+        {"kind": "url", "loc": "http://ex.com/café"}
+    ]
