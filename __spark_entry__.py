@@ -34,4 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(entry_queries.ORACLES)
+    # entries may be lazy callables (oracles with computed literal
+    # tables, e.g. the codec-pinned image fingerprints) — render here
+    return {
+        k: (v() if callable(v) else v)
+        for k, v in entry_queries.ORACLES.items()
+    }
