@@ -219,6 +219,30 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     out["cc_s"] = round(time.time() - t, 2)
     allfp.unpersist()
 
+    # mega-bucket cap (round-4): a planted boilerplate clique of
+    # m = n_docs/5 IDENTICAL fingerprints (10^4 at the sf1 scale) over
+    # the uniform background — the shape that made the uncapped banded
+    # candidate volume grow 98.7x at 10x rows in round 3. With
+    # max_bucket=256 the capped join emits m-1 hub stars instead of
+    # ~m^2/2 pairs, so emitted candidates must grow ~linearly while the
+    # AVOIDED volume (starred_pairs telemetry) grows ~quadratically.
+    t = time.time()
+    m = n_docs // 5
+    clique = spark.range(m).select(
+        (F.col("id") + 50_000_000).alias("img_id"),
+        F.lit(4242424242424242).alias("fp"))
+    cap_corpus = fps.unionByName(clique).persist()
+    cap_corpus.count()
+    cap_stats = {}
+    out["capped_pairs"] = dd.hamming_near_dups(
+        cap_corpus, "img_id", "fp", max_hamming=7, max_bucket=256,
+        stats=cap_stats).count()
+    out["capped_starred"] = cap_stats["starred_pairs"]
+    out["capped_max_bucket"] = cap_stats["max_bucket_size"]
+    out["capped_buckets"] = cap_stats["capped_buckets"]
+    out["capped_s"] = round(time.time() - t, 2)
+    cap_corpus.unpersist()
+
     # corpus hygiene / packing / multimodal CC (round-3 additions)
     from spatula_spark import entry_queries as eq
     from spatula_spark.functions import packing as pk
@@ -404,6 +428,9 @@ def main():
         "mih_pairs_growth": (ratio("mih_pairs"), 20.0),
         # contraction rounds must NOT grow with the corpus
         "cc_rounds_growth": (ratio("cc_rounds"), 1.0),
+        # mega-bucket cap: emitted candidates linear on a 10x clique
+        # (uncapped would grow ~100x — that's what starred_pairs shows)
+        "capped_pairs_growth": (ratio("capped_pairs"), 20.0),
         # round-3 ops: packing output and decontamination explode rows
         # track corpus tokens (~linear); multimodal contraction rounds
         # stay constant like the unimodal CC
@@ -451,6 +478,8 @@ def main():
               "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
               "mih_pairs", "banded8_cand_volume", "mih_cand_volume",
               "cc_nodes", "cc_components", "cc_rounds", "cc_jumps",
+              "capped_pairs", "capped_starred", "capped_max_bucket",
+              "capped_buckets",
               "rep_keep", "decon_rows", "decon_flagged",
               "decon_bench_grams", "pack_packs", "mm_edges",
               "mm_components", "mm_rounds",
@@ -464,7 +493,7 @@ def main():
     ]
     for k in ("exact_s", "minhash_cand_s", "minhash_verify_s", "simhash_s",
               "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
-              "cc_s", "rep_s", "decon_s", "pack_s", "mm_s",
+              "cc_s", "capped_s", "rep_s", "decon_s", "pack_s", "mm_s",
               "asof_s", "range_s",
               "trap_s", "recrawl_s", "sitemap_s", "align_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
@@ -485,7 +514,12 @@ def main():
         "overlapping (point, interval) pairs — that's result size, not "
         "candidate overhead (the bucket equi-join's probe cost stays "
         "linear per side). `minhash_pairs`/`emb_neardups` pin the "
-        "planted-duplicate count exactly (one per doc/vector).",
+        "planted-duplicate count exactly (one per doc/vector). "
+        "`capped_starred` grows ~100x BY CONSTRUCTION — it counts the "
+        "within-clique pairs the max_bucket cap REPLACED with hub "
+        "stars; the engine-emitted `capped_pairs` staying ~linear on "
+        "the same clique is the round-4 fix for the round-3 "
+        "98.7x-banded-volume watch item.",
         "",
         "Checks (value vs limit): "
         + ", ".join(f"{k}={v} (<= {lim})" for k, (v, lim) in checks.items()),

@@ -599,6 +599,59 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_dedup_pairs(corpus)
 
 
+_BOILER = ("same boilerplate navigation text repeated on every page "
+           "footer copyright terms privacy contact")
+
+
+@register(
+    "dedup_lsh_capped",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '{_BOILER}' ELSE text END
+         AS text FROM documents),
+{DUCK_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_duck_minhash_cols(8)} FROM sh),
+bands AS ({_DUCK_BANDS}),
+bn AS (SELECT band, bsig, count(*) AS n, min(doc_id) AS hub
+       FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l
+  JOIN bn ON bn.band = l.band AND bn.bsig = l.bsig AND bn.n <= 16
+  JOIN bands r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+  UNION
+  SELECT bn.hub AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN bn ON bn.band = b.band AND bn.bsig = b.bsig
+  WHERE bn.n > 16 AND b.doc_id <> bn.hub)
+SELECT doc_a, doc_b,
+  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.8
+""",
+)
+def dedup_lsh_capped_q(spark, sf_dir):
+    """The mega-bucket cap under a FULL cross-engine oracle: every 5th
+    document's text is replaced by one boilerplate string (a planted
+    100-doc clique — the shape that made the uncapped banded join mint
+    98.7x candidate volume at 10x rows in the sf1 battery), and the
+    LSH pipeline runs with max_bucket=16. Buckets above the cap emit
+    star edges to the bucket-min doc instead of all pairs
+    (functions/dedup.py _capped_bucket_pairs); DuckDB replicates the
+    same rule (bucket counts -> full pairs below the cap, hub stars
+    above) so the hash match pins the capped candidate semantics — the
+    100 TB safety valve — not just the happy path."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.minhash_dedup_pairs(docs, max_bucket=16)
+
+
 @register(
     "clean_corpus",
     f"""
@@ -1345,6 +1398,74 @@ def image_near_dup_phash_q(spark, sf_dir):
     ).orderBy("image_id_a", "image_id_b")
 
 
+@register(
+    "audio_features",
+    """
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+par AS (SELECT g, (200 + (g % 7) * 40)::BIGINT AS n FROM ids),
+p AS (SELECT g, n,
+        list_transform(range(0, n),
+          k -> ((g*31 + k*17) % 4001 - 2000)
+               - CASE WHEN (g*31 + k*17) % 4001 > 2000 THEN 1
+                      WHEN (g*31 + k*17) % 4001 < 2000 THEN -1
+                      ELSE 0 END) AS pv
+      FROM par)
+SELECT g::VARCHAR AS clip_id, n AS n_samples,
+  (8000 + (g % 3) * 4000)::INT AS sample_rate,
+  round(sqrt((list_sum(list_transform(pv, x -> x*x))::DOUBLE
+              / 1073741824.0) / n), 6) AS rms,
+  len(list_filter(range(1, n), k -> pv[k] * pv[k+1] < 0))::BIGINT
+    AS zero_crossings
+FROM p
+""",
+)
+def audio_features_q(spark, sf_dir):
+    """Audio pipeline under a FULL value-hash oracle (the multimodal
+    gap VERDICT r3 flagged): per-doc PCM is a closed integer form
+    s_k = (g*31 + k*17) % 4001 - 2000, fed as s/32768 floats through
+    the REAL stdlib-wave encode path (multimodal.wav_encode) and
+    decoded + featurized by the REAL decode path
+    (multimodal.audio_features, Arrow-batched mapInPandas). The
+    encoder's *32767 truncation maps s -> s - sign(s) exactly (s/2^15
+    is dyadic, s*32767 < 2^52, trunc toward zero), so DuckDB replays
+    the decoded PCM without touching a codec; energy is an exact
+    integer sum (sum(p^2) < 2^31, every float partial sum dyadic below
+    2^52 => summation-order-proof), making rms bit-reproducible
+    through one division + sqrt, and zero-crossings pure integer sign
+    arithmetic. A hash match pins encode, decode, Arrow transport, and
+    the feature math end-to-end against an engine with no codec."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("g"))
+        .repartition(8)
+    )
+
+    def make_clips(batches):
+        import numpy as np
+
+        from spatula_spark.functions.multimodal import wav_encode
+
+        for pdf in batches:
+            out_id, out_b = [], []
+            for g in pdf["g"].astype("int64"):
+                g = int(g)
+                n = 200 + (g % 7) * 40
+                k = np.arange(n, dtype=np.int64)
+                s = (g * 31 + k * 17) % 4001 - 2000
+                out_id.append(str(g))
+                out_b.append(
+                    wav_encode(s / 32768.0, rate=8000 + (g % 3) * 4000)
+                )
+            yield pd.DataFrame({"clip_id": out_id, "bytes": out_b})
+
+    from .functions import multimodal as mm
+
+    clips = ids.mapInPandas(make_clips, "clip_id string, bytes binary")
+    return mm.audio_features(clips).withColumn("rms", F.round("rms", 6))
+
+
 def _pq_terms(av: str, bv: str, s: str) -> str:
     """Unrolled squared-L2 over one 8-dim subspace, left-to-right —
     the exact fold order of the Spark/numpy twins."""
@@ -1590,9 +1711,12 @@ def media_clean_q(spark, sf_dir):
     # one shuffle for the first-wins dedup; localCheckpoint so the two
     # consumers below (pair join legs + final anti-join) don't recompute
     k = q.join(first, ["phrase", "g"]).localCheckpoint()
+    # max_bucket: identical-fingerprint mega-buckets (site chrome
+    # images) emit hub stars, not O(m^2) pairs — inert below 4096
+    # (every gate-scale bucket is), the safety valve at corpus scale
     pairs = dd.hamming_near_dups(
         k.select(F.col("g").alias("image"), "fp"), "image", "fp",
-        max_hamming=7,
+        max_hamming=7, max_bucket=4096,
     )
     drop = pairs.select(F.col("image_b").alias("g")).distinct()
     return k.join(drop, "g", "left_anti").select(
@@ -1637,7 +1761,11 @@ def media_dedup_cc_q(spark, sf_dir):
     corpus = ids.select(
         F.col("g").alias("image"), _derived_fp("g").alias("fp")
     )
-    pairs = dd.hamming_near_dups(corpus, "image", "fp", max_hamming=7)
+    # capped (inert at gate scale, linear star edges above 4096): the
+    # CC consumer is exactly what the cap's connectivity contract serves
+    pairs = dd.hamming_near_dups(
+        corpus, "image", "fp", max_hamming=7, max_bucket=4096
+    )
     cc = dd.connected_components(pairs, "image_a", "image_b")
     return ids.join(cc, ids["g"] == cc["node"], "left").select(
         F.col("g").alias("image_id"),
@@ -1761,7 +1889,7 @@ def multimodal_dedup_cc_q(spark, sf_dir):
     ).localCheckpoint()  # two edge builds + final label join read it
     img = dd.hamming_near_dups(
         corpus.select(F.col("g").alias("image"), "fp"), "image", "fp",
-        max_hamming=7,
+        max_hamming=7, max_bucket=4096,  # inert at gate scale; see cc twin
     ).select(F.col("image_a").alias("u"), F.col("image_b").alias("v"))
     first = corpus.groupBy("phrase").agg(F.min("g").alias("v"))
     cap = (

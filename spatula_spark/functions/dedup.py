@@ -22,7 +22,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -176,15 +176,119 @@ def minhash_signatures(
     )
 
 
+def _bucket_cap_stats(
+    bands: DataFrame, key_cols: list[str], max_bucket: int, stats: dict
+) -> None:
+    """Fill ``stats`` with the cap telemetry a scale harness needs: how
+    many buckets tripped the cap, the largest bucket seen, and the
+    within-bucket pair candidates replaced by star edges (an upper
+    bound on *dropped* pairs — the same pair may still surface through
+    another band's small bucket). One extra cheap count-agg job, only
+    when the caller opts in."""
+    n, cnt = F.col("count"), F.lit(1)
+    row = (
+        bands.groupBy(*key_cols)
+        .count()
+        .agg(
+            F.sum((n > max_bucket).cast("long")).alias("nb"),
+            F.sum(
+                F.when(n > max_bucket, n * (n - 1) / 2 - (n - 1)).otherwise(0)
+            ).alias("dp"),
+            F.max(n).alias("mx"),
+            F.count(cnt).alias("tot"),
+        )
+        .collect()[0]
+    )
+    stats.update(
+        capped_buckets=int(row.nb or 0),
+        starred_pairs=int(row.dp or 0),
+        max_bucket_size=int(row.mx or 0),
+        total_buckets=int(row.tot or 0),
+    )
+
+
+def _capped_bucket_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    id_c: str,
+    max_bucket: int,
+    payload_c: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Within-bucket (a < b) candidate pairs with a mega-bucket cap.
+
+    Buckets of <= ``max_bucket`` rows emit every pair (the complete
+    LSH/pigeonhole contract); larger buckets emit STAR edges from the
+    bucket-min id to each member instead — connectivity-equivalent for
+    the connected-components consumer (a clique and a star have the
+    same components) while turning the worst case from O(m^2) rows per
+    bucket to O(m). The repo's sf1 battery measured 98.7x banded
+    candidate growth at 10x rows on boilerplate-heavy corpora without
+    this cap; with it, growth is bounded linear by construction.
+
+    Completeness caveat (documented contract): pairs internal to a
+    capped bucket are represented transitively through the hub, so a
+    pair-level consumer that verifies with a radius/threshold may
+    reject a hub edge a full clique would have kept. Use
+    ``max_bucket=None`` in the callers when exact pair enumeration
+    matters more than bounded cost.
+
+    Returns columns ``(_a, _b[, _pa, _pb])`` — ids and, when
+    ``payload_c`` is given, the payload (fingerprint) of each side.
+    Bucket-min hubs guarantee ``_a < _b``.
+    """
+    pay = [payload_c] if payload_c else []
+    w = Window.partitionBy(*key_cols)
+    hub_struct = F.struct(
+        F.col(id_c).alias("i"), *[F.col(c).alias("p") for c in pay]
+    )
+    b2 = bands.select(
+        id_c,
+        *pay,
+        *key_cols,
+        F.count(F.lit(1)).over(w).alias("_bn"),
+        F.min(hub_struct).over(w).alias("_hub"),
+    )
+    small = b2.filter(F.col("_bn") <= max_bucket)
+    sl, sr = small.alias("l"), small.alias("r")
+    cond = F.col(f"l.{id_c}") < F.col(f"r.{id_c}")
+    for k in key_cols:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    out_cols = [
+        F.col(f"l.{id_c}").alias("_a"),
+        F.col(f"r.{id_c}").alias("_b"),
+    ] + [F.col(f"l.{c}").alias("_pa") for c in pay] + [
+        F.col(f"r.{c}").alias("_pb") for c in pay
+    ]
+    pairs = sl.join(sr, cond).select(*out_cols)
+    star_cols = [
+        F.col("_hub.i").alias("_a"),
+        F.col(id_c).alias("_b"),
+    ] + ([F.col("_hub.p").alias("_pa"), F.col(payload_c).alias("_pb")]
+         if payload_c else [])
+    stars = b2.filter(
+        (F.col("_bn") > max_bucket) & (F.col(id_c) != F.col("_hub.i"))
+    ).select(*star_cols)
+    if stats is not None:
+        _bucket_cap_stats(bands, key_cols, max_bucket, stats)
+    return pairs.union(stars).distinct()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     num_perms: int = 8,
     band_rows: int = 2,
     n: int = 3,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: equal (band, band-signature) bucket
-    => candidate. Returns distinct (doc_a < doc_b) pairs."""
+    => candidate. Returns distinct (doc_a < doc_b) pairs.
+
+    ``max_bucket`` caps mega-buckets (boilerplate cliques): buckets
+    above it emit star edges to the bucket-min doc instead of all
+    pairs — see :func:`_capped_bucket_pairs` for the exact contract."""
     # EAGER localCheckpoint, not lazy persist: the self-join's two
     # shuffle legs run concurrently, and with a lazy cache both legs
     # race past the empty cache and compute the whole signature
@@ -212,6 +316,12 @@ def lsh_candidate_pairs(
             ])
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.bsig")
+    if max_bucket is not None:
+        return _capped_bucket_pairs(
+            bands, ["band", "bsig"], "doc_id", max_bucket, stats=stats
+        ).select(
+            F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -319,11 +429,16 @@ def minhash_dedup_pairs(
     band_rows: int = 2,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> bucket-join
-    -> exact-Jaccard verify."""
+    -> exact-Jaccard verify. ``max_bucket`` bounds mega-bucket candidate
+    blowup (see :func:`_capped_bucket_pairs`)."""
     df = df.persist()  # read by both the signature and the verify stage
-    cands = lsh_candidate_pairs(df, text_col, num_perms, band_rows, n)
+    cands = lsh_candidate_pairs(
+        df, text_col, num_perms, band_rows, n, max_bucket, stats
+    )
     return jaccard_pairs(df, cands, text_col, n, threshold)
 
 
@@ -422,7 +537,11 @@ def simhash_ref(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, candidate-limited by
     16-bit quarter-keys: <=3 flipped bits across 4 disjoint 16-bit
@@ -433,43 +552,22 @@ def simhash_near_dups(
     Scale: 65,536 buckets per band (vs 256 with the round-1 8-bit keys
     over a 32-bit hash, which degenerated toward all-pairs beyond ~10^5
     docs) — expected within-bucket candidates shrink ~N^2/65536 per
-    band."""
+    band; ``max_bucket`` bounds the residual identical-fingerprint
+    clique case (see :func:`_capped_bucket_pairs`).
+
+    The banded join itself is :func:`hamming_near_dups` at n_bands=4
+    (identical quarter-key scheme — one implementation, one cap)."""
     sh = _spread(df).select(
         "doc_id", simhash(F.col(text_col)).alias("sh")
     ).persist()
-    quarters = sh.select(
-        "doc_id", "sh",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(qi).alias("q"),
-                    F.shiftright("sh", 16 * qi).bitwiseAND(F.lit(0xFFFF))
-                    .alias("key"),
-                )
-                for qi in range(4)
-            ])
-        ).alias("qk"),
-    ).select("doc_id", "sh", "qk.q", "qk.key")
-    l, r = quarters.alias("l"), quarters.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.q") == F.col("r.q"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .distinct()
+    out = hamming_near_dups(
+        sh, "doc_id", "sh", max_hamming, n_bands=4,
+        max_bucket=max_bucket, stats=stats,
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        out.withColumnRenamed("doc_id_a", "doc_a")
+        .withColumnRenamed("doc_id_b", "doc_b")
+    )
 
 
 def hamming_near_dups(
@@ -478,6 +576,8 @@ def hamming_near_dups(
     hash_col: str,
     max_hamming: int,
     n_bands: int | None = None,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Generic hamming-radius self-join over any 64-bit fingerprint
     column (SimHash, DCT image pHash, audio fingerprints, ...).
@@ -500,9 +600,16 @@ def hamming_near_dups(
       buckets per block (Norouzi et al., multi-index hashing). Both
       schemes are asserted equal to the brute-force all-pairs join in
       tests.
+
+    ``max_bucket`` caps identical-fingerprint mega-buckets in either
+    scheme (star edges to the bucket-min id above the cap, the
+    connectivity-preserving contract of :func:`_capped_bucket_pairs`);
+    ``stats`` receives cap telemetry when given.
     """
     if n_bands is None and 3 < max_hamming <= 11:
-        return _mih_near_dups(df, id_col, hash_col, max_hamming)
+        return _mih_near_dups(
+            df, id_col, hash_col, max_hamming, max_bucket, stats
+        )
     if n_bands is None:
         n_bands = max_hamming + 1
     if not (0 < n_bands <= 64 and 64 % n_bands == 0):
@@ -530,22 +637,32 @@ def hamming_near_dups(
             ])
         ).alias("bk"),
     ).select("_id", "_h", "bk.b", "bk.key")
-    l, r = bands.alias("l"), bands.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l._id") < F.col("r._id")),
+    if max_bucket is not None:
+        cands = _capped_bucket_pairs(
+            bands, ["b", "key"], "_id", max_bucket, "_h", stats
+        ).select(
+            F.col("_a").alias(id_col + "_a"),
+            F.col("_b").alias(id_col + "_b"),
+            F.col("_pa").alias("_ha"),
+            F.col("_pb").alias("_hb"),
         )
-        .select(
-            F.col("l._id").alias(id_col + "_a"),
-            F.col("r._id").alias(id_col + "_b"),
-            F.col("l._h").alias("_ha"),
-            F.col("r._h").alias("_hb"),
+    else:
+        l, r = bands.alias("l"), bands.alias("r")
+        cands = (
+            l.join(
+                r,
+                (F.col("l.b") == F.col("r.b"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(
+                F.col("l._id").alias(id_col + "_a"),
+                F.col("r._id").alias(id_col + "_b"),
+                F.col("l._h").alias("_ha"),
+                F.col("r._h").alias("_hb"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return cands.select(
         id_col + "_a", id_col + "_b", ham.cast("int").alias("hamming")
@@ -553,13 +670,28 @@ def hamming_near_dups(
 
 
 def _mih_near_dups(
-    df: DataFrame, id_col: str, hash_col: str, max_hamming: int
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Multi-index hamming join: 4 x 16-bit blocks, left-side key
     expansion by all <=(max_hamming//4)-bit flips (see
     hamming_near_dups docstring). Expansion masks are plan-build-time
     literals; the join itself is a plain equi-join on (block, key), so
-    it shuffles short keys only and AQE handles skewed buckets."""
+    it shuffles short keys only and AQE handles skewed buckets.
+
+    ``max_bucket`` caps the EXACT side's (block, key) buckets — the
+    quadratic core of a fingerprint mega-clique is the equal-key
+    bucket every member shares in all 4 blocks. Members of a capped
+    bucket are replaced on the join side by the bucket-min hub and
+    reconnected to it by star edges; probe rows from outside the
+    bucket therefore meet only the hub (the lossy, documented trade:
+    an outside probe within radius of a member but not hub-connected
+    through any other small bucket is dropped — telemetry via
+    ``stats``)."""
     q = max_hamming // 4
     masks = [0]
     masks += [1 << j for j in range(16)]
@@ -595,6 +727,30 @@ def _mih_near_dups(
             for b in range(4)
         ])).alias("bk"),
     ).select("_rid", "_rh", "bk.b", "bk.key")
+    stars = None
+    if max_bucket is not None:
+        if stats is not None:
+            _bucket_cap_stats(exact, ["b", "key"], max_bucket, stats)
+        w = Window.partitionBy("b", "key")
+        e2 = exact.select(
+            "_rid", "_rh", "b", "key",
+            F.count(F.lit(1)).over(w).alias("_bn"),
+            F.min(F.struct(
+                F.col("_rid").alias("i"), F.col("_rh").alias("p")
+            )).over(w).alias("_hub"),
+        )
+        exact = e2.filter(
+            (F.col("_bn") <= max_bucket)
+            | (F.col("_rid") == F.col("_hub.i"))
+        ).select("_rid", "_rh", "b", "key")
+        stars = e2.filter(
+            (F.col("_bn") > max_bucket) & (F.col("_rid") != F.col("_hub.i"))
+        ).select(
+            F.col("_hub.i").alias(id_col + "_a"),
+            F.col("_rid").alias(id_col + "_b"),
+            F.col("_hub.p").alias("_ha"),
+            F.col("_rh").alias("_hb"),
+        )
     cands = (
         probe.join(exact, ["b", "key"])
         .filter(F.col("_id") < F.col("_rid"))
@@ -604,8 +760,10 @@ def _mih_near_dups(
             F.col("_h").alias("_ha"),
             F.col("_rh").alias("_hb"),
         )
-        .distinct()
     )
+    if stars is not None:
+        cands = cands.union(stars)
+    cands = cands.distinct()
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return cands.select(
         id_col + "_a", id_col + "_b", ham.cast("int").alias("hamming")

@@ -967,3 +967,108 @@ def test_hash_split_deterministic_and_stratified(spark):
 
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", weights={"train": 50, "test": 49})
+
+
+# ------------------------------------------------- mega-bucket capping
+def test_hamming_bucket_cap_star_semantics(spark):
+    """max_bucket on the hamming join (both the banded and the
+    multi-index scheme): a planted boilerplate clique of 120 identical
+    fingerprints emits 119 star edges to the bucket-min hub instead of
+    7,140 pairs, connected components are UNCHANGED, pairs outside the
+    capped buckets are bit-identical to the uncapped join, and the
+    stats telemetry reports the capped buckets."""
+    import random
+
+    random.seed(7)
+    rows = [(i, 4242424242424242) for i in range(120)]  # the clique
+    for i in range(100):  # background near-dup pairs, distinct buckets
+        h = random.getrandbits(63)
+        rows.append((1000 + 2 * i, h))
+        rows.append((1001 + 2 * i, h ^ (1 << random.randrange(63))))
+    df = spark.createDataFrame(rows, "id long, fp long")
+
+    for r in (3, 7):  # r=3 -> banded path, r=7 -> multi-index path
+        stats: dict = {}
+        capped = dd.hamming_near_dups(
+            df, "id", "fp", max_hamming=r, max_bucket=16, stats=stats
+        )
+        full = dd.hamming_near_dups(df, "id", "fp", max_hamming=r)
+        cset = {(q["id_a"], q["id_b"]) for q in capped.collect()}
+        fset = {(q["id_a"], q["id_b"]) for q in full.collect()}
+
+        cl_c = {p for p in cset if p[1] < 1000}
+        cl_f = {p for p in fset if p[1] < 1000}
+        assert len(cl_f) == 120 * 119 // 2, f"radius {r}"
+        assert cl_c == {(0, i) for i in range(1, 120)}, f"radius {r}"
+        # sub-cap buckets: identical pair output
+        assert ({p for p in cset if p[0] >= 1000}
+                == {p for p in fset if p[0] >= 1000}), f"radius {r}"
+        # clustering consumer sees the same components
+        cc_c = {tuple(q) for q in dd.connected_components(
+            capped, "id_a", "id_b").collect()}
+        cc_f = {tuple(q) for q in dd.connected_components(
+            full, "id_a", "id_b").collect()}
+        assert cc_c == cc_f, f"radius {r}"
+        assert stats["capped_buckets"] == 4, f"radius {r}"  # 4 bands/blocks
+        assert stats["max_bucket_size"] == 120, f"radius {r}"
+        assert stats["starred_pairs"] == 4 * (120 * 119 // 2 - 119)
+
+    # cap above every bucket size == uncapped, bit for bit
+    loose = dd.hamming_near_dups(
+        df, "id", "fp", max_hamming=7, max_bucket=1000
+    )
+    full7 = dd.hamming_near_dups(df, "id", "fp", max_hamming=7)
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, full7.collect())
+    )
+
+
+def test_lsh_bucket_cap_star_semantics(spark, docs):
+    """max_bucket on the MinHash-LSH candidate join: 80 identical
+    boilerplate texts collapse to one hub star per band; the verify
+    stage (jaccard=1.0 for identical texts) keeps every star edge, so
+    the dedup pipeline's clusters are unchanged while candidates drop
+    from O(m^2) to O(m)."""
+    boiler = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate navigation text repeated on every page "
+              "of this site footer copyright terms privacy").alias("text"),
+    )
+    normal = docs.limit(50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    corpus = boiler.unionByName(normal)
+
+    stats: dict = {}
+    cands = dd.lsh_candidate_pairs(corpus, max_bucket=10, stats=stats)
+    cset = {(q["doc_a"], q["doc_b"]) for q in cands.collect()}
+    assert {p for p in cset if p[1] < 80} == {(0, i) for i in range(1, 80)}
+    assert stats["capped_buckets"] == 4 and stats["max_bucket_size"] == 80
+
+    # end-to-end: star edges verify at jaccard 1.0; components match
+    capped = dd.minhash_dedup_pairs(corpus, max_bucket=10)
+    full = dd.minhash_dedup_pairs(corpus)
+    cc_c = {tuple(q) for q in dd.connected_components(
+        capped, "doc_a", "doc_b").collect()}
+    cc_f = {tuple(q) for q in dd.connected_components(
+        full, "doc_a", "doc_b").collect()}
+    assert cc_c == cc_f
+    assert {p for p in cc_c if p[0] < 80} == {(i, 0) for i in range(80)}
+
+
+def test_simhash_bucket_cap(spark):
+    """max_bucket threads through simhash_near_dups (which shares the
+    banded hamming join): identical texts -> identical simhash ->
+    capped star edges at hamming 0, same components."""
+    corpus = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical page chrome text for the cap test").alias("text"),
+    )
+    stats: dict = {}
+    capped = dd.simhash_near_dups(corpus, max_bucket=8, stats=stats)
+    rows = capped.collect()
+    assert {(q["doc_a"], q["doc_b"]) for q in rows} == {
+        (0, i) for i in range(1, 64)
+    }
+    assert all(q["hamming"] == 0 for q in rows)
+    assert stats["capped_buckets"] == 4
