@@ -159,6 +159,42 @@ def build_shell_locals(args) -> dict:
     }
 
 
+def _prepare_scrape_dir(output: str | None, rmdir: bool) -> str | None:
+    """Reference output-dir contract (cli.py:395-418): without ``-o``
+    the scrape goes to an auto-numbered ``_scrapes/DATE/NNN`` (the
+    mkdir itself is the collision check, so concurrent scrapes race
+    safely); with ``-o`` an existing non-empty directory is refused
+    unless ``--rmdir`` clears it first. Returns the ready directory,
+    or None after printing the refusal (caller exits 1)."""
+    import datetime
+    import shutil
+    from pathlib import Path
+
+    if not output:
+        dirn = 1
+        today = datetime.date.today().strftime("%Y-%m-%d")
+        while True:
+            path = Path(f"_scrapes/{today}/{dirn:03d}")
+            try:
+                path.mkdir(parents=True)
+                return str(path)
+            except FileExistsError:
+                dirn += 1
+    path = Path(output)
+    try:
+        path.mkdir(parents=True)
+    except FileExistsError:
+        if any(path.iterdir()):
+            if rmdir:
+                print(f"{output} exists and was cleared")
+                shutil.rmtree(output)
+                path.mkdir(parents=True)
+            else:
+                print(f"{output} exists and is not empty")
+                return None
+    return str(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="spatula_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -186,6 +222,9 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--dump", default=None,
                            help="module:fn custom dump function "
                            "(reference cli.py:382)")
+            p.add_argument("--rmdir", action="store_true",
+                           help="clear output directory if it exists "
+                           "(reference cli.py:372-378)")
     shell_p = sub.add_parser("shell")
     shell_p.add_argument("url")
     shell_p.add_argument("-X", "--verb", default="GET",
@@ -223,11 +262,16 @@ def main(argv: list[str] | None = None) -> int:
     seed = {"page_cls": args.page_cls, "url": args.url, "input": inp}
 
     if args.cmd == "scrape":
-        res = eng.crawl([seed])
-        out = args.output or "_scrapes_out"
-        if out.endswith(".parquet"):
+        out = args.output
+        if out and out.endswith(".parquet"):
+            res = eng.crawl([seed])
             res.results.write.mode("overwrite").parquet(out)
         else:
+            # directory readiness BEFORE the scrape, like the reference
+            out = _prepare_scrape_dir(out, args.rmdir)
+            if out is None:
+                return 1
+            res = eng.crawl([seed])
             from .sources.sinks import to_json_files
 
             dump_fn = None

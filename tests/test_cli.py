@@ -169,3 +169,43 @@ def test_cli_shell_locals(spark, tmp_path):
         "http://f.example.com/d/apple", "http://f.example.com/d/kiwi",
     ]
     assert ns["root"].tag == "html"
+
+
+def test_cli_scrape_dir_management(spark, tmp_path, capsys, monkeypatch):
+    """Twin of reference tests/test_cli.py:45-59 + cli.py:395-418: no
+    -o -> auto-numbered _scrapes/DATE/NNN (001 then 002); -o to an
+    existing non-empty dir is refused with exit 1 unless --rmdir
+    clears it."""
+    import datetime
+
+    monkeypatch.chdir(tmp_path)
+    store = _store(spark, tmp_path)
+    base_args = [
+        "scrape", "tests.cli_fixture", "FruitList",
+        "--store", store, "--url", "http://f.example.com/list",
+        "--cores", "8",
+    ]
+    today = datetime.date.today().strftime("%Y-%m-%d")
+
+    assert main(base_args) == 0
+    assert f"success: wrote 2 objects to _scrapes/{today}/001" in (
+        capsys.readouterr().out
+    )
+    assert main(base_args) == 0  # second run auto-increments
+    assert f"success: wrote 2 objects to _scrapes/{today}/002" in (
+        capsys.readouterr().out
+    )
+
+    out = str(tmp_path / "mydir")
+    assert main(base_args + ["-o", out]) == 0
+    assert f"success: wrote 2 objects to {out}" in capsys.readouterr().out
+    # non-empty existing dir: refused, nothing overwritten
+    before = sorted(os.listdir(out))
+    assert main(base_args + ["-o", out]) == 1
+    assert f"{out} exists and is not empty" in capsys.readouterr().out
+    assert sorted(os.listdir(out)) == before
+    # --rmdir: cleared and rewritten
+    assert main(base_args + ["-o", out, "--rmdir"]) == 0
+    got = capsys.readouterr().out
+    assert f"{out} exists and was cleared" in got
+    assert f"success: wrote 2 objects to {out}" in got
