@@ -86,6 +86,7 @@ from .. import schemas
 from . import native as N
 from ..operators import politeness as politeness_ops
 from ..operators import seen as seen_ops
+from ..operators.parsers import UnsupportedDocumentError
 from ..urls import canonicalize_url, host_of, url_hash
 from .pagespec import (
     ChildPage,
@@ -478,6 +479,16 @@ def _make_transform(
         # ---- process (reference process_page / ListPage loop)
         try:
             results = _run_process(spec, ctx)
+        except UnsupportedDocumentError as e:
+            # document shape the parser stack can't decode (LZW PDF,
+            # unknown encoding, non-zip xlsx, malformed XML/JSON):
+            # dead-letter with the reason instead of a silent empty
+            # parse or an opaque task failure — user-code exceptions
+            # still propagate (fail-fast semantics unchanged)
+            rows.append(("error", row.page_cls, parent_path, None, None,
+                         None, None, int(row.priority), int(row.page_seq),
+                         0, f"parse_error: {e}"))
+            return rows
         except SkipItem as e:
             # detail-page skip: nothing emitted, NO pagination
             # (pages.py:218-222)

@@ -126,10 +126,19 @@ class PageCtx:
 
     @property
     def root(self):
-        """Parsed element tree (HtmlPage/XmlPage ``self.root``)."""
+        """Parsed element tree (HtmlPage/XmlPage ``self.root``).
+        Malformed XML re-raises as UnsupportedDocumentError so the
+        engine dead-letters the page with a parse_error reason."""
         if self._root is None and self.payload is not None:
             if self.payload_kind == "xml":
-                self._root = parsers.parse_xml(self.payload)
+                import xml.etree.ElementTree as _ET
+
+                try:
+                    self._root = parsers.parse_xml(self.payload)
+                except _ET.ParseError as e:
+                    raise parsers.UnsupportedDocumentError(
+                        f"xml: {e}"
+                    ) from None
             else:
                 self._root = parsers.parse_html(self.payload, base_url=self.url)
         return self._root
@@ -137,7 +146,14 @@ class PageCtx:
     @property
     def json(self):
         if self._json is None and self.payload is not None:
-            self._json = parsers.parse_json(self.payload)
+            import json as _json
+
+            try:
+                self._json = parsers.parse_json(self.payload)
+            except _json.JSONDecodeError as e:
+                raise parsers.UnsupportedDocumentError(
+                    f"json: {e}"
+                ) from None
         return self._json
 
     @property

@@ -544,3 +544,62 @@ def test_scout_escapes_json(spark, tiny_store):
         "data": None,
         "__next__": 'Leaf source=http://e.example.com/a"b\\c',
     }]
+
+
+def test_parse_error_dead_letter(spark):
+    """Unsupported document shapes dead-letter with a parse_error
+    reason (reference delegates to lxml/pdftotext/openpyxl whose
+    long-tail coverage we don't replicate); well-formed pages in the
+    same crawl are unaffected — zero silent drops."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from spatula_spark import json_page, pdf_page
+    from spatula_spark.urls import canonicalize_url, url_hash
+
+    lzw_pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 8 >>\n"
+        b"stream\n\x80\x0b\x60P\x22\x0c\x0c\x85\nendstream\nendobj\n"
+    )
+    base = "http://dl.example.com"
+    rows = [
+        (f"{base}/lzw", "dl.example.com", "detail", 200, "pdf",
+         lzw_pdf, None, None, None, 0),
+        (f"{base}/badjson", "dl.example.com", "detail", 200, "json",
+         b"{not json", None, None, None, 0),
+        (f"{base}/good", "dl.example.com", "detail", 200, "json",
+         _json.dumps({"ok": 1}).encode(), None, None, None, 0),
+    ]
+    store = spark.createDataFrame(
+        rows,
+        "url string, host string, kind string, status int, "
+        "payload_kind string, payload binary, links array<string>, "
+        "next_url string, image_id string, flaky_rejects int",
+    ).withColumn("canon_url", canonicalize_url(F.col("url"))).withColumn(
+        "url_hash", url_hash(F.col("canon_url"))
+    )
+    reg = PageRegistry()
+    reg.register(pdf_page("LzwDoc", source=f"{base}/lzw",
+                          process_page=lambda ctx: {"text": ctx.text}))
+    reg.register(json_page("BadJson", source=f"{base}/badjson",
+                           process_page=lambda ctx: ctx.json))
+    reg.register(json_page("GoodJson", source=f"{base}/good",
+                           process_page=lambda ctx: ctx.json))
+    eng = CrawlEngine(spark, reg, page_store=store,
+                      config=CrawlConfig(use_bloom=False, fail_fast=False))
+    res = eng.crawl([{"page_cls": c}
+                     for c in ("LzwDoc", "BadJson", "GoodJson")])
+    assert res.items() == [{"ok": 1}]
+    dead = [r["error"] for r in res.dead.select("error").collect()]
+    assert len(dead) == 2
+    assert any(e.startswith("parse_error: pdf: no text extracted")
+               and "LZWDecode" in e for e in dead)
+    assert any(e.startswith("parse_error: json:") for e in dead)
+
+    # fail_fast (the default) surfaces the same reason loudly
+    with pytest.raises(CrawlError, match="parse_error: pdf"):
+        CrawlEngine(
+            spark, reg, page_store=store,
+            config=CrawlConfig(use_bloom=False),
+        ).crawl([{"page_cls": "LzwDoc"}])

@@ -567,3 +567,50 @@ def test_display_reference_parity():
         ".//p"
     )
     assert display(el) == "<p id='late'> @ line 3"
+
+
+def test_unsupported_documents_raise_typed_errors():
+    """Dead-letter contract (VERDICT r3): unsupported document shapes
+    raise UnsupportedDocumentError with a reason instead of returning
+    silent empty parses; genuinely-empty shapes still parse to empty."""
+    from spatula_spark.operators.parsers import (
+        UnsupportedDocumentError,
+        parse_excel,
+        parse_html,
+        parse_pdf,
+    )
+
+    # PDF: text hidden behind an unsupported filter -> typed error
+    lzw_pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /LZWDecode /Length 8 >>\n"
+        b"stream\n\x80\x0b\x60P\x22\x0c\x0c\x85\nendstream\nendobj\n"
+    )
+    with pytest.raises(UnsupportedDocumentError, match="LZWDecode"):
+        parse_pdf(lzw_pdf)
+
+    # PDF: encrypted -> typed error
+    from fixtures_binary import make_pdf
+
+    good = make_pdf(b"BT (hi) Tj ET")
+    with pytest.raises(UnsupportedDocumentError, match="encrypted"):
+        parse_pdf(good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"))
+
+    # PDF: image-only streams are NOT an error (pdftotext yields '')
+    img_pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Filter /DCTDecode "
+        b"/Length 4 >>\nstream\n\xff\xd8\xff\xd9\nendstream\nendobj\n"
+    )
+    assert parse_pdf(img_pdf) == ""
+
+    # xlsx: not a zip -> typed error
+    with pytest.raises(UnsupportedDocumentError, match="not a zip"):
+        parse_excel(b"this is not an xlsx file")
+
+    # HTML: declared charset honored; unknown charset -> typed error
+    root = parse_html(
+        "<html><head><meta charset=iso-8859-1></head>"
+        "<body><p>caf\xe9</p></body></html>".encode("latin-1")
+    )
+    assert "café" in "".join(root.itertext())
+    with pytest.raises(UnsupportedDocumentError, match="no-such-enc"):
+        parse_html(b'<meta charset="no-such-enc"><p>x</p>')
