@@ -125,6 +125,7 @@ HEADLINE = [
     "tfidf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_capped",
     "dedup_simhash",
     "simhash_near_dups",
     "image_near_dup_phash",
@@ -139,6 +140,7 @@ HEADLINE = [
     "decontaminate",
     "quality_sample",
     "pack_sequences",
+    "audio_features",
     "caption_image_alignment",
     "sitemap_frontier",
     "crawl_trap_hosts",

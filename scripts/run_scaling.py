@@ -58,27 +58,64 @@ def run(cores: int, n_urls: int) -> dict:
         capture_output=True, text=True, timeout=5400,
         cwd=REPO, env=env,
     )
+    return _collect(cores, proc.stdout, proc.stderr)
+
+
+def _collect(cores: int, stdout: str, stderr: str) -> dict:
     # full child logs always land on disk — a failed 1-hour leg whose
     # root cause only survives as a 2000-char stderr tail is
     # undiagnosable (scratch/ is gitignored)
     logdir = os.path.join(REPO, "scratch")
     os.makedirs(logdir, exist_ok=True)
-    for stream, text_ in (("out", proc.stdout), ("err", proc.stderr)):
+    for stream, text_ in (("out", stdout), ("err", stderr)):
         with open(os.path.join(
                 logdir, f"scaling_child_{cores}.{stream}"), "w") as f:
             f.write(text_)
-    for line in proc.stdout.splitlines():
+    for line in stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line.split(" ", 1)[1])
     raise RuntimeError(
         f"cores={cores} failed (full logs in scratch/scaling_child_"
-        f"{cores}.*):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"{cores}.*):\n{stdout[-2000:]}\n{stderr[-2000:]}"
     )
 
 
+def run_concurrent(n_urls: int) -> dict:
+    """Both legs SIMULTANEOUSLY on disjoint taskset-pinned CPU sets
+    (4-leg: cpus 0-3, 16-leg: cpus 4-19 of 32). The round-3 lesson:
+    sequential legs are hostage to mid-run host-load window flips (the
+    split-window 0.684 sample) — launch-time probes cannot protect a
+    multi-hour run. Concurrent pinning makes both legs sample the SAME
+    window by construction. The cost, stated honestly: the legs share
+    one memory bus, so the 16-leg sees a bus the 4-leg is also using —
+    on a real cluster 4N executors bring 4N buses, so this protocol is
+    conservative (it can only understate scaling). Heaps are split to
+    fit both JVMs (16g + 40g on 128 GiB)."""
+    procs = {}
+    for cores, cpuset, heap in ((4, "0-3", "16g"), (16, "4-19", "40g")):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = heap
+        procs[cores] = subprocess.Popen(
+            ["taskset", "-c", cpuset, sys.executable, "-c",
+             CHILD.format(repo=REPO), str(cores), str(n_urls)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO, env=env,
+        )
+    results = {}
+    for cores, p in procs.items():
+        out, err = p.communicate(timeout=14400)
+        results[cores] = _collect(cores, out, err)
+    return results
+
+
 def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    results = {c: run(c, n_urls) for c in (4, 16)}
+    args = [a for a in sys.argv[1:] if a != "--concurrent"]
+    concurrent = "--concurrent" in sys.argv[1:]
+    n_urls = int(args[0]) if args else 200_000
+    if concurrent:
+        results = run_concurrent(n_urls)
+    else:
+        results = {c: run(c, n_urls) for c in (4, 16)}
     eff = (results[16]["urls_per_sec"] / results[4]["urls_per_sec"]) / 4.0
     summary = {
         "n_urls": n_urls,
@@ -98,7 +135,9 @@ def main() -> None:
         cur = {}
     samples = cur.get("samples", [])
     samples.append({
-        "label": f"run {len(samples) + 1}",
+        "label": f"run {len(samples) + 1}"
+                 + (" (concurrent-pinned)" if concurrent else ""),
+        "n_urls": n_urls,
         "wall4_sec": results[4]["wall_sec"],
         "wall16_sec": results[16]["wall_sec"],
         "urls_per_sec_4": results[4]["urls_per_sec"],

@@ -167,6 +167,12 @@ class CrawlConfig:
     salt_buckets: int = 8
     fail_fast: bool = True
     checkpoint_dir: str | None = None
+    # real-Iceberg snapshot backend: "catalog.namespace.name" table
+    # prefix; takes precedence over checkpoint_dir's parquet-manifest
+    # analogue when a catalog is configured (plans/iceberg.py). The
+    # compaction/expiry/rollback knobs below apply to the analogue;
+    # on Iceberg they map to stock catalog procedures.
+    iceberg_table_prefix: str | None = None
     # Iceberg-style snapshot compaction: every K committed seen DELTAS,
     # the checkpoint rewrites the accumulated seen set as one
     # ``seen_base`` under the current wave (manifest-flagged), so
@@ -783,8 +789,28 @@ class CrawlEngine:
 
         wave = 0
         start_wave = 0
-        if cfg.checkpoint_dir:
-            resumed = self._try_resume(cfg.checkpoint_dir)
+        # real-Iceberg snapshot backend (explicit opt-in; requires a
+        # configured catalog + runtime jar — see plans/iceberg.py).
+        # Same commit/resume contract as the parquet-manifest analogue.
+        self._ice = None
+        if cfg.iceberg_table_prefix:
+            from .iceberg import IcebergSnapshots, iceberg_available
+
+            if not iceberg_available(self.spark):
+                raise CrawlError(
+                    "iceberg_table_prefix is set but no Iceberg catalog "
+                    "is configured/loadable on this session (need "
+                    "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                    "SparkCatalog and the iceberg-spark-runtime jar); "
+                    "use checkpoint_dir for the parquet-manifest analogue"
+                )
+            self._ice = IcebergSnapshots(self.spark, cfg.iceberg_table_prefix)
+        if cfg.checkpoint_dir or self._ice is not None:
+            resumed = (
+                self._ice.try_resume(cfg.resume_upto_wave)
+                if self._ice is not None
+                else self._try_resume(cfg.checkpoint_dir)
+            )
             if resumed is not None:
                 frontier, rseen, results, metrics_rows, start_wave = resumed
                 wave = start_wave
@@ -1349,7 +1375,16 @@ class CrawlEngine:
                 }
             )
 
-            if cfg.checkpoint_dir:
+            if self._ice is not None:
+                self._ice.commit_wave(
+                    wave, frontier, new_seen if n_new else None,
+                    wave_items, metrics_rows,
+                )
+                frontier = (
+                    spark.table(self._ice._t("frontier"))
+                    .filter(F.col("wave") == wave).drop("wave")
+                )
+            elif cfg.checkpoint_dir:
                 self._checkpoint(
                     cfg.checkpoint_dir, wave, frontier,
                     new_seen if n_new else None,

@@ -551,3 +551,56 @@ def test_driver_wave_fast_path_parity_doc_tree(spark):
     # wave really is the BFS depth
     import math
     assert all(w == int(math.log2(d + 1)) for d, _, _, w in got)
+
+
+def test_iceberg_backend_requires_catalog(spark, web, store):
+    """Explicit iceberg_table_prefix without a configured catalog (this
+    container ships no Iceberg runtime jar) fails loudly with guidance
+    instead of silently degrading to the parquet analogue."""
+    from spatula_spark.plans.engine import CrawlError
+    from spatula_spark.plans.iceberg import iceberg_available
+
+    assert not iceberg_available(spark)
+    eng = CrawlEngine(
+        spark, media_registry(), page_store=store,
+        config=CrawlConfig(iceberg_table_prefix="ice.crawl.t"),
+    )
+    with pytest.raises(CrawlError, match="no Iceberg catalog"):
+        eng.crawl(web.seeds())
+
+
+def _iceberg_ready():
+    from spatula_spark.plans.iceberg import iceberg_available
+    from spatula_spark.session import get_spark
+
+    try:
+        return iceberg_available(get_spark(cores=8, shuffle_partitions=8))
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _iceberg_ready(),
+    reason="no Iceberg catalog configured / runtime jar absent in this "
+    "container (configure spark.sql.catalog.ice + iceberg-spark-runtime "
+    "to exercise the catalog-native snapshot path)",
+)
+def test_iceberg_checkpoint_resume(spark, web, store):
+    """Kill-and-resume contract on the REAL Iceberg backend — the twin
+    of test_checkpoint_resume_identical, same assertions, catalog
+    tables instead of the parquet-manifest analogue."""
+    from spatula_spark.plans.iceberg import iceberg_catalogs
+
+    prefix = f"{iceberg_catalogs(spark)[0]}.spatula_test.crawl"
+    full = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig()).crawl(web.seeds())
+    CrawlEngine(spark, media_registry(), page_store=store,
+                config=CrawlConfig(iceberg_table_prefix=prefix, max_waves=2)
+                ).crawl(web.seeds())
+    res = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(iceberg_table_prefix=prefix)
+                      ).crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    want = {r["url"] for r in crawl_items_df(full.results).collect()}
+    assert got == want
+    assert res.seen.count() == full.seen.count()
