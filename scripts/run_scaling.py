@@ -91,20 +91,39 @@ def run_concurrent(n_urls: int) -> dict:
     on a real cluster 4N executors bring 4N buses, so this protocol is
     conservative (it can only understate scaling). Heaps are split to
     fit both JVMs (16g + 40g on 128 GiB)."""
+    logdir = os.path.join(REPO, "scratch")
+    os.makedirs(logdir, exist_ok=True)
     procs = {}
-    for cores, cpuset, heap in ((4, "0-3", "16g"), (16, "4-19", "40g")):
+    for cores, cpuset, heap in ((4, "0-3", "12g"), (16, "4-19", "32g")):
         env = dict(os.environ)
         env["SPARK_GRAFT_DRIVER_MEM"] = heap
-        procs[cores] = subprocess.Popen(
+        # child streams go STRAIGHT to files: a leg killed mid-run
+        # (OOM, host policy) must leave its death note on disk, not in
+        # an unreaped pipe buffer (lesson: r4's first concurrent run
+        # lost its 16-leg ~10 min in with only 'Terminated' in a pipe)
+        fo = open(os.path.join(logdir, f"scaling_child_{cores}.out"), "w")
+        fe = open(os.path.join(logdir, f"scaling_child_{cores}.err"), "w")
+        procs[cores] = (subprocess.Popen(
             ["taskset", "-c", cpuset, sys.executable, "-c",
              CHILD.format(repo=REPO), str(cores), str(n_urls)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True, cwd=REPO, env=env,
-        )
+            stdout=fo, stderr=fe, text=True, cwd=REPO, env=env,
+        ), fo, fe)
     results = {}
-    for cores, p in procs.items():
-        out, err = p.communicate(timeout=14400)
-        results[cores] = _collect(cores, out, err)
+    for cores, (p, fo, fe) in procs.items():
+        rc = p.wait(timeout=14400)
+        fo.close(), fe.close()
+        with open(fo.name) as f:
+            out = f.read()
+        if rc != 0:
+            raise RuntimeError(
+                f"cores={cores} exited rc={rc}; logs in {fo.name}/.err"
+            )
+        for line in out.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                results[cores] = json.loads(line.split(" ", 1)[1])
+                break
+        else:
+            raise RuntimeError(f"cores={cores}: no SCALING_RESULT in {fo.name}")
     return results
 
 
