@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
+    "winnow_near_dups",
     "dedup_simhash",
     "simhash_near_dups",
     "image_near_dup_phash",

@@ -599,6 +599,59 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_dedup_pairs(corpus)
 
 
+@register(
+    "winnow_near_dups",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) >= 3 THEN
+          list_transform(range(1, len(words)-1),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        ELSE [array_to_string(words, ' ')] END AS grams FROM w),
+h AS (SELECT doc_id, list_transform(grams, s -> {duck_hash('s')}) AS hs
+      FROM g),
+s AS (SELECT doc_id,
+        CASE WHEN len(hs) > 4 THEN
+          list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3]))
+        ELSE [list_min(hs)] END AS sel FROM h),
+f AS (SELECT DISTINCT doc_id, fp
+      FROM (SELECT doc_id, unnest(sel) AS fp FROM s))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+""",
+)
+def winnow_near_dups_q(spark, sf_dir):
+    """Substring-level near-dup detection via WINNOWING rolling-hash
+    fingerprints (text.winnow_fingerprints — the MOSS selection, k=3
+    words, w=4 windows): documents sharing >= 3 selected fingerprints,
+    with the shared count. Complements MinHash (whole-document Jaccard)
+    with the guarantee that any shared run of >= 6 words surfaces, at
+    ~2/(w+1) of the join rows hashing every shingle would cost. The
+    perturbed corpus plants (doc, doc+10^6) positives that share almost
+    every window; DuckDB replays gram hashing, window minima,
+    distinct-set semantics, the self-join and the threshold exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread: the gram-hash/window-min HOF chain is interpreted (no
+    # codegen for HOFs) — on a single-file input it would run on 1-2
+    # cores (the decontaminate lesson, 9s -> 1.1s)
+    corpus = dd._spread(dd.perturbed_corpus(docs))
+    f = corpus.select(
+        "doc_id",
+        F.explode(tx.winnow_fingerprints_fast(F.col("text"))).alias("fp"),
+    )
+    a = f.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 _BOILER = ("same boilerplate navigation text repeated on every page "
            "footer copyright terms privacy contact")
 

@@ -1072,3 +1072,83 @@ def test_simhash_bucket_cap(spark):
     }
     assert all(q["hamming"] == 0 for q in rows)
     assert stats["capped_buckets"] == 4
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants (Schleimer et al.): (a) selected
+    fingerprints are a subset of the doc's gram hashes at roughly
+    2/(w+1) density; (b) two docs sharing a >= w+k-1 = 6-word run
+    share at least one fingerprint; (c) short docs yield exactly one;
+    (d) disjoint-vocabulary docs share none."""
+    from spatula_spark.urls import portable_hash64
+
+    run = "alpha beta gamma delta epsilon zeta"  # the shared 6-word run
+    rows = [
+        (1, "one two three " + run + " four five six seven eight nine"),
+        (2, run + " ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (3, "totally different words everywhere here now again more"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", tx.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 6-word run must share a fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    assert len(out[4]) == 1
+
+    # subset-of-gram-hashes + density on a longer doc
+    words = " ".join(f"w{(i * 7) % 101}" for i in range(200))
+    long_doc = spark.createDataFrame([(9, words)], "doc_id int, text string")
+    grams = long_doc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(198)),
+                lambda i: portable_hash64(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(
+                                F.split(F.col("text"), " "), i + j
+                            )
+                            for j in range(3)
+                        ],
+                    )
+                ),
+            )
+        ).alias("h")
+    )
+    all_hashes = {r["h"] for r in grams.collect()}
+    fps = set(
+        long_doc.select(
+            F.explode(tx.winnow_fingerprints(F.col("text"))).alias("f")
+        ).toPandas()["f"]
+    )
+    assert fps <= all_hashes
+    # expected density 2/(w+1) = 0.4; allow a wide band
+    assert 0.15 <= len(fps) / 198 <= 0.6
+
+
+def test_winnow_fast_path_bit_identical(spark, docs):
+    """The Arrow winnowing fast path must equal the pure-Catalyst
+    reference form on the real corpus plus whitespace/short/null
+    edges (the form the DuckDB oracle mirrors)."""
+    edge = spark.createDataFrame(
+        [(9001, "  one\ttwo\nthree  four one two three "),
+         (9002, "short doc"), (9003, ""), (9004, None)],
+        "doc_id long, text string",
+    )
+    corpus = docs.limit(120).select("doc_id", "text").unionByName(edge)
+    fast = corpus.select(
+        "doc_id", tx.winnow_fingerprints_fast(F.col("text")).alias("f")
+    )
+    ref = corpus.select(
+        "doc_id", tx.winnow_fingerprints(F.col("text")).alias("f")
+    )
+    got = {r["doc_id"]: r["f"] for r in fast.collect()}
+    want = {r["doc_id"]: r["f"] for r in ref.collect()}
+    assert got == want
+    assert got[9004] == [None]

@@ -614,3 +614,23 @@ def test_unsupported_documents_raise_typed_errors():
     assert "café" in "".join(root.itertext())
     with pytest.raises(UnsupportedDocumentError, match="no-such-enc"):
         parse_html(b'<meta charset="no-such-enc"><p>x</p>')
+
+
+def test_pagectx_xml_json_parse_errors_are_typed():
+    """The PageCtx lazy-parse properties re-raise stdlib parse failures
+    as UnsupportedDocumentError so the engine dead-letters them."""
+    from spatula_spark.operators.parsers import UnsupportedDocumentError
+    from spatula_spark.plans.pagespec import PageCtx
+
+    def ctx(kind, payload):
+        return PageCtx(
+            input=None, url="http://x.example/a", status=200,
+            payload=payload, links=None, next_url=None, attempts=0,
+            page_seq=0, payload_kind=kind, image_id=None,
+        )
+
+    with pytest.raises(UnsupportedDocumentError, match="xml:"):
+        ctx("xml", b"<a><b></a>").root
+    with pytest.raises(UnsupportedDocumentError, match="json:"):
+        ctx("json", b"{not json").json
+    assert ctx("json", b'{"k": 1}').json == {"k": 1}
