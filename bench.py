@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
+    "dedup_incremental",
     "winnow_near_dups",
     "dedup_simhash",
     "simhash_near_dups",
@@ -138,6 +139,7 @@ HEADLINE = [
     "lang_rebalance",
     "redact_pii",
     "doc_repetition_filters",
+    "quality_cut",
     "decontaminate",
     "quality_sample",
     "pack_sequences",

@@ -600,6 +600,80 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental",
+    f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+wb AS (SELECT doc_id, {DUCK_WORDS} AS words FROM base),
+delta AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)-1, 1)], ' ') AS text
+  FROM wb WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM base WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)//2, 1)], ' ') AS text
+  FROM wb WHERE doc_id % 3 = 2
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+{DUCK_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_duck_minhash_cols(8)} FROM sh),
+bands AS ({_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT d.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands d JOIN bands b
+    ON d.band = b.band AND d.bsig = b.bsig
+   AND d.doc_id >= 10000000 AND b.doc_id < 10000000),
+v AS (
+  SELECT doc_a, doc_b,
+    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+SELECT doc_a AS delta_id, doc_b AS base_id, jaccard
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+        ORDER BY jaccard DESC, doc_b ASC) AS rn
+      FROM v WHERE jaccard >= 0.8)
+WHERE rn = 1
+""",
+)
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental delta-vs-corpus near-dup detection
+    (dedup.incremental_near_dups): the shape a CONTINUOUS pipeline
+    runs — the new batch's LSH bands probe the persisted corpus band
+    table, so per-ingest cost scales with |delta|, never |corpus|, and
+    no delta×delta / base×base pairs are ever minted. The synthetic
+    delta carries all three real ingest classes: near-copies (last
+    word dropped), exact re-crawls, and novel docs (first half only —
+    bands may collide, the Jaccard verify must reject them)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = dd.normalized_words(F.col("text"))
+    near = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    novel = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                w,
+                1,
+                F.greatest(
+                    F.floor(F.size(w) / 2).cast("int"), F.lit(1)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    delta = near.unionByName(exact).unionByName(novel)
+    return dd.incremental_near_dups(docs, delta)
+
+
+@register(
     "winnow_near_dups",
     f"""
 WITH {DUCK_PERTURBED_CORPUS},
@@ -2057,6 +2131,44 @@ WITH w AS (SELECT doc_id, {DUCK_WORDS} AS words FROM documents)
 SELECT doc_id,{_duck_rep_metrics()}
 FROM w
 """
+
+
+@register(
+    "quality_cut",
+    f"""
+WITH w AS (SELECT doc_id, lang, {DUCK_WORDS} AS words FROM documents),
+m AS (SELECT doc_id, lang,
+        round((len(words) - len(list_distinct(words)))::DOUBLE
+              / greatest(len(words), 1), 6) AS dup_word_frac FROM w),
+r AS (SELECT doc_id, lang, dup_word_frac,
+        round(percent_rank() OVER (PARTITION BY lang
+          ORDER BY dup_word_frac ASC, doc_id ASC), 6) AS pr FROM m)
+SELECT doc_id, lang, dup_word_frac, pr FROM r WHERE pr <= 0.25
+""",
+)
+def quality_cut_q(spark, sf_dir):
+    """Per-language quality cut (curriculum selection): keep the
+    cleanest quartile WITHIN each language rather than above a global
+    threshold — a global cut empties low-resource languages from the
+    mixture. Exact percent_rank window per lang (pure integer rank
+    arithmetic → bit-exact oracle). Scale note: a per-lang window
+    sorts each whole language in one partition; at 100 TB swap it for
+    a two-pass cut with identical keep semantics (per-lang
+    approxQuantile threshold → broadcast → map-side filter)."""
+    from .functions import quality as ql
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = ql._dup_frac(dd.normalized_words(F.col("text")))
+    m = docs.select("doc_id", "lang", dw.alias("dup_word_frac"))
+    win = Window.partitionBy("lang").orderBy(
+        F.col("dup_word_frac").asc(), F.col("doc_id").asc()
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "dup_word_frac",
+        F.round(F.percent_rank().over(win), 6).alias("pr"),
+    ).filter(F.col("pr") <= 0.25)
 
 
 @register("decontaminate", None)

@@ -274,6 +274,37 @@ def _capped_bucket_pairs(
     return pairs.union(stars).distinct()
 
 
+def _band_table(
+    sig: DataFrame, num_perms: int, band_rows: int
+) -> DataFrame:
+    """Explode a minhash-signature frame into its banded form
+    ``(doc_id, band, bsig)`` — the probe/build key table of every LSH
+    join (self-join dedup, delta-vs-corpus incremental dedup). bsig is
+    md5 over the band's ``band_rows`` signature columns, so bucket
+    keys are fixed-width strings regardless of ``band_rows``."""
+    n_bands = num_perms // band_rows
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * band_rows + r}")
+                                for r in range(band_rows)
+                            ],
+                        )
+                    ).alias("bsig"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -295,27 +326,7 @@ def lsh_candidate_pairs(
     # pipeline twice (measured 4.9s -> 1.9s on the sf0.1 candidate
     # stage). Checkpoint blocks free on driver GC (no unpersist leak).
     sig = minhash_signatures(df, text_col, num_perms, n).localCheckpoint()
-    n_bands = num_perms // band_rows
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{b * band_rows + r}")
-                                for r in range(band_rows)
-                            ],
-                        )
-                    ).alias("bsig"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.bsig")
+    bands = _band_table(sig, num_perms, band_rows)
     if max_bucket is not None:
         return _capped_bucket_pairs(
             bands, ["band", "bsig"], "doc_id", max_bucket, stats=stats
@@ -440,6 +451,74 @@ def minhash_dedup_pairs(
         df, text_col, num_perms, band_rows, n, max_bucket, stats
     )
     return jaccard_pairs(df, cands, text_col, n, threshold)
+
+
+def incremental_near_dups(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup detection: the NEW
+    batch's band table probes the EXISTING corpus's band table, so
+    candidates are (delta, base) cross pairs ONLY — never delta×delta
+    or base×base. This is the shape a continuous crawl pipeline
+    actually runs: per-ingest cost scales with the new batch, not the
+    accumulated corpus, and the base band table is the artifact the
+    pipeline persists between runs (bucketed/bucket-sorted by
+    ``(band, bsig)`` so each probe is a co-located join; accepted
+    delta bands are appended after the run).
+
+    Returns one row per delta doc with a verified near-dup in the
+    base: ``(delta_id, base_id, jaccard)`` where ``base_id`` is the
+    best match (highest exact n-gram Jaccard ≥ ``threshold``, ties to
+    the smallest base doc_id). The verify stage touches only the
+    candidate sliver, exactly like :func:`minhash_dedup_pairs`.
+    """
+    # both sides are read twice (signature build + text re-join in the
+    # verify stage) — same lifecycle as minhash_dedup_pairs
+    base = base.persist()
+    delta = delta.persist()
+    bands_b = _band_table(
+        minhash_signatures(base, text_col, num_perms, n),
+        num_perms, band_rows,
+    )
+    bands_d = _band_table(
+        minhash_signatures(delta, text_col, num_perms, n),
+        num_perms, band_rows,
+    )
+    cands = (
+        bands_d.alias("d")
+        .join(
+            bands_b.alias("b"),
+            (F.col("d.band") == F.col("b.band"))
+            & (F.col("d.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    both = base.select("doc_id", text_col).unionByName(
+        delta.select("doc_id", text_col)
+    )
+    verified = jaccard_pairs(both, cands, text_col, n, threshold)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard").desc(), F.col("doc_b").asc()
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc_a").alias("delta_id"),
+            F.col("doc_b").alias("base_id"),
+            "jaccard",
+        )
+    )
 
 
 def perturbed_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:

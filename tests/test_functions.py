@@ -66,6 +66,58 @@ def test_minhash_lsh_recall_on_near_copies(docs):
     assert recall >= 0.95, (recall, len(expected))
 
 
+def test_incremental_near_dups_delta_vs_base_only(docs, spark):
+    """incremental_near_dups: exact re-crawls resolve to their base
+    doc at jaccard 1.0, near-copies to their base original, and pairs
+    WITHIN the delta are never minted (the delta×delta twin pair must
+    be absent — that's the contract that makes per-ingest cost scale
+    with |delta|, not |corpus|)."""
+    base = docs.limit(60).select("doc_id", "text")
+    w = dd.normalized_words(F.col("text"))
+    near = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    exact = base.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    twin_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    twins = spark.createDataFrame(
+        [
+            (40_000_000, twin_text),
+            (40_000_001, twin_text.rsplit(" ", 1)[0]),
+        ],
+        "doc_id long, text string",
+    )
+    delta = near.unionByName(exact).unionByName(twins)
+    out = {
+        r["delta_id"]: (r["base_id"], r["jaccard"])
+        for r in dd.incremental_near_dups(base, delta).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    exact_ids = [r["doc_id"] for r in exact.collect()]
+    assert exact_ids, "fixture must contain exact re-crawls"
+    for did in exact_ids:
+        bid, jac = out[did]
+        # an exact re-crawl resolves at jaccard 1.0; the winning base
+        # doc must carry the same shingle set (the synthetic corpus
+        # contains its own near-dup twins, so the argmax may land on a
+        # twin of the original rather than the original itself)
+        assert jac == 1.0
+        assert dd._shingle_set(texts[bid], 3) == dd._shingle_set(
+            texts[did - 20_000_000], 3
+        )
+    near_ids = {r["doc_id"] for r in near.collect()}
+    for did, (bid, jac) in out.items():
+        if 10_000_000 <= did < 20_000_000:
+            assert did in near_ids and jac >= 0.8
+    # the delta-only twin pair must NOT appear: neither twin has a
+    # base near-dup, and delta×delta pairs are out of contract
+    assert 40_000_000 not in out and 40_000_001 not in out
+
+
 def test_minhash_fast_path_bit_identical(docs, spark):
     """The Arrow signature/jaccard fast paths must equal the
     pure-Catalyst reference forms (which the DuckDB oracles mirror)
