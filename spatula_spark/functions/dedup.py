@@ -461,6 +461,8 @@ def incremental_near_dups(
     band_rows: int = 2,
     n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental (delta-vs-corpus) near-dup detection: the NEW
     batch's band table probes the EXISTING corpus's band table, so
@@ -477,6 +479,18 @@ def incremental_near_dups(
     best match (highest exact n-gram Jaccard ≥ ``threshold``, ties to
     the smallest base doc_id). The verify stage touches only the
     candidate sliver, exactly like :func:`minhash_dedup_pairs`.
+
+    ``max_bucket`` caps mega base buckets (a boilerplate clique of m
+    near-identical corpus docs would otherwise mint m candidates per
+    probing delta doc): base buckets larger than the cap are collapsed
+    to their bucket-min doc as the sole representative, turning the
+    per-probe worst case from O(m) to O(1). For the dup/not-dup
+    decision this is lossless in the clique limit (any member of a
+    near-identical bucket verifies like any other); the reported
+    ``base_id`` may shift from the global best to the representative,
+    which is why the gate-scale battery query runs uncapped.
+    ``stats`` (opt-in) is filled with the same cap telemetry as
+    :func:`_capped_bucket_pairs`.
     """
     # both sides are read twice (signature build + text re-join in the
     # verify stage) — same lifecycle as minhash_dedup_pairs
@@ -490,6 +504,18 @@ def incremental_near_dups(
         minhash_signatures(delta, text_col, num_perms, n),
         num_perms, band_rows,
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bsig")
+        b2 = bands_b.select(
+            "doc_id", "band", "bsig",
+            F.count(F.lit(1)).over(w).alias("_bn"),
+            F.min("doc_id").over(w).alias("_rep"),
+        )
+        if stats is not None:
+            _bucket_cap_stats(bands_b, ["band", "bsig"], max_bucket, stats)
+        bands_b = b2.filter(
+            (F.col("_bn") <= max_bucket) | (F.col("doc_id") == F.col("_rep"))
+        ).select("doc_id", "band", "bsig")
     cands = (
         bands_d.alias("d")
         .join(

@@ -118,6 +118,35 @@ def test_incremental_near_dups_delta_vs_base_only(docs, spark):
     assert 40_000_000 not in out and 40_000_001 not in out
 
 
+def test_incremental_near_dups_base_bucket_cap(spark):
+    """A boilerplate clique in the BASE corpus must not mint O(clique)
+    candidates per probing delta doc: with max_bucket set, the capped
+    bucket collapses to its min-id representative, every delta copy
+    still resolves as a dup (jaccard 1.0 to the representative), and
+    the stats record the capped bucket."""
+    boiler = "terms of service apply to all pages of this site forever"
+    base = spark.createDataFrame(
+        [(i, boiler) for i in range(50)]
+        + [(100 + i, f"unique document number {i} with its own words "
+                     f"alpha{i} beta{i} gamma{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10_000_000 + i, boiler) for i in range(4)],
+        "doc_id long, text string",
+    )
+    stats: dict = {}
+    out = dd.incremental_near_dups(
+        base, delta, max_bucket=16, stats=stats
+    ).collect()
+    assert stats["capped_buckets"] >= 1
+    assert stats["max_bucket_size"] == 50
+    assert len(out) == 4
+    for r in out:
+        # every clique bucket collapses to its min doc_id (0)
+        assert r["base_id"] == 0 and r["jaccard"] == 1.0
+
+
 def test_minhash_fast_path_bit_identical(docs, spark):
     """The Arrow signature/jaccard fast paths must equal the
     pure-Catalyst reference forms (which the DuckDB oracles mirror)
