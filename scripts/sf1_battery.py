@@ -113,6 +113,31 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
                                             threshold=0.8).count()
     out["minhash_verify_s"] = round(time.time() - t, 2)
 
+    # incremental delta-vs-corpus probe: base = the original docs,
+    # delta = the perturbed near-copies (doc_id >= 1M). The claim:
+    # probe candidates scale with |delta| (~n_docs), never |corpus|^2
+    # — the band buckets stay Heaps-bounded like the self-join's.
+    t = time.time()
+    base_docs = docs.select("doc_id", "text")
+    delta_docs = corpus.filter(F.col("doc_id") >= 1_000_000)
+    bb = dd._band_table(dd.minhash_signatures(base_docs), 8, 2)
+    bd = dd._band_table(dd.minhash_signatures(delta_docs), 8, 2)
+    icands = (
+        bd.alias("d").join(
+            bb.alias("b"),
+            (F.col("d.band") == F.col("b.band"))
+            & (F.col("d.bsig") == F.col("b.bsig")),
+        ).select(
+            F.col("d.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        ).distinct()
+    )
+    out["inc_cands"] = icands.count()
+    out["inc_cand_s"] = round(time.time() - t, 2)
+    t = time.time()
+    out["inc_dups"] = dd.incremental_near_dups(base_docs, delta_docs).count()
+    out["inc_s"] = round(time.time() - t, 2)
+
     t = time.time()
     sh = corpus.select("doc_id", dd.simhash(F.col("text")).alias("sh"))
     # quarter-key bucket load: max rows sharing any (quarter, key16)
@@ -421,6 +446,9 @@ def main():
     frac10 = r10["simhash_max_bucket"] / (2 * r10["n_docs"])
     checks = {
         "minhash_cands_growth": (ratio("minhash_cands"), 20.0),
+        # incremental probe: delta-vs-base candidates linear in |delta|
+        "inc_cands_growth": (ratio("inc_cands"), 20.0),
+        "inc_dups_growth": (ratio("inc_dups"), 20.0),
         "emb_cands_growth": (ratio("emb_cands"), 20.0),
         "simhash_bucket_frac_ratio": (round(frac10 / max(frac1, 1e-9), 2),
                                       1.5),
