@@ -140,6 +140,7 @@ HEADLINE = [
     "redact_pii",
     "doc_repetition_filters",
     "quality_cut",
+    "hll_url_distinct",
     "decontaminate",
     "quality_sample",
     "pack_sequences",

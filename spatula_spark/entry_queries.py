@@ -2171,6 +2171,55 @@ def quality_cut_q(spark, sf_dir):
     ).filter(F.col("pr") <= 0.25)
 
 
+def _hll_oracle() -> str:
+    from .functions import sketches as sk
+
+    return f"""
+WITH e AS (SELECT concat('https://host', user_id % 50, '/page/',
+                         event_id % 700) AS url FROM events),
+{sk.hll_distinct_duckdb('e', 'url', p=6)},
+x AS (SELECT count(DISTINCT url) AS exact_distinct FROM e)
+SELECT p, m, n_buckets_seen, exact_distinct, hll_estimate,
+  round(hll_estimate / exact_distinct - 1, 6) AS rel_err
+FROM hll_s, x
+"""
+
+
+@register("hll_url_distinct", _hll_oracle)
+def hll_url_distinct_q(spark, sf_dir):
+    """HyperLogLog distinct-URL estimation (functions/sketches.py):
+    exact COUNT(DISTINCT) over a 100 TB crawl log is a full shuffle of
+    every distinct key; the sketch is ONE map-side-combinable
+    aggregate into 2^p registers (network cost: executors x m longs,
+    corpus-size-independent). Integer-only register arithmetic + a
+    scaled-integer harmonic sum make the estimate bit-exact across
+    engines, so the oracle value-hashes it alongside the exact count
+    and the relative error."""
+    from .functions import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("/page/"),
+            (F.col("event_id") % 700).cast("string"),
+        ).alias("url")
+    )
+    est = sk.hll_distinct(urls, "url", p=6)
+    exact = urls.agg(F.countDistinct("url").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "p",
+        "m",
+        "n_buckets_seen",
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            F.col("hll_estimate") / F.col("exact_distinct") - 1, 6
+        ).alias("rel_err"),
+    )
+
+
 @register("decontaminate", None)
 def decontaminate_q(spark, sf_dir):
     """Benchmark n-gram decontamination (functions/quality.py

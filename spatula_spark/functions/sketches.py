@@ -1,0 +1,114 @@
+"""Cardinality sketches: from-scratch HyperLogLog distinct counting.
+
+The 100 TB motivation: exact ``COUNT(DISTINCT url)`` over a crawl log
+is a full shuffle of every distinct key; the HLL sketch reduces the
+same question to ONE map-side aggregate into ``m = 2^p`` buckets (the
+per-partition partial is m longs, mergeable by max), so the network
+cost is executors × m longs regardless of corpus size — the standard
+production shape for frontier/dedup telemetry (Flajolet et al. 2007;
+the reference spatula has no analog — it never aggregates).
+
+Everything here is cross-engine bit-exact by construction, which is
+what lets the driver's DuckDB oracle value-hash the result:
+
+* the hash is the repo's portable 60-bit md5 hash;
+* rho (the HLL register) is INTEGER-ONLY: instead of a float log2 of
+  the remaining bits — whose floor can be off-by-one at 2^k
+  boundaries when the libm result rounds up — we isolate the lowest
+  set bit with ``x & -x`` and count the ones below it with
+  ``bit_count(low - 1)`` (trailing zeros, exact in both engines);
+* the estimator stays in the RAW harmonic regime: the indicator sum
+  ``sum(2^-reg)`` is carried as a SCALED 64-bit INTEGER
+  ``sum(2^(cap-reg))`` (exact — no float summation-order hazard), and
+  the only floating operation is the final single division by that
+  integer. The small-range linear-counting correction
+  (``m * ln(m/V)``) is deliberately omitted: ``ln`` is not
+  correctly-rounded-portable across engines, so callers should size
+  ``p`` such that the expected cardinality is >> 2.5*m (the raw
+  regime), which is also the only regime that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..urls import portable_hash64, portable_hash64_duckdb
+
+RHO_CAP = 40  # registers capped so sum(2^(cap-reg)) fits int64 exactly
+
+# alpha_m for the raw harmonic estimator (Flajolet et al. 2007 Fig. 3)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_numerator(p: int) -> float:
+    """alpha_m * m^2 * 2^RHO_CAP as one double literal — computed the
+    same way the oracle SQL embeds it, so both engines divide the same
+    numerator by the same integer."""
+    m = 1 << p
+    return _alpha(m) * m * m * float(1 << RHO_CAP)
+
+
+def hll_rho(h: Column, p: int) -> Column:
+    """HLL register value for a 60-bit hash column: 1 + trailing zeros
+    of the remaining bits (integer-exact; see module docstring)."""
+    rest = F.shiftright(h, p).bitwiseOR(F.lit(1 << (60 - p)))
+    low = rest.bitwiseAND(-rest)
+    return (F.bit_count(low - F.lit(1)) + F.lit(1)).cast("int")
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """One-row DataFrame ``(p, m, n_buckets_seen, hll_estimate)`` for
+    the distinct count of ``col``. Two narrow aggregates: per-bucket
+    max register (map-side combinable), then the scaled-integer
+    harmonic sum; no distinct shuffle anywhere."""
+    m = 1 << p
+    h = portable_hash64(F.col(col))
+    regs = (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            hll_rho(h, p).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.least(F.max("rho"), F.lit(RHO_CAP)).alias("r"))
+    )
+    return regs.agg(
+        F.lit(p).alias("p"),
+        F.lit(m).alias("m"),
+        F.count(F.lit(1)).alias("n_buckets_seen"),
+        F.round(
+            F.lit(hll_numerator(p))
+            / (
+                F.sum(F.expr(f"shiftleft(1L, {RHO_CAP} - r)"))
+                + (F.lit(m) - F.count(F.lit(1)))
+                * F.lit(1 << RHO_CAP)
+            ),
+            4,
+        ).alias("hll_estimate"),
+    )
+
+
+def hll_distinct_duckdb(from_expr: str, url_expr: str, p: int = 6) -> str:
+    """DuckDB mirror of :func:`hll_distinct` (same integer arithmetic,
+    same double numerator literal, same single division)."""
+    m = 1 << p
+    h = portable_hash64_duckdb(url_expr)
+    rest = f"(({h} >> {p}) | (1::BIGINT << {60 - p}))"
+    rho = f"(1 + bit_count(({rest} & -{rest}) - 1))"
+    return f"""
+hll_b AS (SELECT ({h} & {m - 1}) AS bucket, {rho} AS rho
+          FROM {from_expr}),
+hll_a AS (SELECT bucket, least(max(rho), {RHO_CAP}) AS r
+          FROM hll_b GROUP BY bucket),
+hll_s AS (SELECT {p} AS p, {m} AS m,
+            count(*) AS n_buckets_seen,
+            round({hll_numerator(p)!r} /
+              (sum((1::BIGINT << ({RHO_CAP} - r)))::BIGINT
+               + ({m} - count(*)) * (1::BIGINT << {RHO_CAP})),
+              4) AS hll_estimate
+          FROM hll_a)
+"""

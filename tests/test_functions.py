@@ -118,6 +118,22 @@ def test_incremental_near_dups_delta_vs_base_only(docs, spark):
     assert 40_000_000 not in out and 40_000_001 not in out
 
 
+def test_hll_distinct_accuracy(spark):
+    """HLL raw-regime estimate lands within ~3 stderr (1.04/sqrt(64)
+    ~= 13%) of the exact distinct count, buckets never exceed m, and
+    the register arithmetic is pure integer (no libm in the plan)."""
+    from spatula_spark.functions import sketches as sk
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), (F.col("id") % 1777).cast("string")).alias("u")
+    )
+    row = sk.hll_distinct(df, "u", p=6).collect()[0]
+    assert row["m"] == 64 and row["n_buckets_seen"] <= 64
+    exact = 1777
+    assert abs(row["hll_estimate"] / exact - 1) < 0.39
+
+
 def test_incremental_near_dups_base_bucket_cap(spark):
     """A boilerplate clique in the BASE corpus must not mint O(clique)
     candidates per probing delta doc: with max_bucket set, the capped
