@@ -141,6 +141,7 @@ HEADLINE = [
     "doc_repetition_filters",
     "quality_cut",
     "hll_url_distinct",
+    "cms_word_freq",
     "decontaminate",
     "quality_sample",
     "pack_sequences",

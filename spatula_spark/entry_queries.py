@@ -2185,6 +2185,67 @@ FROM hll_s, x
 """
 
 
+def _cms_oracle() -> str:
+    from .functions import sketches as sk
+
+    cells = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, "
+        f"{sk.cms_hash_duckdb('word', i, 1024)} AS cell FROM tok"
+        for i in range(4)
+    )
+    pcells = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, "
+        f"{sk.cms_hash_duckdb('word', i, 1024)} AS cell FROM top10"
+        for i in range(4)
+    )
+    return f"""
+WITH w AS (SELECT {DUCK_WORDS} AS words FROM documents),
+tok AS (SELECT unnest(words) AS word FROM w),
+cms AS (SELECT i, cell, count(*)::BIGINT AS cnt
+        FROM ({cells}) GROUP BY i, cell),
+exact AS (SELECT word, count(*)::BIGINT AS exact_cnt
+          FROM tok GROUP BY word),
+top10 AS (SELECT word, exact_cnt FROM exact
+          ORDER BY exact_cnt DESC, word ASC LIMIT 10),
+pc AS ({pcells}),
+est AS (SELECT pc.word, min(cnt)::BIGINT AS cms_est
+        FROM pc JOIN cms ON cms.i = pc.i AND cms.cell = pc.cell
+        GROUP BY pc.word)
+SELECT t.word, t.exact_cnt, e.cms_est,
+       e.cms_est - t.exact_cnt AS overest
+FROM top10 t JOIN est e ON t.word = e.word
+"""
+
+
+@register("cms_word_freq", _cms_oracle)
+def cms_word_freq_q(spark, sf_dir):
+    """Count-min-sketch token frequencies (functions/sketches.py):
+    frequency questions over 100 TB normally shuffle every distinct
+    token; the CMS shuffles a key space BOUNDED at d*w = 4,096 cells
+    regardless of corpus size (map-side-combinable partial sums). The
+    query estimates the corpus's exact top-10 words through the
+    sketch; pure-integer arithmetic means the oracle value-hashes the
+    estimates AND the (always >= 0) overestimation error."""
+    from .functions import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(dd.normalized_words(F.col("text"))).alias("word")
+    )
+    cms = sk.cms_table(tok)
+    exact = tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top10 = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("word").asc()
+    ).limit(10)
+    est = sk.cms_estimate(cms, top10.select("word"))
+    return top10.join(est, "word").select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+    )
+
+
 @register("hll_url_distinct", _hll_oracle)
 def hll_url_distinct_q(spark, sf_dir):
     """HyperLogLog distinct-URL estimation (functions/sketches.py):

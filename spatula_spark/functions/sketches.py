@@ -92,6 +92,78 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     )
 
 
+def cms_table(
+    tokens: DataFrame, col: str = "word", w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-min sketch of token frequencies: a ``d x w`` counter
+    matrix as a DataFrame of at most ``d*w`` rows ``(row, cell, cnt)``.
+
+    The scale point: token-frequency questions over 100 TB normally
+    shuffle every distinct token; the CMS shuffles a key space BOUNDED
+    at ``d*w`` cells (here 4,096) no matter the corpus — the per-cell
+    counts are map-side combinable partial sums, so the reduce stage
+    is corpus-size-independent. Point estimates are biased UP only
+    (min over d counters >= true count, Cormode & Muthukrishnan 2005),
+    and every operation is integer, so a DuckDB oracle replays the
+    sketch bit-for-bit."""
+    cells = tokens.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        portable_hash64(
+                            F.concat(F.col(col), F.lit(f":cms{i}"))
+                        ),
+                        F.lit(w),
+                    ).alias("cell"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rc")
+    )
+    return cells.groupBy("rc.row", "rc.cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, col: str = "word",
+    w: int = 1024, d: int = 4,
+) -> DataFrame:
+    """Point-estimate counts for the probe tokens: min over the d
+    counters each probe hashes to (inner join is safe — a probe that
+    occurs in the corpus has contributed to all d of its cells)."""
+    pc = probes.select(
+        col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        portable_hash64(
+                            F.concat(F.col(col), F.lit(f":cms{i}"))
+                        ),
+                        F.lit(w),
+                    ).alias("cell"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rc"),
+    ).select(col, "rc.row", "rc.cell")
+    return (
+        pc.join(F.broadcast(cms), ["row", "cell"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_hash_duckdb(word_expr: str, i: int, w: int) -> str:
+    """DuckDB rendering of the CMS row-i cell index."""
+    h = portable_hash64_duckdb(f"{word_expr} || ':cms{i}'")
+    return f"(({h}) % {w})"
+
+
 def hll_distinct_duckdb(from_expr: str, url_expr: str, p: int = 6) -> str:
     """DuckDB mirror of :func:`hll_distinct` (same integer arithmetic,
     same double numerator literal, same single division)."""

@@ -134,6 +134,33 @@ def test_hll_distinct_accuracy(spark):
     assert abs(row["hll_estimate"] / exact - 1) < 0.39
 
 
+def test_cms_overestimates_only(spark):
+    """CMS point estimates are biased up ONLY (min over d counters >=
+    true count); a deliberately tiny sketch (w=32) over 500 distinct
+    tokens forces collisions, so some estimate must strictly exceed
+    its true count while none may undershoot."""
+    from spatula_spark.functions import sketches as sk
+
+    tok = spark.range(5_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 500).cast("string"))
+        .alias("word")
+    )
+    cms = sk.cms_table(tok, w=32, d=2)
+    probes = tok.select("word").distinct()
+    est = {
+        r["word"]: r["cms_est"]
+        for r in sk.cms_estimate(cms, probes, w=32, d=2).collect()
+    }
+    exact = {
+        r["word"]: r["c"]
+        for r in tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[w] >= exact[w] for w in exact)
+    assert any(est[w] > exact[w] for w in exact)
+
+
 def test_incremental_near_dups_base_bucket_cap(spark):
     """A boilerplate clique in the BASE corpus must not mint O(clique)
     candidates per probing delta doc: with max_bucket set, the capped
