@@ -61,14 +61,16 @@ def hll_rho(h: Column, p: int) -> Column:
     return (F.bit_count(low - F.lit(1)) + F.lit(1)).cast("int")
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
-    """One-row DataFrame ``(p, m, n_buckets_seen, hll_estimate)`` for
-    the distinct count of ``col``. Two narrow aggregates: per-bucket
-    max register (map-side combinable), then the scaled-integer
-    harmonic sum; no distinct shuffle anywhere."""
+def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """The HLL register table ``(bucket, r)`` — the sketch STATE. This
+    is what a distributed pipeline persists and merges: registers of
+    two corpus slices combine by per-bucket MAX (groupBy(bucket).max —
+    associative, commutative, idempotent), so partial sketches from
+    any partitioning merge to exactly the whole-corpus sketch
+    (pytest-pinned in test_hll_registers_merge)."""
     m = 1 << p
     h = portable_hash64(F.col(col))
-    regs = (
+    return (
         df.select(
             h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
             hll_rho(h, p).alias("rho"),
@@ -76,6 +78,11 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
         .groupBy("bucket")
         .agg(F.least(F.max("rho"), F.lit(RHO_CAP)).alias("r"))
     )
+
+
+def hll_estimate(regs: DataFrame, p: int = 6) -> DataFrame:
+    """Fold a register table into the one-row raw-regime estimate."""
+    m = 1 << p
     return regs.agg(
         F.lit(p).alias("p"),
         F.lit(m).alias("m"),
@@ -90,6 +97,14 @@ def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """One-row DataFrame ``(p, m, n_buckets_seen, hll_estimate)`` for
+    the distinct count of ``col``. Two narrow aggregates: per-bucket
+    max register (map-side combinable), then the scaled-integer
+    harmonic sum; no distinct shuffle anywhere."""
+    return hll_estimate(hll_registers(df, col, p), p)
 
 
 def cms_table(

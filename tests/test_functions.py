@@ -134,6 +134,29 @@ def test_hll_distinct_accuracy(spark):
     assert abs(row["hll_estimate"] / exact - 1) < 0.39
 
 
+def test_hll_registers_merge(spark):
+    """The distributed-correctness property: registers computed on two
+    disjoint corpus slices, unioned and re-max'd per bucket, must
+    yield the IDENTICAL one-row estimate as the whole-corpus sketch —
+    per-bucket max is associative/commutative/idempotent, so any
+    partitioning (any cluster size) produces the same sketch."""
+    from spatula_spark.functions import sketches as sk
+
+    df = spark.range(3_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 911).cast("string")).alias("u")
+    )
+    whole = sk.hll_distinct(df, "u", p=6).collect()[0]
+    a = sk.hll_registers(df.filter(F.col("u").substr(2, 1) < "5"), "u", p=6)
+    b = sk.hll_registers(df.filter(F.col("u").substr(2, 1) >= "5"), "u", p=6)
+    merged = (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    got = sk.hll_estimate(merged, p=6).collect()[0]
+    assert got == whole
+
+
 def test_cms_overestimates_only(spark):
     """CMS point estimates are biased up ONLY (min over d counters >=
     true count); a deliberately tiny sketch (w=32) over 500 distinct
