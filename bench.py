@@ -142,6 +142,7 @@ HEADLINE = [
     "quality_cut",
     "hll_url_distinct",
     "cms_word_freq",
+    "pagerank_top20",
     "decontaminate",
     "quality_sample",
     "pack_sequences",

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from .functions import dedup as dd
 from .functions import similarity as sim
 from .functions import text as tx
-from .urls import canonicalize_url, canonicalize_url_duckdb
+from .urls import (
+    canonicalize_url,
+    canonicalize_url_duckdb,
+    portable_hash64,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -2169,6 +2173,62 @@ def quality_cut_q(spark, sf_dir):
         "dup_word_frac",
         F.round(F.percent_rank().over(win), 6).alias("pr"),
     ).filter(F.col("pr") <= 0.25)
+
+
+def _pagerank_oracle() -> str:
+    from .functions import graph as gr
+
+    nodes_sql = "SELECT doc_id AS node FROM documents"
+    dst = duck_hash("node::VARCHAR || ':pr' || j")
+    edges_sql = (
+        f"SELECT node AS src, {dst} % "
+        "(SELECT count(*) FROM documents) AS dst "
+        f"FROM ({nodes_sql}) CROSS JOIN unnest([1, 2, 3]) AS t(j)"
+    )
+    return f"""
+WITH {gr.integer_pagerank_duckdb(nodes_sql, edges_sql, n_iter=5)}
+SELECT node AS doc_id, r AS rank_scaled
+FROM pr_r5 ORDER BY r DESC, node ASC LIMIT 20
+"""
+
+
+@register("pagerank_top20", _pagerank_oracle)
+def pagerank_top20_q(spark, sf_dir):
+    """Integer-exact distributed PageRank (functions/graph.py) over a
+    deterministic 3-outlink doc graph: 5 power-iteration rounds, each
+    one slim (node, rank) join + hash agg — the canonical crawl-
+    prioritization workload. Scaled-integer arithmetic makes every
+    round order-independent, so the DuckDB oracle value-hashes the
+    top-20 ranks bit-for-bit (a float PageRank could never be
+    hash-gated: float sums differ across engines AND partitionings)."""
+    from .functions import graph as gr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    n = docs.count()  # driver scalar: one long, corpus-size-independent
+    edges = docs.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(*[
+                F.pmod(
+                    portable_hash64(
+                        F.concat(
+                            F.col("node").cast("string"), F.lit(f":pr{j}")
+                        )
+                    ),
+                    F.lit(n),
+                )
+                for j in (1, 2, 3)
+            ])
+        ).alias("dst"),
+    )
+    ranks = gr.integer_pagerank(docs, edges, n_iter=5)
+    return (
+        ranks.orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "rank_scaled")
+    )
 
 
 def _hll_oracle() -> str:

@@ -157,6 +157,34 @@ def test_hll_registers_merge(spark):
     assert got == whole
 
 
+def test_integer_pagerank_ring_invariants(spark):
+    """On a symmetric ring every node must end at EXACTLY the initial
+    scaled rank (0.15*S + 0.85*S = S, and S is divisible by 100 so no
+    floor loss) — pins both the damping arithmetic and the claim that
+    integer PageRank is drift-free when divisions are exact. A hub
+    star then pins direction: the pointed-at node outranks the
+    leaves."""
+    from spatula_spark.functions import graph as gr
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in gr.integer_pagerank(nodes, ring, n_iter=5).collect()
+    }
+    assert set(out.values()) == {gr.SCALE}
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    s = {
+        r["node"]: r["rank_scaled"]
+        for r in gr.integer_pagerank(nodes, star, n_iter=5).collect()
+    }
+    assert s[0] > s[1] > s[2] == s[3]
+
+
 def test_cms_overestimates_only(spark):
     """CMS point estimates are biased up ONLY (min over d counters >=
     true count); a deliberately tiny sketch (w=32) over 500 distinct
