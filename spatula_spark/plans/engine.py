@@ -103,6 +103,12 @@ from .pagespec import (
     obj_to_dict,
 )
 
+# Ceiling on payload rows per wave-coalesce partition. The wave
+# snapshot's coalesce() collapses the fetch+decode+write stage to
+# _wave_parts tasks, so this — not the core count — is what bounds
+# per-task Arrow/python/parquet memory on payload-bearing waves.
+_WAVE_ROWS_PER_PART = 1 << 16
+
 _EMISSION_OUT_SCHEMA = (
     "emit_kind string, src_cls string, path string, item_json string, "
     "child_cls string, child_url string, child_input_json string, "
@@ -1004,10 +1010,21 @@ class CrawlEngine:
             if cfg.target_partitions is None and self._prev_total_emissions:
                 # cap at 2x the session width: big waves keep extra
                 # partitions so per-row cost variance (image decode)
-                # amortizes instead of straggling the stage tail
+                # amortizes instead of straggling the stage tail.
+                # The payload-row ceiling is the scale guard: the wave
+                # coalesce collapses the whole fetch+decode+write stage
+                # to this width, so a 2x-cores cap alone puts est/(2N)
+                # payload rows in ONE task — 250k rows/task at N=4 on a
+                # 2M-row wave, and multi-GB tasks on a 10^10-row
+                # frontier regardless of cluster width. Partition count
+                # must track DATA size once waves outgrow the session
+                # width: ~64k payload rows per task keeps Arrow batches,
+                # python worker residency, and parquet writer buffers
+                # flat at any frontier size.
                 self._wave_parts = max(
                     8 if self._nparts >= 8 else self._nparts,
                     min(self._nparts * 2, est // 5000 + 1),
+                    min(est // _WAVE_ROWS_PER_PART + 1, 16384),
                 )
             else:
                 self._wave_parts = self._nparts
