@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_lsh_capped",
     "dedup_incremental",
     "winnow_near_dups",
+    "ngram_containment",
     "dedup_simhash",
     "simhash_near_dups",
     "image_near_dup_phash",

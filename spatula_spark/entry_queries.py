@@ -934,6 +934,66 @@ def ngram_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.5)
 
 
+_CONTAIN_BOILER = "legal notice all rights reserved worldwide"
+
+
+@register(
+    "ngram_containment",
+    f"""
+WITH base AS (
+  SELECT doc_id, text || ' {_CONTAIN_BOILER}' AS text
+  FROM documents WHERE doc_id < 40),
+bw AS (SELECT doc_id, {DUCK_WORDS} AS words FROM base),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(words[1:greatest(len(words)//4, 5)], ' ') AS text
+  FROM bw),
+{DUCK_SHINGLES_CTE},
+posts AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+kept AS (SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS _df
+    FROM posts) WHERE _df <= 30),
+sizes AS (SELECT doc_id AS doc_a, count(*) AS _sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS _inter
+  FROM kept a JOIN kept b USING (gram)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(_inter::DOUBLE / _sz, 6) AS containment
+FROM inter JOIN sizes USING (doc_a)
+WHERE round(_inter::DOUBLE / _sz, 6) >= 0.5
+""",
+)
+def ngram_containment(spark, sf_dir):
+    """Asymmetric containment |A'∩B'|/|A'| via a df-capped inverted
+    shingle index (dd.containment_pairs) — catches fragments/quotes
+    that Jaccard misses. The corpus plants both failure modes: every
+    base doc carries the same boilerplate suffix (its grams exceed
+    max_df=30 and are pruned — exercising the cap in the gated query)
+    and each doc has a first-quarter fragment twin (containment ≈ 1
+    toward its source at Jaccard ≈ 0.25)."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _CONTAIN_BOILER)).alias("text"),
+    )
+    w = dd.normalized_words(F.col("text"))
+    frags = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                w, 1,
+                F.greatest(
+                    F.floor(F.size(w) / 4).cast("int"), F.lit(5)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.unionByName(frags)
+    return dd.containment_pairs(corpus, max_df=30, threshold=0.5)
+
+
 # ==========================================================================
 # 4. Training-data operators: similarity search
 # ==========================================================================

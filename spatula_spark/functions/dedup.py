@@ -561,6 +561,78 @@ def perturbed_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", text_col).unionByName(copies)
 
 
+# ------------------------------------------------------------ containment
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(a in b) = |A'∩B'| / |A'| over an
+    inverted shingle index — the quote / boilerplate / fragment case
+    Jaccard misses (a 50-word excerpt of a 5000-word page has Jaccard
+    ~0.01 but containment ~1.0). Reference scope: spatula's dedup
+    story is first-URL-wins identity only
+    (/root/reference/src/spatula/core.py:89); content-level dedup is
+    part of this engine's training-data mandate.
+
+    Shape and scale: shingles explode to a (gram, doc_id) posting
+    table; the candidate stage is a self-equi-join on gram. Its worst
+    case is the hottest posting list squared, so grams with document
+    frequency > ``max_df`` are DROPPED FIRST (the shingle analogue of
+    stopword removal — a gram shared by >max_df docs identifies
+    boilerplate, not provenance) and the containment score is defined
+    over the pruned shingle space A' = A minus hot grams on BOTH
+    sides of the ratio. That bounds per-gram join fan-out at max_df²
+    rows independent of corpus size — candidate volume stays linear in
+    document count for fixed max_df — and makes the cap part of the
+    operator's semantics (the oracle replicates it exactly) instead of
+    a silent truncation. Docs whose entire shingle set is hot (pure
+    boilerplate) drop out with the grams, which is the behavior a
+    cleaning pipeline wants.
+
+    The df filter and the self-join both shuffle on ``gram``, so AQE
+    reuses one exchange; per-doc pruned sizes ride a second aggregate
+    on the already-pruned postings. Emits BOTH directions (containment
+    is asymmetric): ``(doc_a, doc_b, containment)`` = share of doc_a's
+    pruned shingles that also occur in doc_b, ≥ ``threshold``,
+    doc_a ≠ doc_b, rounded to 6 places (integer-count division —
+    bit-identical cross-engine)."""
+    posts = (
+        _spread(df)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        # word_shingles is array_distinct, so (doc_id, gram) is unique
+        # and count(*) per gram below is a true document frequency
+    )
+    kept = posts.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("_df") <= max_df)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("_inter") / F.col("_sz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64

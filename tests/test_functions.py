@@ -1327,3 +1327,56 @@ def test_winnow_fast_path_bit_identical(spark, docs):
     want = {r["doc_id"]: r["f"] for r in ref.collect()}
     assert got == want
     assert got[9004] == [None]
+
+
+def test_containment_pairs_python_twin(spark):
+    """dd.containment_pairs vs an independent pure-Python twin of the
+    full semantics (shingle -> df-cap prune -> asymmetric ratio),
+    including: a planted prefix fragment (containment 1.0 toward its
+    source at low Jaccard), boilerplate grams pruned by the df cap,
+    and a pure-boilerplate doc dropping out entirely."""
+    from collections import Counter
+
+    boiler = "legal notice all rights reserved"
+    body_a = " ".join(f"alpha{i}" for i in range(40))
+    body_b = " ".join(f"beta{i}" for i in range(40))
+    body_c = " ".join(f"gamma{i}" for i in range(40))
+    texts = {
+        1: body_a + " " + boiler,
+        2: body_b + " " + boiler,
+        3: body_c + " " + boiler,
+        4: " ".join(body_a.split()[:10]),  # prefix fragment of 1
+        5: boiler,                          # pure boilerplate
+    }
+    max_df, thr = 2, 0.3
+
+    sh = {d: dd._shingle_set(t, 3) for d, t in texts.items()}
+    dfc = Counter(g for s in sh.values() for g in s)
+    pruned = {d: {g for g in s if dfc[g] <= max_df} for d, s in sh.items()}
+    expected = {}
+    for a in pruned:
+        if not pruned[a]:
+            continue
+        for b in pruned:
+            if a == b:
+                continue
+            c = len(pruned[a] & pruned[b]) / len(pruned[a])
+            if c >= thr:
+                expected[(a, b)] = round(c, 6)
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dd.containment_pairs(
+            df, max_df=max_df, threshold=thr
+        ).collect()
+    }
+    assert got == expected
+    # the planted fragment is fully contained in its source...
+    assert got[(4, 1)] == 1.0
+    # ...while the reverse direction and the Jaccard view are small
+    assert got.get((1, 4), 0.0) < 0.3
+    # the pure-boilerplate doc (all grams hot) appears in no pair
+    assert not any(5 in pair for pair in got)
