@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_incremental",
     "winnow_near_dups",
     "ngram_containment",
+    "duplicate_spans",
+    "dup_token_ratio",
     "dedup_simhash",
     "simhash_near_dups",
     "image_near_dup_phash",

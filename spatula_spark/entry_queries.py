@@ -994,6 +994,70 @@ def ngram_containment(spark, sf_dir):
     return dd.containment_pairs(corpus, max_df=30, threshold=0.5)
 
 
+DUCK_DUP_POSITIONS = f"""
+bw AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(words) - 2),
+      p -> {{'pos': p,
+             'gram': array_to_string(words[p+1:p+3], ' ')}})) AS u
+    FROM bw WHERE len(words) >= 3)),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM g JOIN hot USING (gram))
+"""
+
+
+@register(
+    "duplicate_spans",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+{DUCK_DUP_POSITIONS},
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) - min(pos) + 3)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp HAVING max(pos) - min(pos) + 3 >= 3
+""",
+)
+def duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 substring
+    dedup as a distributed k-gram index — dd.duplicate_spans). The
+    perturbed corpus plants (doc, doc+10^6) twins sharing every
+    3-gram, so each twin pair yields near-full-doc maximal spans; the
+    random-soup background contributes only chance-collision grams."""
+    corpus = dd.perturbed_corpus(_t(spark, sf_dir, "documents"))
+    return dd.duplicate_spans(corpus)
+
+
+@register(
+    "dup_token_ratio",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+{DUCK_DUP_POSITIONS},
+sizes AS (SELECT doc_id, len({DUCK_WORDS}) AS n_tokens FROM corpus),
+cov AS (
+  SELECT doc_id, count(*) AS dup_tokens FROM (
+    SELECT DISTINCT doc_id, pos + t.tok AS tok
+    FROM dup, range(0, 3) t(tok)) GROUP BY doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       dup_tokens::BIGINT AS dup_tokens,
+       round(dup_tokens::DOUBLE / n_tokens, 6) AS dup_ratio
+FROM cov JOIN sizes USING (doc_id)
+""",
+)
+def dup_token_ratio(spark, sf_dir):
+    """Per-doc duplicated-token fraction (dd.duplicate_token_ratio) —
+    the substring-dedup FILTER metric: a cleaning pipeline drops or
+    trims docs whose duplicated fraction exceeds a budget. Planted
+    twins read dup_ratio ~1.0; untouched docs appear only via chance
+    gram collisions."""
+    corpus = dd.perturbed_corpus(_t(spark, sf_dir, "documents"))
+    return dd.duplicate_token_ratio(corpus)
+
+
 # ==========================================================================
 # 4. Training-data operators: similarity search
 # ==========================================================================

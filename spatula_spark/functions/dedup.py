@@ -633,6 +633,143 @@ def containment_pairs(
     )
 
 
+# ------------------------------------------------------- duplicate spans
+
+
+def _positioned_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, pos, gram): the word n-gram starting at 0-based word
+    index ``pos``. Unlike word_shingles this keeps POSITION and does
+    NOT dedupe — a gram repeated inside one doc is two occurrences,
+    which is what substring-level duplication counts."""
+    w = (
+        _spread(df)
+        .select(
+            "doc_id", normalized_words(F.col(text_col)).alias("_w")
+        )
+        .filter(F.size("_w") >= n)
+    )
+    return w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - n),
+                lambda p: F.array_join(F.slice("_w", p + 1, n), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+
+
+def _dup_positions(
+    df: DataFrame, text_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(doc_id, pos) of every n-gram occurrence whose gram occurs
+    >= min_count times corpus-wide (within-doc repeats count — any
+    substring the corpus contains twice is a duplicated substring).
+
+    Spelled as partial-agg + semi-join rather than a count window on
+    purpose: a boilerplate mega-gram with 10^8 occurrences collapses
+    to one row per map partition before the shuffle (map-side
+    combine), and the probe side reuses the same gram exchange under
+    AQE — a count(*) OVER (PARTITION BY gram) window would instead
+    buffer the entire hot posting list in one task."""
+    grams = _positioned_grams(df, text_col, n)
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    return grams.join(hot, "gram", "left_semi").select("doc_id", "pos")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+    min_len: int = 3,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    substring-dedup shape re-expressed as a distributed k-gram index
+    instead of a monolithic suffix array: a word position is
+    *duplicated* when the n-gram starting there occurs >= min_count
+    times corpus-wide; maximal runs of consecutive duplicated
+    positions become spans covering words [span_start,
+    span_start + span_len). Reference scope: spatula dedupes URLs
+    only (/root/reference/src/spatula/core.py:89); substring-level
+    text dedup is this engine's training-data mandate.
+
+    Returns (doc_id, span_start, span_len) with span_len >= min_len,
+    span_len counted in WORDS (a run of positions [s..e] covers
+    e - s + n words). Two shuffles total: one on gram (partial-agg +
+    AQE-reused semi-join probe, see _dup_positions) and one on doc_id
+    for the gap-and-islands window — both keys are slim, neither
+    carries text payloads. At 10^10-document scale the gram key would
+    be pre-hashed (xxhash64) to shrink the exchange; the string key
+    is kept here so the DuckDB oracle replays the exact pipeline."""
+    dup = _dup_positions(df, text_col, n, min_count)
+    isl = dup.withColumn(
+        "_grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + n).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+def duplicate_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc fraction of words covered by a duplicated span — the
+    actionable substring-dedup FILTER metric (drop or trim docs whose
+    duplicated fraction exceeds a budget). A word index t is covered
+    when any duplicated n-gram position p satisfies p <= t <= p+n-1;
+    coverage is counted as DISTINCT covered indices, so overlapping
+    spans don't double-count. Emits (doc_id, n_tokens, dup_tokens,
+    dup_ratio) for docs with any coverage; dup_ratio is an
+    integer-count division rounded to 6 places (bit-identical
+    cross-engine). Shuffles: the gram exchange from _dup_positions
+    plus one distinct + agg on (doc_id, tok) — all slim keys."""
+    sizes = (
+        _spread(df)
+        .select(
+            "doc_id",
+            F.size(normalized_words(F.col(text_col))).alias("n_tokens"),
+        )
+    )
+    cov = (
+        _dup_positions(df, text_col, n, min_count)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("tok"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return cov.join(sizes, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64

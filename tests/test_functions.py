@@ -1380,3 +1380,90 @@ def test_containment_pairs_python_twin(spark):
     assert got.get((1, 4), 0.0) < 0.3
     # the pure-boilerplate doc (all grams hot) appears in no pair
     assert not any(5 in pair for pair in got)
+
+
+def test_duplicate_spans_python_twin(spark):
+    """dd.duplicate_spans + dd.duplicate_token_ratio vs a pure-Python
+    twin of the full semantics (positioned grams -> corpus-wide
+    occurrence count -> island merge -> distinct coverage), plus
+    hand-checkable plants: an exact shared sentence between two docs,
+    a WITHIN-doc repeat (occurrence count, not distinct docs), and a
+    min_len filter dropping a single-position span."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    texts = {
+        1: "intro words here " + shared + " unique tail one",
+        2: shared + " completely different ending stanza two",
+        # within-doc repetition: 'ha ha ha ha ha' repeats gram 'ha ha ha'
+        3: "solo body text with ha ha ha ha ha inside it",
+        4: "no overlap at all in this document body",
+    }
+    n, min_count = 3, 2
+
+    def words(t):
+        return t.lower().split()
+
+    grams = {
+        d: [
+            " ".join(ws[p : p + n])
+            for p in range(len(ws) - n + 1)
+        ]
+        for d, t in texts.items()
+        if len(ws := words(t)) >= n
+    }
+    from collections import Counter
+
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    dup = {
+        d: sorted(p for p, g in enumerate(gs) if cnt[g] >= min_count)
+        for d, gs in grams.items()
+    }
+    spans = set()
+    for d, ps in dup.items():
+        run = []
+        for p in ps + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((d, run[0], run[-1] - run[0] + n))
+                run = []
+            if p is not None:
+                run.append(p)
+    ratios = {}
+    for d, ps in dup.items():
+        cov = {t for p in ps for t in range(p, p + n)}
+        if cov:
+            ratios[d] = (
+                len(words(texts[d])),
+                len(cov),
+                round(len(cov) / len(words(texts[d])), 6),
+            )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in dd.duplicate_spans(df, min_count=min_count).collect()
+    }
+    assert got_spans == spans
+    # the shared sentence is one maximal span in each doc: 10 words
+    assert (1, 3, 10) in got_spans and (2, 0, 10) in got_spans
+    # the within-doc 'ha ha ha ha ha' repeat spans all 5 ha's
+    assert (3, 4, 5) in got_spans
+    # doc 4 shares nothing
+    assert not any(s[0] == 4 for s in got_spans)
+
+    got_ratios = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_ratio"])
+        for r in dd.duplicate_token_ratio(df, min_count=min_count).collect()
+    }
+    assert got_ratios == ratios
+
+    # min_len filter: the 5-word within-doc span survives min_len=6
+    # in neither doc 3 nor anywhere shorter than the shared sentence
+    long_only = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in dd.duplicate_spans(
+            df, min_count=min_count, min_len=6
+        ).collect()
+    }
+    assert long_only == {s for s in spans if s[2] >= 6}
+    assert not any(s[0] == 3 for s in long_only)
