@@ -531,6 +531,124 @@ def text_profile(spark, sf_dir):
     return tx.text_profile(docs)
 
 
+@register(
+    "boilerplate_strip",
+    f"""
+WITH pages AS (
+  SELECT doc_id,
+    'home products about contact host' || (doc_id % 7) || chr(10) ||
+    array_to_string(list_transform(range(0, (len(words)+7)//8),
+        i -> array_to_string(words[i*8+1:i*8+8], ' ')), chr(10)) || chr(10)
+    || 'copyright host' || (doc_id % 7) || ' example all rights reserved'
+    AS text
+  FROM (SELECT doc_id, {DUCK_WORDS} AS words FROM documents)),
+l AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+        i -> {{'pos': i-1, 'line': ls[i]}})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages))),
+n AS (SELECT doc_id, pos, line,
+        lower(regexp_replace(trim(line), '\\s+', ' ', 'g')) AS norm FROM l),
+boiler AS (SELECT norm FROM n WHERE norm <> ''
+           GROUP BY norm HAVING count(DISTINCT doc_id) >= 10),
+kept AS (SELECT doc_id, pos, line FROM n
+         WHERE norm = '' OR norm NOT IN (SELECT norm FROM boiler)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS content
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+  coalesce(a.n_kept, 0) AS n_kept,
+  round((t.n_lines - coalesce(a.n_kept, 0))::DOUBLE / t.n_lines, 6)
+    AS boiler_ratio,
+  coalesce(a.content, '') AS content
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def boilerplate_strip(spark, sf_dir):
+    """Cross-page line-frequency boilerplate removal
+    (tx.boilerplate_clean, CCNet §3.1 shape). The corpus wraps every
+    document in per-host nav/footer lines (host = doc_id % 7, so each
+    boilerplate line recurs on ~1/7 of all pages — far above
+    min_df=10) and splits the body into 8-word lines that are unique
+    per page; the operator must strip exactly the planted wrapper and
+    keep the body verbatim, order intact."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dd.normalized_words(F.col("text"))
+    h = (F.col("doc_id") % 7).cast("string")
+    nch = F.floor((F.size(w) + 7) / 8).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+    )
+    page = F.array_join(
+        F.concat(
+            F.array(F.concat(F.lit("home products about contact host"), h)),
+            chunks,
+            F.array(
+                F.concat(
+                    F.lit("copyright host"),
+                    h,
+                    F.lit(" example all rights reserved"),
+                )
+            ),
+        ),
+        "\n",
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return tx.boilerplate_clean(pages, min_df=10)
+
+
+@register(
+    "logfreq_quality",
+    f"""
+WITH cands AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+    array_to_string(list_transform({DUCK_WORDS}, x -> x || '~' || doc_id),
+                    ' ') AS text
+  FROM documents WHERE doc_id < 50),
+vocab AS (
+  SELECT tok, length(bin(count(*))) - 1 AS ilog2 FROM (
+    SELECT unnest({DUCK_WORDS}) AS tok FROM documents) GROUP BY tok),
+toks AS (SELECT doc_id, unnest({DUCK_WORDS}) AS tok FROM cands),
+sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(coalesce(ilog2, 0))::BIGINT AS sum_ilog2
+  FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id)
+SELECT doc_id, n_tokens, sum_ilog2,
+  round(sum_ilog2::DOUBLE / n_tokens, 6) AS mean_ilog2,
+  round(sum_ilog2::DOUBLE / n_tokens, 6) >= 4 AS kept
+FROM sc
+""",
+)
+def logfreq_quality(spark, sf_dir):
+    """Unigram log-frequency quality filter (tx.logfreq_score) — the
+    integer-exact shape of CCNet's LM-perplexity cut. Vocabulary is
+    trained on the clean documents table; candidates are that table
+    plus 50 planted gibberish twins whose every token is
+    doc-id-suffixed (absent from the vocab, so they score mean 0 and
+    are cut); real word-soup docs score floor(log2(corpus count)) ~ 9
+    per token and pass."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dd.normalized_words(F.col("text"))
+    gib = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                w,
+                lambda x: F.concat(
+                    x, F.lit("~"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    cands = docs.select("doc_id", "text").unionByName(gib)
+    return tx.logfreq_score(cands, lm_docs=docs, keep_min=4)
+
+
 # ==========================================================================
 # 3. Training-data operators: deduplication
 # ==========================================================================

@@ -357,3 +357,122 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fp"),
     )
+
+
+def boilerplate_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """CCNet-style cross-page boilerplate removal: a line whose
+    whitespace-normalized form appears on >= ``min_df`` distinct pages
+    is boilerplate (nav bars, cookie banners, copyright footers) and
+    is stripped; unique content lines survive in original order.
+
+    This is the line-frequency variant (Wenzek et al., CCNet 2020 §3.1
+    paragraph dedup) rather than a per-page DOM heuristic (jusText) —
+    the one that actually needs a cluster, and the one that parallels
+    trivially: one map-side-combinable count-distinct aggregate keyed
+    by a 60-bit line hash (8-byte shuffle keys, never the line text),
+    one hash join back (line-frequency table is distinct-lines-sized,
+    Heaps-law sublinear — AQE broadcasts it when small), and one
+    per-doc regroup. No window over the corpus, no self-join, no
+    collect; every stage is keyed and skew-free (the hottest key is a
+    boilerplate line, and counts are combined map-side).
+
+    Returns one row per input doc: kept-line count, total-line count,
+    boiler_ratio (rounded 6dp), and the cleaned ``content`` (kept
+    lines joined by newline; empty string when everything was
+    boilerplate). Empty/whitespace-only lines are never counted as
+    boilerplate (they carry no content signal) and are kept verbatim.
+    """
+    from ..urls import portable_hash64
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("line")), "\\s+", " "))
+    keyed = lines.withColumn(
+        "lkey", F.when(norm != "", portable_hash64(norm))
+    )
+    freq = (
+        keyed.filter(F.col("lkey").isNotNull())
+        .groupBy("lkey")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)  # ship only the boiler set
+    )
+    kept = keyed.join(freq, "lkey", "left_anti")
+    per_doc_kept = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("content"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(per_doc_kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            / F.col("n_lines"),
+            6,
+        ).alias("boiler_ratio"),
+        F.coalesce("content", F.lit("")).alias("content"),
+    )
+
+
+def logfreq_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    keep_min: int = 4,
+) -> DataFrame:
+    """Unigram log-frequency quality score — the integer-exact engine
+    shape of CCNet's LM-perplexity filter: train a unigram "model" on
+    a reference corpus (token -> corpus count), score each candidate
+    document by the mean floor(log2(count)) of its tokens, and flag
+    documents below ``keep_min`` (gibberish / OCR noise / spam keyword
+    stuffing score near 0 because their tokens are corpus-rare; fluent
+    text scores high because common words dominate).
+
+    floor(log2(c)) is computed as ``length(bin(c)) - 1`` — pure integer
+    bit-length on both engines, so the oracle is bit-exact with no
+    libm log in sight; the per-doc sum is an exact integer and the
+    single final division is correctly rounded everywhere.
+
+    Scale shape: one explode -> count aggregate over the reference
+    corpus (map-side combined; result is vocabulary-sized), one hash
+    join from candidate tokens to that vocab (AQE broadcasts it when
+    small; tokens absent from the vocab score 0 = log2(1), the +1
+    smoothing), one per-doc regroup. All narrow integer keys.
+    """
+    from .dedup import normalized_words
+
+    vocab = (
+        (lm_docs if lm_docs is not None else docs)
+        .select(F.explode(normalized_words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg((F.length(F.bin(F.count("*"))) - 1).alias("ilog2"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(normalized_words(F.col(text_col))).alias("tok")
+    )
+    scored = toks.join(vocab, "tok", "left").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("ilog2", F.lit(0))).alias("sum_ilog2"),
+    )
+    mean = F.round(F.col("sum_ilog2") / F.col("n_tokens"), 6)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_ilog2",
+        mean.alias("mean_ilog2"),
+        (mean >= keep_min).alias("kept"),
+    )

@@ -1467,3 +1467,69 @@ def test_duplicate_spans_python_twin(spark):
     }
     assert long_only == {s for s in spans if s[2] >= 6}
     assert not any(s[0] == 3 for s in long_only)
+
+
+def test_boilerplate_clean_planted(spark):
+    from spatula_spark.functions import text as tx
+
+    # 12 pages share a nav + footer; each body line is unique per page
+    rows = [
+        (i, "NAV  Home | About\n" + f"body line {i} alpha\n"
+            f"body line {i} beta\n" + "(c) 2026 Example Corp")
+        for i in range(12)
+    ]
+    # one page with NO boilerplate at all
+    rows.append((99, "solitary content line\nsecond unique line"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           tx.boilerplate_clean(df, min_df=10).collect()}
+    for i in range(12):
+        r = got[i]
+        assert (r["n_lines"], r["n_kept"]) == (4, 2)
+        assert r["content"] == f"body line {i} alpha\nbody line {i} beta"
+        assert abs(r["boiler_ratio"] - 0.5) < 1e-9
+    r99 = got[99]
+    assert (r99["n_lines"], r99["n_kept"]) == (2, 2)
+    assert r99["boiler_ratio"] == 0.0
+
+    # whitespace-normalized matching: "NAV   Home |   About" (different
+    # spacing) still counts toward the same boilerplate line
+    df2 = spark.createDataFrame(
+        [(i, "NAV    Home |  About\nunique %d" % i) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    got2 = tx.boilerplate_clean(df2, min_df=10).collect()
+    assert all(r["n_kept"] == 1 and r["content"].startswith("unique")
+               for r in got2)
+
+    # all-boilerplate page -> empty content, ratio 1.0 (left-join path)
+    df3 = spark.createDataFrame(
+        [(i, "same line") for i in range(10)], ["doc_id", "text"]
+    )
+    got3 = tx.boilerplate_clean(df3, min_df=10).collect()
+    assert all(r["content"] == "" and r["boiler_ratio"] == 1.0
+               for r in got3)
+
+
+def test_logfreq_score_planted(spark):
+    from spatula_spark.functions import text as tx
+
+    lm = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    # 'the' count = 16 -> ilog2 4; others count 8 -> ilog2 3
+    cands = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),   # (4+3+3+3+4+3)/6 = 10/3
+            (1, "zzq qqz xylo"),             # all unseen -> 0
+            (2, "the the the the"),          # 4.0 exactly
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           tx.logfreq_score(cands, lm_docs=lm, keep_min=4).collect()}
+    assert got[0]["sum_ilog2"] == 20 and got[0]["n_tokens"] == 6
+    assert got[0]["mean_ilog2"] == round(20 / 6, 6) and not got[0]["kept"]
+    assert got[1]["sum_ilog2"] == 0 and not got[1]["kept"]
+    assert got[2]["mean_ilog2"] == 4.0 and got[2]["kept"]
