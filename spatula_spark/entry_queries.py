@@ -1302,6 +1302,47 @@ def embedding_near_dups_q(spark, sf_dir):
 
 
 @register(
+    "semdedup_prune",
+    f"""
+WITH {_DUCK_PERTURBED_EMB},
+c AS (SELECT vec_id AS cid, v AS cv FROM corpus),
+cents AS (
+  SELECT cid AS cent_id, cv AS centv FROM (
+    SELECT cid, cv FROM c
+    ORDER BY {duck_hash("'ivf:'||cid")}, cid LIMIT 32)),
+sc AS (SELECT cid, cv, cent_id,
+         round(list_cosine_similarity(cv, centv), 6) AS cs FROM c, cents),
+assigned AS (
+  SELECT cid, cv, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+             ORDER BY cs DESC, cent_id) AS rn FROM sc) WHERE rn = 1),
+p AS (
+  SELECT a.cent_id AS cent_id, b.cid AS vec_id, a.cid AS a_id,
+         round(list_cosine_similarity(a.cv, b.cv), 6) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.cid < b.cid
+  WHERE round(list_cosine_similarity(a.cv, b.cv), 6) >= 0.999)
+SELECT vec_id, cent_id, a_id AS dup_of, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY a_id) AS rn
+  FROM p) WHERE rn = 1
+""",
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (sim.semdedup): cluster-then-prune semantic dedup over
+    a corpus with planted ε-perturbed twins (cos ~ 0.9996 >= eps).
+    The oracle replays the whole pipeline — hash-sampled centroids,
+    rounded-cosine argmax assignment, within-cluster pair scoring,
+    min-anchor tie-break — so the value hash pins clustering AND
+    pruning; every planted twin lands in its original's cluster and is
+    dropped against it."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    corpus = sim.perturbed_embeddings(emb)
+    return sim.semdedup(corpus, n_centroids=32, eps=0.999)
+
+
+@register(
     "ann_ivf_topk",
     f"""
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -711,3 +711,71 @@ def pq_topk(
         .select("query_id", "neighbor_id", "adist",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    eps: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding — k-means-cluster the corpus, then within each cluster
+    mark every document whose cosine to a lower-id cluster-mate is
+    >= ``eps`` as a semantic duplicate of that mate. The clustering is
+    what makes the quadratic tractable: all-pairs runs per-cluster
+    (corpus/k rows each), never across the corpus, which is exactly
+    the paper's trick and exactly a keyed Spark equi-join on cent_id.
+
+    Scale shape: centroid sample is a fixed-n TakeOrderedAndProject
+    (driver memory independent of corpus size), assignment is one
+    Arrow matmul batch pass, the pair join is a shuffle keyed on
+    cent_id (raise n_centroids with the corpus to bound cluster
+    sizes, like IVF nlist; a skew-capped variant would star-connect
+    oversized clusters — see dedup._capped_bucket_pairs).
+
+    Returns the DROPPED set: (vec_id, cent_id, dup_of, cos) where
+    dup_of is the smallest qualifying lower id (deterministic,
+    oracle-replayable tie-break); survivors = corpus anti-join on
+    vec_id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    cent_ids, cmat = ivf_centroids(c, n_centroids)
+    assign = _assign_udf(cent_ids, cmat)
+    # checkpoint: consumed by both sides of the self-join — without it
+    # each side recomputes the assignment matmul (per-consumer
+    # recompute of non-exchange subtrees)
+    asg = (
+        c.withColumn("cent_id", assign("cv"))
+        .filter(F.col("cent_id").isNotNull())
+        .localCheckpoint()
+    )
+    a = asg.select(
+        "cent_id", F.col("cid").alias("a_id"), F.col("cv").alias("av")
+    )
+    b = asg.select(
+        "cent_id", F.col("cid").alias("vec_id"), F.col("cv").alias("bv")
+    )
+    hits = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .select(
+            "cent_id",
+            "vec_id",
+            "a_id",
+            F.round(cosine_fast(F.col("av"), F.col("bv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= eps)
+    )
+    best = F.min(F.struct("a_id", "cos")).alias("m")  # smallest anchor id
+    return (
+        hits.groupBy("vec_id", "cent_id")
+        .agg(best)
+        .select(
+            "vec_id", "cent_id",
+            F.col("m.a_id").alias("dup_of"), F.col("m.cos").alias("cos"),
+        )
+    )

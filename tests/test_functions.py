@@ -1533,3 +1533,36 @@ def test_logfreq_score_planted(spark):
     assert got[0]["mean_ilog2"] == round(20 / 6, 6) and not got[0]["kept"]
     assert got[1]["sum_ilog2"] == 0 and not got[1]["kept"]
     assert got[2]["mean_ilog2"] == 4.0 and got[2]["kept"]
+
+
+def test_semdedup_planted_twins(spark):
+    import math
+
+    from spatula_spark.functions import similarity as sim
+
+    # 3 orthogonal direction groups x 20 vectors each; group members
+    # are COLINEAR (magnitude-only spread), so cosine — and therefore
+    # centroid assignment — is identical across a group no matter
+    # which rows the hash sample picks as centroids: each group lands
+    # whole in one cluster, and SemDeDup must keep exactly one member.
+    # (A direction-epsilon spread can legitimately split a group
+    # across two sampled centroids — real SemDeDup behavior, but not
+    # a deterministic test.)
+    rows = []
+    for g in range(3):
+        for j in range(20):
+            v = [0.0] * 64
+            v[g * 20] = 1.0 + 0.01 * j
+            rows.append((g * 100 + j, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    dropped = sim.semdedup(df, n_centroids=8, eps=0.999).collect()
+    dropped_ids = {r["vec_id"] for r in dropped}
+    # every group's minimum id survives; the other 19 drop against it
+    assert len(dropped) == 57 and all(
+        r["dup_of"] == (r["vec_id"] // 100) * 100 for r in dropped
+    )
+    assert dropped_ids == {g * 100 + j for g in range(3) for j in range(1, 20)}
+    # colinear pairs read cos exactly 1.0
+    assert all(math.isclose(r["cos"], 1.0, abs_tol=1e-9) for r in dropped)
+    # orthogonal groups never cross-match
+    assert not any(r["dup_of"] // 100 != r["vec_id"] // 100 for r in dropped)
