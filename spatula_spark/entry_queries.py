@@ -1813,6 +1813,107 @@ def image_near_dup_phash_q(spark, sf_dir):
 
 
 @register(
+    "image_stats_filter",
+    """
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents ORDER BY g LIMIT 200),
+imgs AS (
+  SELECT g AS image_id, g AS idx, 0 AS variant FROM ids
+  UNION ALL SELECT g + 2000000, g, 1 FROM ids WHERE g < 50
+  UNION ALL SELECT g + 3000000, g, 2 FROM ids WHERE g < 50
+  UNION ALL SELECT g + 4000000, g, 3 FROM ids WHERE g < 50),
+px AS (
+  SELECT image_id, variant,
+    (x*3 + y*7 + ((idx * 2654435761) % 4294967296)) % 256 AS r0,
+    (x*5 + y*2 + ((idx * 2654435761) % 4294967296) // 256) % 256 AS g0,
+    ((x*x) // 7 + y*11 + ((idx * 2654435761) % 4294967296) // 65536) % 256
+      AS b0
+  FROM imgs, range(0, 48) t1(x), range(0, 32) t2(y)),
+ch AS (
+  SELECT image_id,
+    CASE variant WHEN 1 THEN r0 // 8 WHEN 2 THEN 128
+                 WHEN 3 THEN 255 - r0 // 8 ELSE r0 END AS r,
+    CASE variant WHEN 1 THEN g0 // 8 WHEN 2 THEN 128
+                 WHEN 3 THEN 255 - g0 // 8 ELSE g0 END AS g,
+    CASE variant WHEN 1 THEN b0 // 8 WHEN 2 THEN 128
+                 WHEN 3 THEN 255 - b0 // 8 ELSE b0 END AS b
+  FROM px),
+ys AS (SELECT image_id, (77*r + 150*g + 29*b) // 256 AS y FROM ch),
+st AS (
+  SELECT image_id, count(*)::BIGINT AS n_px,
+    sum(y)::BIGINT AS sum_y, sum(y*y)::BIGINT AS sum_y2,
+    min(y)::INT AS min_y, max(y)::INT AS max_y
+  FROM ys GROUP BY image_id)
+SELECT image_id, n_px, sum_y, sum_y2, min_y, max_y,
+  round(sum_y::DOUBLE / n_px, 6) AS mean_luma,
+  (n_px*sum_y2 - sum_y*sum_y)::BIGINT AS ivar,
+  CASE WHEN sum_y < 32*n_px THEN 'dark'
+       WHEN sum_y >= 224*n_px THEN 'blown'
+       WHEN n_px*sum_y2 - sum_y*sum_y < 100*n_px*n_px THEN 'flat'
+       ELSE 'ok' END AS verdict
+FROM st
+""",
+)
+def image_stats_filter_q(spark, sf_dir):
+    """Image quality pre-filter — the cheap cut a multimodal pipeline
+    runs before spending embed/caption compute: per-image integer luma
+    statistics (BT.601, exact int sums) classify dark / blown-out /
+    flat frames. The corpus plants all three failure modes against the
+    deterministic image field (variants of 50 originals: channels//8,
+    constant 128, 255-channels//8); stats run Arrow-batched in
+    mapInPandas over numpy (the shape a real decoder feeds), verdicts
+    are pure-integer Catalyst CASE arithmetic (no float in any
+    comparison). Unlike the phash entry this oracle has NO literal
+    asymmetry: synth_pixels is a closed integer form, so DuckDB
+    regenerates every pixel of all 350 images and replays the stats —
+    a full cross-engine check of the pixel pipeline end to end."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .limit(200)
+        .repartition(8)
+    )
+
+    def stats_iter(batches):
+        import numpy as np
+
+        from spatula_spark.functions.images import luma_stats, synth_pixels
+
+        def emit(rows, image_id, px):
+            rows.append((image_id,) + luma_stats(px))
+
+        for pdf in batches:
+            rows: list = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                px = synth_pixels(i, 48, 32).astype(np.int64)
+                emit(rows, i, px)
+                if i < 50:
+                    emit(rows, i + 2_000_000, px // 8)
+                    emit(rows, i + 3_000_000, np.full_like(px, 128))
+                    emit(rows, i + 4_000_000, 255 - px // 8)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "sum_y", "sum_y2", "min_y", "max_y"
+                ],
+            )
+
+    from .functions.images import IMAGE_STATS_SCHEMA, image_quality_verdict
+
+    st = ids.mapInPandas(stats_iter, IMAGE_STATS_SCHEMA)
+    n, sy, sy2 = F.col("n_px"), F.col("sum_y"), F.col("sum_y2")
+    return st.select(
+        "image_id", "n_px", "sum_y", "sum_y2", "min_y", "max_y",
+        F.round(sy / n, 6).alias("mean_luma"),
+        (n * sy2 - sy * sy).alias("ivar"),
+        image_quality_verdict(n, sy, sy2).alias("verdict"),
+    )
+
+
+@register(
     "audio_features",
     """
 WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),

@@ -284,3 +284,49 @@ def decode_verify_iter(
             out["phash_ok"].append(ph_ok)
             out["caption"].append(row.caption)
         yield pd.DataFrame(out)
+
+
+# ------------------------------------------------------ luma quality stats
+IMAGE_STATS_SCHEMA = (
+    "image_id long, n_px long, sum_y long, sum_y2 long, min_y int, max_y int"
+)
+
+
+def luma_plane(pixels: np.ndarray) -> np.ndarray:
+    """BT.601 integer luma: (77R + 150G + 29B) >> 8 — exact int
+    arithmetic (77+150+29 = 256), reproducible in any SQL engine."""
+    p = pixels.astype(np.int64)
+    return (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2]) >> 8
+
+
+def luma_stats(pixels: np.ndarray) -> tuple[int, int, int, int, int]:
+    """(n_px, sum_y, sum_y2, min_y, max_y) — all exact integers; the
+    sums bound well inside int64 for any image under ~2^21 pixels."""
+    y = luma_plane(pixels)
+    return (
+        int(y.size),
+        int(y.sum()),
+        int((y * y).sum()),
+        int(y.min()),
+        int(y.max()),
+    )
+
+
+def image_quality_verdict(
+    n_px, sum_y, sum_y2, dark_mean: int = 32, blown_mean: int = 224,
+    min_var: int = 100,
+):
+    """Dark / blown-out / flat / ok classification on INTEGER stats —
+    mean and variance thresholds cross-multiplied so no float ever
+    enters the verdict (sum_y < dark_mean*n; n*sum_y2 - sum_y^2 <
+    min_var*n^2). The standard pre-filter a multimodal training
+    pipeline runs before spending decode/embed compute on an image."""
+    from pyspark.sql import functions as F
+
+    ivar = n_px * sum_y2 - sum_y * sum_y
+    return (
+        F.when(sum_y < dark_mean * n_px, F.lit("dark"))
+        .when(sum_y >= blown_mean * n_px, F.lit("blown"))
+        .when(ivar < min_var * n_px * n_px, F.lit("flat"))
+        .otherwise(F.lit("ok"))
+    )

@@ -1566,3 +1566,28 @@ def test_semdedup_planted_twins(spark):
     assert all(math.isclose(r["cos"], 1.0, abs_tol=1e-9) for r in dropped)
     # orthogonal groups never cross-match
     assert not any(r["dup_of"] // 100 != r["vec_id"] // 100 for r in dropped)
+
+
+def test_image_stats_filter_verdicts(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    rows = QUERIES["image_stats_filter"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["image_id"]: r for r in rows}
+    assert len(rows) == 350
+    for i in range(50):
+        assert by_id[i + 2_000_000]["verdict"] == "dark"
+        assert by_id[i + 3_000_000]["verdict"] == "flat"
+        assert by_id[i + 4_000_000]["verdict"] == "blown"
+        assert by_id[i]["verdict"] == "ok"
+        # exact-integer invariants: flat variant is constant 128
+        flat = by_id[i + 3_000_000]
+        assert flat["min_y"] == flat["max_y"] == 128
+        assert flat["ivar"] == 0 and flat["sum_y"] == 128 * flat["n_px"]
+        # dark/blown bracket the planted transforms
+        assert by_id[i + 2_000_000]["max_y"] <= 31
+        assert by_id[i + 4_000_000]["min_y"] >= 224
+    # stats are exact: n*var identity holds (recompute from sums)
+    r0 = by_id[0]
+    assert r0["ivar"] == r0["n_px"] * r0["sum_y2"] - r0["sum_y"] ** 2
