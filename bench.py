@@ -143,6 +143,10 @@ HEADLINE = [
     "redact_pii",
     "doc_repetition_filters",
     "quality_cut",
+    "boilerplate_strip",
+    "logfreq_quality",
+    "semdedup_prune",
+    "image_stats_filter",
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",

@@ -719,6 +719,7 @@ def semdedup(
     eps: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     embedding — k-means-cluster the corpus, then within each cluster
@@ -753,6 +754,34 @@ def semdedup(
         .filter(F.col("cent_id").isNotNull())
         .localCheckpoint()
     )
+    if max_cluster is not None:
+        # mega-cluster cap (the LSH bucket-cap contract,
+        # dedup._capped_bucket_pairs): clusters over the cap compare
+        # members against the cluster-min hub only — O(m) rows instead
+        # of O(m^2), and for an epsilon-ball (the case that creates
+        # mega-clusters) hub comparisons find the same duplicates the
+        # full clique would. dup_of stays deterministic (hub = min id).
+        from .dedup import _capped_bucket_pairs
+
+        pr = _capped_bucket_pairs(
+            asg, ["cent_id"], "cid", max_cluster, payload_c="cv"
+        )
+        hits = pr.select(
+            F.col("_b").alias("vec_id"),
+            F.col("_a").alias("a_id"),
+            F.round(
+                cosine_fast(F.col("_pa"), F.col("_pb")), 6
+            ).alias("cos"),
+        ).filter(F.col("cos") >= eps)
+        best = hits.groupBy("vec_id").agg(
+            F.min(F.struct("a_id", "cos")).alias("m")
+        )
+        return best.join(
+            asg.select(F.col("cid").alias("vec_id"), "cent_id"), "vec_id"
+        ).select(
+            "vec_id", "cent_id",
+            F.col("m.a_id").alias("dup_of"), F.col("m.cos").alias("cos"),
+        )
     a = asg.select(
         "cent_id", F.col("cid").alias("a_id"), F.col("cv").alias("av")
     )

@@ -1591,3 +1591,41 @@ def test_image_stats_filter_verdicts(spark):
     # stats are exact: n*var identity holds (recompute from sums)
     r0 = by_id[0]
     assert r0["ivar"] == r0["n_px"] * r0["sum_y2"] - r0["sum_y"] ** 2
+
+
+def test_semdedup_cluster_cap(spark):
+    from spatula_spark.functions import similarity as sim
+
+    # one colinear mega-group (100 members -> one cluster, a clique
+    # the cap must linearize) + one small group (full pairs path)
+    rows = []
+    for j in range(100):
+        v = [0.0] * 64
+        v[0] = 1.0 + 0.001 * j
+        rows.append((j, v))
+    for j in range(5):
+        v = [0.0] * 64
+        v[32] = 1.0 + 0.001 * j
+        rows.append((500 + j, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # n_centroids >= corpus: every point is a centroid, so each group
+    # deterministically collapses onto its min-id member (cos ties ->
+    # smallest cent_id) — two clean clusters regardless of hash order.
+    # (With a small sample all centroids can land in the mega group,
+    # merging both groups into one cluster — the documented cap caveat
+    # then hides cross-ball pairs; that's behavior, not a test.)
+    capped = sim.semdedup(df, n_centroids=105, eps=0.999, max_cluster=16)
+    full = sim.semdedup(df, n_centroids=105, eps=0.999)
+    got_c = {r["vec_id"]: r for r in capped.collect()}
+    got_f = {r["vec_id"]: r for r in full.collect()}
+    # colinear balls: hub-star finds the identical dropped set with the
+    # identical dup_of (hub == group min == full path's min anchor)
+    assert set(got_c) == set(got_f)
+    assert all(
+        got_c[k]["dup_of"] == got_f[k]["dup_of"]
+        and got_c[k]["cent_id"] == got_f[k]["cent_id"]
+        for k in got_c
+    )
+    assert {k for k in got_c if k < 500} == set(range(1, 100))
+    assert all(got_c[k]["dup_of"] == 0 for k in got_c if k < 500)
+    assert {k for k in got_c if k >= 500} == {501, 502, 503, 504}
