@@ -147,6 +147,7 @@ HEADLINE = [
     "logfreq_quality",
     "semdedup_prune",
     "image_stats_filter",
+    "image_downsample",
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",

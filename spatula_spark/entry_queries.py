@@ -1914,6 +1914,67 @@ def image_stats_filter_q(spark, sf_dir):
 
 
 @register(
+    "image_downsample",
+    """
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents ORDER BY g LIMIT 200),
+px AS (
+  SELECT g AS image_id, x, y,
+    (x*3 + y*7 + ((g * 2654435761) % 4294967296)) % 256 AS r0,
+    (x*5 + y*2 + ((g * 2654435761) % 4294967296) // 256) % 256 AS g0,
+    ((x*x) // 7 + y*11 + ((g * 2654435761) % 4294967296) // 65536) % 256
+      AS b0
+  FROM ids, range(0, 48) t1(x), range(0, 32) t2(y))
+SELECT image_id, (x//8)::INT AS bx, (y//8)::INT AS by,
+  (sum(r0) // 64)::INT AS r, (sum(g0) // 64)::INT AS g,
+  (sum(b0) // 64)::INT AS b
+FROM px GROUP BY image_id, x//8, y//8
+""",
+)
+def image_downsample_q(spark, sf_dir):
+    """Integer box-filter thumbnailing (images.box_downsample) — the
+    resize step of an image ingestion pipeline, emitted one row per
+    OUTPUT PIXEL so the oracle checks every thumbnail value
+    individually: DuckDB regenerates the full-resolution pixel field
+    from the closed form and replays the 8x8 floor-mean per channel.
+    Spark side runs the numpy reshape-sum kernel Arrow-batched in
+    mapInPandas (the exact shape a PIL/libjpeg decode feeds at
+    production scale)."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .limit(200)
+        .repartition(8)
+    )
+
+    def thumbs_iter(batches):
+        from spatula_spark.functions.images import (
+            box_downsample,
+            synth_pixels,
+        )
+
+        for pdf in batches:
+            rows: list = []
+            for i in pdf["doc_id"].astype("int64"):
+                th = box_downsample(synth_pixels(int(i), 48, 32), 8)
+                for by in range(th.shape[0]):
+                    for bx in range(th.shape[1]):
+                        rows.append(
+                            (int(i), bx, by, int(th[by, bx, 0]),
+                             int(th[by, bx, 1]), int(th[by, bx, 2]))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bx", "by", "r", "g", "b"]
+            )
+
+    return ids.mapInPandas(
+        thumbs_iter, "image_id long, bx int, by int, r int, g int, b int"
+    )
+
+
+@register(
     "audio_features",
     """
 WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),

@@ -330,3 +330,16 @@ def image_quality_verdict(
         .when(ivar < min_var * n_px * n_px, F.lit("flat"))
         .otherwise(F.lit("ok"))
     )
+
+
+def box_downsample(pixels: np.ndarray, f: int) -> np.ndarray:
+    """Integer box-filter downsample by ``f``: each output pixel is the
+    floor-mean of its f x f input block, per channel — the resolution
+    normalization a multimodal pipeline runs before hashing/embedding.
+    Pure integer arithmetic (sum // f^2), so a SQL engine can replay
+    every output pixel exactly; dims must be multiples of ``f``."""
+    h, w, c = pixels.shape
+    if h % f or w % f:
+        raise ValueError(f"box_downsample: {h}x{w} not divisible by {f}")
+    p = pixels.astype(np.int64)
+    return p.reshape(h // f, f, w // f, f, c).sum(axis=(1, 3)) // (f * f)

@@ -1629,3 +1629,23 @@ def test_semdedup_cluster_cap(spark):
     assert {k for k in got_c if k < 500} == set(range(1, 100))
     assert all(got_c[k]["dup_of"] == 0 for k in got_c if k < 500)
     assert {k for k in got_c if k >= 500} == {501, 502, 503, 504}
+
+
+def test_box_downsample_exact():
+    import numpy as np
+    import pytest
+
+    from spatula_spark.functions.images import box_downsample, synth_pixels
+
+    px = synth_pixels(13, 48, 32)
+    th = box_downsample(px, 8)
+    assert th.shape == (4, 6, 3)
+    for by in range(4):
+        for bx in range(6):
+            for c in range(3):
+                blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, c]
+                assert th[by, bx, c] == int(blk.astype(np.int64).sum()) // 64
+    # factor 1 is the identity; non-divisible dims refuse loudly
+    assert (box_downsample(px, 1) == px).all()
+    with pytest.raises(ValueError):
+        box_downsample(px, 5)
