@@ -189,6 +189,29 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     ).count()
     out["ann_ivf_s"] = round(time.time() - t, 2)
 
+    # SemDeDup mega-cluster adversarial leg: n_centroids held FIXED at
+    # 32 while the corpus grows 10x, so mean cluster size grows 10x —
+    # the uncapped within-cluster pair count would grow ~100x. The
+    # max_cluster hub-star cap must hold the emitted candidate volume
+    # ~linear, and the dropped set (planted perturbed twins) is
+    # ~linear by construction.
+    t = time.time()
+    sem_c = pert.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    s_ids, s_mat = sim.ivf_centroids(sem_c, 32)
+    s_asg = (
+        sem_c.withColumn("cent_id", sim._assign_udf(s_ids, s_mat)("cv"))
+        .filter(F.col("cent_id").isNotNull())
+        .localCheckpoint()
+    )
+    out["sem_cands"] = dd._capped_bucket_pairs(
+        s_asg, ["cent_id"], "cid", 64, payload_c="cv").count()
+    out["sem_cand_s"] = round(time.time() - t, 2)
+    t = time.time()
+    out["sem_dropped"] = sim.semdedup(
+        pert, n_centroids=32, eps=0.999, max_cluster=64).count()
+    out["sem_s"] = round(time.time() - t, 2)
+
     # 64-bit fingerprint near-dup (the image-pHash shape) via the
     # multi-index hamming join: originals = xxhash64(id), planted
     # copies = <=7 deterministic bit flips. Also measure the
@@ -450,6 +473,10 @@ def main():
         "inc_cands_growth": (ratio("inc_cands"), 20.0),
         "inc_dups_growth": (ratio("inc_dups"), 20.0),
         "emb_cands_growth": (ratio("emb_cands"), 20.0),
+        # fixed-k SemDeDup: uncapped would be ~100x; the hub-star cap
+        # must keep emitted pair volume ~linear
+        "sem_cands_growth": (ratio("sem_cands"), 20.0),
+        "sem_dropped_growth": (ratio("sem_dropped"), 20.0),
         "simhash_bucket_frac_ratio": (round(frac10 / max(frac1, 1e-9), 2),
                                       1.5),
         # multi-index hamming: planted pairs dominate => ~linear growth
@@ -504,6 +531,7 @@ def main():
     ]
     for k in ("n_docs", "minhash_cands", "minhash_pairs", "simhash_neardups",
               "simhash_max_bucket", "n_vecs", "emb_cands", "emb_neardups",
+              "sem_cands", "sem_dropped",
               "mih_pairs", "banded8_cand_volume", "mih_cand_volume",
               "cc_nodes", "cc_components", "cc_rounds", "cc_jumps",
               "capped_pairs", "capped_starred", "capped_max_bucket",
