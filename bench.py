@@ -148,6 +148,7 @@ HEADLINE = [
     "semdedup_prune",
     "image_stats_filter",
     "image_downsample",
+    "bpe_pair_counts",
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",

@@ -649,6 +649,36 @@ def logfreq_quality(spark, sf_dir):
     return tx.logfreq_score(cands, lm_docs=docs, keep_min=4)
 
 
+@register(
+    "bpe_pair_counts",
+    f"""
+WITH freq AS (
+  SELECT w, count(*) AS n_w FROM (
+    SELECT unnest({DUCK_WORDS}) AS w FROM documents) GROUP BY w),
+p AS (
+  SELECT n_w, unnest(
+    list_append(
+      CASE WHEN length(w) >= 2
+        THEN list_transform(range(1, length(w)), i -> w[i:i+1])
+        ELSE []::VARCHAR[] END,
+      w[-1:] || '</w>')) AS pair
+  FROM freq),
+c AS (SELECT pair, sum(n_w)::BIGINT AS n FROM p GROUP BY pair)
+SELECT pair, n, rank FROM (
+  SELECT pair, n,
+    (row_number() OVER (ORDER BY n DESC, pair))::INT AS rank FROM c)
+WHERE rank <= 30
+""",
+)
+def bpe_pair_counts_q(spark, sf_dir):
+    """BPE tokenizer-training pair statistics (tx.bpe_pair_counts):
+    corpus-weighted adjacent-symbol-pair counts with the '</w>'
+    end-of-word marker, top 30 — the aggregate each BPE merge round
+    argmaxes over, computed on the word-frequency table so pair work
+    is vocab-sized, not corpus-sized."""
+    return tx.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
 # ==========================================================================
 # 3. Training-data operators: deduplication
 # ==========================================================================

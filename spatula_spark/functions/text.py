@@ -476,3 +476,53 @@ def logfreq_score(
         mean.alias("mean_ilog2"),
         (mean >= keep_min).alias("kept"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 30
+) -> DataFrame:
+    """The core aggregate of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide counts of adjacent symbol pairs, from which
+    each merge round picks the argmax. Computed the way a real
+    tokenizer trainer scales: ONE corpus pass builds the word-
+    frequency table (Heaps-law vocabulary-sized), then pair
+    generation and counting run over the vocab weighted by frequency
+    — pair candidates never touch corpus-scale rows again, so 100 TB
+    of text costs one word-count aggregate plus vocab-sized work.
+
+    Symbols here are characters with an explicit end-of-word marker
+    '</w>' (the classic formulation's first round); pairs are ranked
+    by weighted count desc then pair text, top ``k`` returned —
+    integer counts and lexical tie-breaks keep a cross-engine oracle
+    exact."""
+    from .dedup import normalized_words
+
+    freq = (
+        df.select(F.explode(normalized_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    w, n = F.col("w"), F.length("w")
+    inner = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: F.substring(w, i, 2)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.concat(
+        inner, F.array(F.concat(F.substring(w, -1, 1), F.lit("</w>")))
+    )
+    counted = (
+        freq.select("n_w", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n_w").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    # global top-k window over the PAIR table only — bounded by the
+    # symbol alphabet squared, never corpus- or vocab-scale
+    rank_w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

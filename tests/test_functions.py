@@ -1649,3 +1649,19 @@ def test_box_downsample_exact():
     assert (box_downsample(px, 1) == px).all()
     with pytest.raises(ValueError):
         box_downsample(px, 5)
+
+
+def test_bpe_pair_counts_golden(spark):
+    from spatula_spark.functions import text as tx
+
+    # corpus: 'ab ab cd a' -> freq {ab:2, cd:1, a:1}
+    # pairs: ab -> {'ab':2, 'b</w>':2}; cd -> {'cd':1, 'd</w>':1};
+    #        a -> {'a</w>':1}
+    df = spark.createDataFrame([(0, "ab ab cd"), (1, "a")],
+                               ["doc_id", "text"])
+    got = {r["pair"]: (r["n"], r["rank"])
+           for r in tx.bpe_pair_counts(df, k=10).collect()}
+    assert got == {
+        "ab": (2, 1), "b</w>": (2, 2),
+        "a</w>": (1, 3), "cd": (1, 4), "d</w>": (1, 5),
+    }
