@@ -193,8 +193,13 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     # 32 while the corpus grows 10x, so mean cluster size grows 10x —
     # the uncapped within-cluster pair count would grow ~100x. The
     # max_cluster hub-star cap must hold the emitted candidate volume
-    # ~linear, and the dropped set (planted perturbed twins) is
-    # ~linear by construction.
+    # ~linear (sem_cands). sem_dropped documents the cap's RECALL
+    # price in this deliberately-undersized configuration: with every
+    # cluster over the cap, only hub comparisons remain, so the
+    # dropped count collapses to ~one per cluster (~flat at 10x).
+    # The deployment rule (semdedup docstring) is n_centroids ∝
+    # corpus so cluster sizes stay bounded and the cap is inert;
+    # this leg pins the cost bound, not the recall, of the cap.
     t = time.time()
     sem_c = pert.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
