@@ -149,6 +149,7 @@ HEADLINE = [
     "image_stats_filter",
     "image_downsample",
     "bpe_pair_counts",
+    "zorder_layout",
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",

@@ -1671,6 +1671,54 @@ def range_join_error_bursts_q(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "burst_start", "burst_end")
 
 
+def _zorder_oracle() -> str:
+    from .functions.layout import zorder_key_duckdb
+
+    return f"""
+WITH e AS (
+  SELECT user_id AS u,
+         epoch_us(ts) // 60000000 - 28401120 AS m
+  FROM events),
+k AS (SELECT u, m, {zorder_key_duckdb('u', 'm', 16)} AS zkey FROM e)
+SELECT (zkey >> 20)::BIGINT AS bucket, count(*) AS n,
+  min(u) AS umin, max(u) AS umax,
+  min(m)::BIGINT AS mmin, max(m)::BIGINT AS mmax
+FROM k GROUP BY 1
+"""
+
+
+@register("zorder_layout", _zorder_oracle)
+def zorder_layout_q(spark, sf_dir):
+    """Z-order (Morton) clustering keys over events(user_id, minute) —
+    the OPTIMIZE ZORDER primitive (functions/layout.py): one unrolled
+    map-side bit-interleave expression, no UDF, no shuffle for the key
+    itself. The query rolls events up by zkey-prefix bucket and
+    reports each bucket's user/time ranges: the value-hash match pins
+    the interleave arithmetic, and the narrow per-bucket ranges
+    (asserted in tests/test_functions.py) demonstrate the 2-D
+    locality that makes parquet min/max stats prunable on either
+    dimension after a repartitionByRange(zkey) rewrite."""
+    from .functions import layout as lay
+
+    ev = _t(spark, sf_dir, "events")
+    k = ev.select(
+        F.col("user_id").alias("u"),
+        (
+            F.floor(ev["ts"].cast("timestamp").cast("long") / 60)
+            - F.lit(28401120)
+        )
+        .cast("long")
+        .alias("m"),
+    ).withColumn("zkey", lay.zorder_key(F.col("u"), F.col("m")))
+    return k.groupBy(
+        F.shiftright("zkey", 20).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("u").alias("umin"), F.max("u").alias("umax"),
+        F.min("m").alias("mmin"), F.max("m").alias("mmax"),
+    )
+
+
 @register(
     "stream_sliding_counts",
     """

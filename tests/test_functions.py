@@ -1665,3 +1665,40 @@ def test_bpe_pair_counts_golden(spark):
         "ab": (2, 1), "b</w>": (2, 2),
         "a</w>": (1, 3), "cd": (1, 4), "d</w>": (1, 5),
     }
+
+
+def test_zorder_key_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from spatula_spark.entry_queries import QUERIES
+    from spatula_spark.functions.layout import zorder_key
+
+    # known interleave: a=3 (bits 0,1), b=5 (bits 0,2)
+    # -> 1 + 2 + 4 + 32 = 39; and a full round trip property
+    rows = [(3, 5), (0, 0), (65535, 65535), (1, 0), (0, 1), (1234, 4321)]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "z", zorder_key(F.col("a"), F.col("b"))
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    assert got[(3, 5)] == 39
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+    def interleave(a, b):
+        return sum(
+            (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+            for i in range(16)
+        )
+
+    assert all(got[(a, b)] == interleave(a, b) for a, b in rows)
+
+    # 2-D locality: fixing the zkey prefix (>> 20) bounds BOTH source
+    # dimensions — minute bits 0..9 and user bits 0..9 are the only
+    # free ones, so every bucket spans < 1024 minutes AND < 1024 users
+    buckets = QUERIES["zorder_layout"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(buckets) > 1
+    for r in buckets:
+        assert r["mmax"] - r["mmin"] < 1024
+        assert r["umax"] - r["umin"] < 1024
