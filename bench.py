@@ -150,6 +150,8 @@ HEADLINE = [
     "image_downsample",
     "bpe_pair_counts",
     "zorder_layout",
+    "degree_histogram",
+    "url_template_mining",
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",

@@ -2754,6 +2754,103 @@ def pagerank_top20_q(spark, sf_dir):
     )
 
 
+@register(
+    "degree_histogram",
+    f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+e AS (
+  SELECT node AS src, {duck_hash("node::VARCHAR || ':pr' || j")}
+         % (SELECT count(*) FROM documents) AS dst
+  FROM nodes CROSS JOIN unnest([1, 2, 3]) AS t(j)
+  UNION ALL
+  SELECT node, {duck_hash("node::VARCHAR || ':pr4'")} % 10 FROM nodes),
+d AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+SELECT (length(bin(deg)) - 1)::INT AS bucket, count(*) AS n_nodes,
+  min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg
+FROM d GROUP BY 1
+""",
+)
+def degree_histogram_q(spark, sf_dir):
+    """Log2-bucketed in-degree distribution (gr.degree_histogram) over
+    the pagerank graph plus a planted HUB leg (every node's 4th edge
+    lands on nodes 0-9, giving those nodes ~n/10 in-degree): the hub
+    bucket sits ~log2(n/10) bins above the Poisson(3) background,
+    which is exactly the skew forecast a crawl pipeline reads off this
+    histogram before choosing join strategies downstream."""
+    from .functions import graph as gr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    n = docs.count()
+
+    def h(j):
+        return portable_hash64(
+            F.concat(F.col("node").cast("string"), F.lit(f":pr{j}"))
+        )
+
+    edges = docs.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                *[F.pmod(h(j), F.lit(n)) for j in (1, 2, 3)],
+                F.pmod(h(4), F.lit(10)),
+            )
+        ).alias("dst"),
+    )
+    return gr.degree_histogram(edges)
+
+
+@register(
+    "url_template_mining",
+    """
+WITH d AS (SELECT doc_id, 'h' || (doc_id % 7) AS host FROM documents),
+u AS (
+  SELECT host, 'https://' || host || p AS url FROM (
+    SELECT host, unnest([
+      '/product/' || doc_id,
+      '/list/page/' || (doc_id % 5),
+      '/cal/2024/' || ((doc_id*37) % 500) || '/' || ((doc_id*91) % 500)
+    ]) AS p FROM d)),
+c AS (SELECT host, regexp_replace(url, '[0-9]+', '{n}', 'g') AS template,
+        count(DISTINCT url) AS n_urls
+      FROM u GROUP BY 1, 2)
+SELECT host, template, n_urls, n_urls >= 50 AS flagged FROM c
+""",
+)
+def url_template_mining_q(spark, sf_dir):
+    """URL-template mining (urls.url_templates): digit runs masked to
+    '{n}', distinct-URL counts per (host, template). The synthetic
+    frontier plants a bounded browse space (/list/page/{n}: 5 pages
+    per host, never flagged), an id-per-entity space (/product/{n})
+    and a calendar-trap shape (/cal/{n}/{n}/{n}) that both exceed the
+    per-host budget threshold and get flagged for the crawl-budget
+    machinery."""
+    from .urls import url_templates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    paths = F.array(
+        F.concat(F.lit("/product/"), F.col("doc_id").cast("string")),
+        F.concat(
+            F.lit("/list/page/"), (F.col("doc_id") % 5).cast("string")
+        ),
+        F.concat(
+            F.lit("/cal/2024/"),
+            ((F.col("doc_id") * 37) % 500).cast("string"),
+            F.lit("/"),
+            ((F.col("doc_id") * 91) % 500).cast("string"),
+        ),
+    )
+    urls = d.select(
+        host.alias("host"), F.explode(paths).alias("p")
+    ).select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.col("p")).alias("url"),
+    )
+    return url_templates(urls, threshold=50)
+
+
 def _hll_oracle() -> str:
     from .functions import sketches as sk
 

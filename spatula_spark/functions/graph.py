@@ -110,3 +110,26 @@ def integer_pagerank_duckdb(
             f"FROM pr_nodes n LEFT JOIN pr_c{k} c ON n.node = c.node)"
         )
     return ",\n".join(parts) + f"\n-- final table: pr_r{n_iter}(node, r)"
+
+
+def degree_histogram(
+    edges: DataFrame, dst_col: str = "dst"
+) -> DataFrame:
+    """Log2-bucketed in-degree distribution of a link graph — the
+    first analytics pass over a crawled web graph (power-law check,
+    hub detection, join-skew forecasting for everything downstream).
+    Two map-side-combinable aggregates: per-node degree count, then
+    nodes per floor(log2(degree)) bucket with each bucket's degree
+    range. floor(log2) is bit-length arithmetic (length(bin(d)) - 1),
+    so a cross-engine oracle is integer-exact; no window, no join —
+    at 10^11 edges the only wide stage is the keyed degree count."""
+    deg = edges.groupBy(F.col(dst_col).alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    return deg.groupBy(
+        (F.length(F.bin("deg")) - 1).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )

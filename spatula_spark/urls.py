@@ -112,3 +112,36 @@ def portable_hash64(col: Column) -> Column:
 def portable_hash64_duckdb(expr: str) -> str:
     """DuckDB rendering of :func:`portable_hash64`."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::ubigint)::bigint"
+
+
+def url_templates(
+    df, url_col: str = "url", host_col: str = "host", threshold: int = 50
+):
+    """URL-template mining: generalize paths by masking digit runs to
+    '{n}' and count DISTINCT urls per (host, template) — the
+    crawl-budget analysis that finds unbounded URL spaces
+    (/cal/{n}/{n}, /product/{n}?page={n}) before the frontier drowns
+    in them. Complements operators/politeness.trap_hosts: that flags
+    hosts by growth-vs-diversity across waves; this attributes the
+    blowup to the specific URL SHAPE, host by host, in one pass over
+    the frontier log. A flagged template feeds the same budget/deny
+    machinery.
+
+    One count-distinct aggregate keyed by (host, template) — map-side
+    combinable, vocabulary-sized output (templates are few by
+    construction), no join. The digit-masking regex is RE2/Java
+    common subset, so the DuckDB oracle evaluates the identical
+    pattern."""
+    from pyspark.sql import functions as F
+
+    tpl = F.regexp_replace(F.col(url_col), "[0-9]+", "{n}")
+    out = (
+        df.select(F.col(host_col).alias("host"), tpl.alias("template"),
+                  F.col(url_col).alias("u"))
+        .groupBy("host", "template")
+        .agg(F.countDistinct("u").alias("n_urls"))
+    )
+    return out.select(
+        "host", "template", "n_urls",
+        (F.col("n_urls") >= threshold).alias("flagged"),
+    )

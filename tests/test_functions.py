@@ -1702,3 +1702,36 @@ def test_zorder_key_and_locality(spark):
     for r in buckets:
         assert r["mmax"] - r["mmin"] < 1024
         assert r["umax"] - r["umin"] < 1024
+
+
+def test_degree_histogram_hub_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from spatula_spark.functions import graph as gr
+
+    # 100 nodes each linking to node 0 (hub, deg 100) + a self-ring
+    # (deg 1 each)
+    edges = spark.range(100).select(
+        F.col("id").alias("src"),
+        F.explode(F.array(F.lit(0), (F.col("id") + 1) % 100)).alias("dst"),
+    )
+    got = {r["bucket"]: r for r in gr.degree_histogram(edges).collect()}
+    # ring gives deg 1 (bucket 0) to nodes 1..99; node 0 has 100+1=101
+    # in-edges -> bucket 6 (2^6 <= 101 < 2^7)
+    assert got[0]["n_nodes"] == 99 and got[0]["max_deg"] == 1
+    assert got[6]["n_nodes"] == 1
+    assert got[6]["min_deg"] == got[6]["max_deg"] == 101
+
+
+def test_url_templates_flags(spark):
+    from spatula_spark.urls import url_templates
+
+    rows = [("hx", f"https://hx/cal/{i}/{i*7%97}") for i in range(60)]
+    rows += [("hx", f"https://hx/about/page/{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["host", "url"])
+    got = {r["template"]: r for r in
+           url_templates(df, threshold=50).collect()}
+    cal = got["https://hx/cal/{n}/{n}"]
+    about = got["https://hx/about/page/{n}"]
+    assert cal["flagged"] and cal["n_urls"] == 60
+    assert not about["flagged"] and about["n_urls"] == 3
