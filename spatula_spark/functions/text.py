@@ -403,28 +403,37 @@ def boilerplate_clean(
         .agg(F.countDistinct("doc_id").alias("line_df"))
         .filter(F.col("line_df") >= min_df)  # ship only the boiler set
     )
-    kept = keyed.join(freq, "lkey", "left_anti")
-    per_doc_kept = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("content"),
+    # left-join the (small, boiler-only) frequency table to TAG lines,
+    # then ONE conditional per-doc aggregation produces totals, kept
+    # count and cleaned content together — vs the naive anti-join +
+    # two groupBys + rejoin spelling, this is one keyed exchange
+    # instead of three (measured 8 -> ~4 exchanges in BENCH/PLANS.md)
+    boiler = F.col("line_df").isNotNull()
+    tagged = keyed.join(freq, "lkey", "left").select(
+        "doc_id", F.struct("pos", boiler.alias("b"), "line").alias("s")
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return totals.join(per_doc_kept, "doc_id", "left").select(
+    n_kept = F.sum(F.when(~F.col("s.b"), 1).otherwise(0))
+    content = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list("s")), lambda s: ~s["b"]
+            ),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        content.alias("content"),
+    ).select(
         "doc_id",
         "n_lines",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "n_kept",
         F.round(
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            / F.col("n_lines"),
-            6,
+            (F.col("n_lines") - F.col("n_kept")) / F.col("n_lines"), 6
         ).alias("boiler_ratio"),
-        F.coalesce("content", F.lit("")).alias("content"),
+        "content",
     )
 
 
