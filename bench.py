@@ -155,6 +155,9 @@ HEADLINE = [
     "hll_url_distinct",
     "cms_word_freq",
     "pagerank_top20",
+    "hits_topk",
+    "lm_perplexity_cut",
+    "fetch_schedule",
     "decontaminate",
     "quality_sample",
     "pack_sequences",

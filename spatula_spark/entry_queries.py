@@ -3647,3 +3647,175 @@ SELECT dst, phrase, n_hosts, n_links, rn FROM (
 
 
 ORACLES["anchor_text_topk"] = _anchor_oracle()
+
+
+# ==========================================================================
+# 8. Round-4 additions: link-graph HITS, bigram-LM quality, politeness
+#    schedule projection
+# ==========================================================================
+def _hits_oracle() -> str:
+    from .functions import hits as ht
+
+    nodes_sql = "SELECT doc_id AS node FROM documents"
+    dst = duck_hash("node::VARCHAR || ':pr' || j")
+    hub4 = duck_hash("node::VARCHAR || ':pr4'")
+    edges_sql = (
+        f"SELECT node AS src, {dst} % "
+        "(SELECT count(*) FROM documents) AS dst "
+        f"FROM ({nodes_sql}) CROSS JOIN unnest([1, 2, 3]) AS t(j) "
+        f"UNION ALL SELECT node, {hub4} % 10 FROM ({nodes_sql})"
+    )
+    return f"""
+WITH {ht.integer_hits_duckdb(nodes_sql, edges_sql, n_iter=3)}
+SELECT node AS doc_id, auth_scaled, hub_scaled
+FROM ht_final
+ORDER BY auth_scaled DESC, hub_scaled DESC, node ASC LIMIT 20
+"""
+
+
+@register("hits_topk", _hits_oracle)
+def hits_topk_q(spark, sf_dir):
+    """Integer-exact distributed HITS (functions/hits.py) over the
+    battery's deterministic doc graph plus its hub leg (every node's
+    4th edge lands on nodes 0-9): 3 mutual-reinforcement rounds, each
+    two slim joins + two hash aggs + an exact integer max-rescale
+    carried as a broadcast 1-row aggregate (never a driver collect).
+    Authorities (nodes 0-9 by construction) and hubs separate exactly
+    the way PageRank alone cannot; the DuckDB oracle unrolls the same
+    integer arithmetic, so the top-20 hashes bit-for-bit."""
+    from .functions import hits as ht
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    n = docs.count()
+
+    def h(j):
+        return portable_hash64(
+            F.concat(F.col("node").cast("string"), F.lit(f":pr{j}"))
+        )
+
+    edges = docs.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                *[F.pmod(h(j), F.lit(n)) for j in (1, 2, 3)],
+                F.pmod(h(4), F.lit(10)),
+            )
+        ).alias("dst"),
+    )
+    scores = ht.integer_hits(docs, edges, n_iter=3)
+    return (
+        scores.orderBy(
+            F.col("auth_scaled").desc(),
+            F.col("hub_scaled").desc(),
+            F.col("node").asc(),
+        )
+        .limit(20)
+        .select(
+            F.col("node").alias("doc_id"), "auth_scaled", "hub_scaled"
+        )
+    )
+
+
+def _lm_oracle() -> str:
+    from .functions import lm
+
+    docs_sql = """
+SELECT doc_id, lang, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000, lang,
+  array_to_string(list_reverse(
+    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                 ' ')), ' ')
+FROM documents WHERE doc_id < 50
+"""
+    train_sql = "SELECT doc_id, lang, text FROM documents"
+    return f"""
+WITH {lm.bigram_lm_score_duckdb(docs_sql, train_sql)}
+SELECT doc_id, lang, n_bigrams, sum_cost, mean_cost, bucket
+FROM lm_scored
+"""
+
+
+@register("lm_perplexity_cut", _lm_oracle)
+def lm_perplexity_cut_q(spark, sf_dir):
+    """CCNet-style perplexity bucketing with an integer-exact bigram
+    LM (functions/lm.py): train bigram counts on the clean corpus,
+    score clean docs PLUS 50 planted word-reversed twins (identical
+    unigram profile — invisible to logfreq_quality — but corpus-rare
+    adjacent pairs), bucket per language into head/middle/tail by
+    percent_rank of mean conditional cost. The reversed plants sink
+    into the tail bucket, which is exactly the spam/SEO failure mode
+    a unigram filter cannot see. floor-log2-by-bit-length keeps every
+    cost integer, so the DuckDB replay hashes bit-for-bit."""
+    from .functions import lm
+    from .functions.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    reversed_docs = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        "lang",
+        F.array_join(
+            F.reverse(normalized_words(F.col("text"))), " "
+        ).alias("text"),
+    )
+    cands = docs.unionByName(reversed_docs)
+    return lm.bigram_lm_score(cands, lm_docs=docs).select(
+        "doc_id", "lang", "n_bigrams", "sum_cost", "mean_cost", "bucket"
+    )
+
+
+@register(
+    "fetch_schedule",
+    f"""
+WITH f AS (
+  SELECT o_orderkey AS url_id, 'h' || (o_custkey % 40)::VARCHAR AS host,
+    (250 * (1 + o_custkey % 4))::BIGINT AS crawl_delay_ms,
+    {duck_hash("o_orderkey::VARCHAR || ':prio'")} % 1000 AS priority
+  FROM orders),
+s AS (
+  SELECT *, (row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, url_id ASC) - 1)::BIGINT AS slot
+  FROM f)
+SELECT url_id, host, crawl_delay_ms, priority, slot,
+  (slot * crawl_delay_ms)::BIGINT AS fetch_at_ms,
+  ((slot * crawl_delay_ms) // 1000)::BIGINT AS sec_bucket
+FROM s
+""",
+)
+def fetch_schedule_q(spark, sf_dir):
+    """Politeness fetch-schedule projection (operators/schedule.py):
+    per-host serve slots and fetch times for a priority frontier —
+    the timeline a distributed crawler must PLAN (the reference's
+    sequential loop gets it implicitly; reference pages.py fetches
+    one at a time). One window over host, then pure arithmetic; the
+    per-URL slot/fetch_at table is what the recrawl planner and wave
+    provisioner join against. Hosts carry heterogeneous crawl delays
+    (250-1000 ms), so makespans diverge the way real hosts do."""
+    from .operators.schedule import fetch_schedule
+
+    o = _t(spark, sf_dir, "orders")
+    frontier = o.select(
+        F.col("o_orderkey").alias("url_id"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 40).cast("string")
+        ).alias("host"),
+        (250 * (1 + F.col("o_custkey") % 4))
+        .cast("long")
+        .alias("crawl_delay_ms"),
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("o_orderkey").cast("string"), F.lit(":prio")
+                )
+            ),
+            F.lit(1000),
+        ).alias("priority"),
+    )
+    return fetch_schedule(frontier).select(
+        "url_id", "host", "crawl_delay_ms", "priority", "slot",
+        "fetch_at_ms", "sec_bucket",
+    )

@@ -1,0 +1,198 @@
+"""Bigram language-model quality scoring — the integer-exact engine
+shape of CCNet's perplexity bucketing (Wenzek et al. 2020).
+
+CCNet trains a KenLM model on a trusted corpus and splits each
+language's crawl into head/middle/tail perplexity tertiles; tail is
+dropped or down-weighted when building LLM pretraining mixes. The
+scoring signal a bigram model adds over the unigram filter
+(functions/text.py logfreq_score) is WORD ORDER: a scrambled or
+template-stuffed page has the exact same unigram profile as fluent
+text but its adjacent-word pairs are corpus-rare, so its conditional
+cost explodes. That is precisely the spam/SEO failure mode unigram
+filters cannot see.
+
+Cross-engine exactness: a real log-prob is float and libm-dependent,
+so (as everywhere in this engine — see functions/graph.py) the score
+uses integer bit-length as floor(log2): the cost of bigram (w1, w2)
+is ``ilog2(count(w1)) - ilog2(count(w1 w2))`` — a floor-log2 surrogate
+of -log2 P(w2|w1) that is monotone in the true conditional rarity,
+always >= 0 (count(w1 w2) <= count(w1) and bit-length is monotone),
+and pure int64 on both engines. Per-doc sums are exact integers; the
+single mean division is rounded to 6 dp (correctly rounded double of
+exact ints, the convention the rest of the battery already relies
+on). Bucket edges are percent_rank over (mean_cost, doc_id), fully
+ordered, so head/middle/tail assignment is deterministic too.
+
+Scale shape (100 TB): two explode->count aggregates over the training
+corpus (map-side combined; results are vocab- and bigram-vocab-sized,
+Heaps-sublinear in corpus size), one hash join from candidate bigram
+occurrences to the model (AQE broadcasts the model when it fits), one
+per-doc regroup, one per-language window over the doc-level table
+(slim: 4 columns/doc). No corpus-scale shuffle carries text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent-word pairs of the normalized word stream, as
+    'w1 w2' strings; empty array for docs under two words."""
+    from .dedup import normalized_words
+
+    w = normalized_words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    return F.when(F.size(w) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ilog2_count() -> Column:
+    return (F.length(F.bin(F.count("*"))) - 1).alias("ilog2")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    head_frac: float = 0.1,
+    middle_frac: float = 0.7,
+) -> DataFrame:
+    """Score ``docs`` with a bigram model trained on ``lm_docs``
+    (default: self-trained, the bootstrap a fresh crawl starts from)
+    and bucket per language into head/middle/tail by mean conditional
+    cost. Returns (doc_id, lang, n_bigrams, sum_cost, mean_cost,
+    bucket). Docs with no bigram (one word) cost 0 — they are the
+    head of any distribution and a length filter's problem, not the
+    LM's."""
+    from .dedup import normalized_words
+
+    train = lm_docs if lm_docs is not None else docs
+    uni = (
+        train.select(
+            F.explode(normalized_words(F.col(text_col))).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(_ilog2_count())
+        .withColumnRenamed("ilog2", "ilog2_uni")
+    )
+    big = (
+        train.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(_ilog2_count())
+        .withColumnRenamed("ilog2", "ilog2_big")
+    )
+    occ = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_bigrams(F.col(text_col))).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    # unseen-in-training tokens/bigrams cost ilog2(1) = 0 on both legs
+    cost = (
+        occ.join(big, "bg", "left")
+        .join(uni, "w1", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.coalesce("ilog2_uni", F.lit(0))
+                - F.coalesce("ilog2_big", F.lit(0))
+            ).alias("c"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(
+            cost.groupBy("doc_id").agg(
+                F.count("*").alias("n_bigrams"),
+                F.sum("c").alias("sum_cost"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce("sum_cost", F.lit(0).cast("long")).alias(
+                "sum_cost"
+            ),
+        )
+        .withColumn(
+            "mean_cost",
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("sum_cost") / F.col("n_bigrams"), 6)
+            ),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.col("mean_cost").asc(), F.col("doc_id").asc()
+    )
+    pr = F.percent_rank().over(win)
+    return per_doc.withColumn(
+        "bucket",
+        F.when(pr <= head_frac, F.lit("head"))
+        .when(pr <= middle_frac, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def bigram_lm_score_duckdb(
+    docs_sql: str,
+    train_sql: str | None = None,
+    head_frac: float = 0.1,
+    middle_frac: float = 0.7,
+) -> str:
+    """DuckDB mirror as CTEs over ``lm_docs(doc_id, lang, text)``;
+    final table ``lm_scored`` matches Spark's output bit-for-bit.
+    ``docs_sql`` must yield (doc_id, lang, text) with single-spaced
+    lower-normalizable text (the battery's corpus convention)."""
+    words = (
+        "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),"
+        " ' ')"
+    )
+    parts = [
+        f"lm_docs AS ({docs_sql})",
+        f"lm_train AS ({train_sql or 'SELECT * FROM lm_docs'})",
+        f"lm_w AS (SELECT doc_id, lang, {words} AS w FROM lm_docs)",
+        f"lm_tw AS (SELECT {words} AS w FROM lm_train)",
+        "lm_uni AS (SELECT w1, (length(bin(count(*))) - 1)::BIGINT AS "
+        "ilog2_uni FROM (SELECT unnest(w) AS w1 FROM lm_tw) GROUP BY w1)",
+        "lm_big AS (SELECT bg, (length(bin(count(*))) - 1)::BIGINT AS "
+        "ilog2_big FROM (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+        "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+        "ELSE []::VARCHAR[] END) AS bg FROM lm_tw) GROUP BY bg)",
+        "lm_occ AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] "
+        "AS w1 FROM (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2 "
+        "THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || "
+        "w[i+1]) ELSE []::VARCHAR[] END) AS bg FROM lm_w))",
+        "lm_cost AS (SELECT o.doc_id, o.lang, "
+        "coalesce(u.ilog2_uni, 0) - coalesce(b.ilog2_big, 0) AS c "
+        "FROM lm_occ o LEFT JOIN lm_big b ON o.bg = b.bg "
+        "LEFT JOIN lm_uni u ON o.w1 = u.w1)",
+        "lm_per_doc AS (SELECT d.doc_id, d.lang, "
+        "coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, "
+        "coalesce(s.sum_cost, 0)::BIGINT AS sum_cost, "
+        "CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 0.0 ELSE "
+        "round(coalesce(s.sum_cost, 0)::DOUBLE / s.n_bigrams, 6) END "
+        "AS mean_cost FROM lm_docs d LEFT JOIN "
+        "(SELECT doc_id, count(*) AS n_bigrams, sum(c) AS sum_cost "
+        "FROM lm_cost GROUP BY doc_id) s ON d.doc_id = s.doc_id)",
+        "lm_scored AS (SELECT doc_id, lang, n_bigrams, sum_cost, "
+        "mean_cost, CASE "
+        f"WHEN pr <= {head_frac} THEN 'head' "
+        f"WHEN pr <= {middle_frac} THEN 'middle' "
+        "ELSE 'tail' END AS bucket FROM (SELECT *, percent_rank() OVER "
+        "(PARTITION BY lang ORDER BY mean_cost ASC, doc_id ASC) AS pr "
+        "FROM lm_per_doc))",
+    ]
+    return ",\n".join(parts) + "\n-- final: lm_scored"

@@ -1735,3 +1735,107 @@ def test_url_templates_flags(spark):
     about = got["https://hx/about/page/{n}"]
     assert cal["flagged"] and cal["n_urls"] == 60
     assert not about["flagged"] and about["n_urls"] == 3
+
+
+def test_integer_hits_bipartite_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from spatula_spark.functions import hits as ht
+
+    # bipartite: hubs 10-12 each point at authorities 0-2; node 99
+    # is isolated. Mutual reinforcement must give all three
+    # authorities the max auth score (SCALE), all three hubs the max
+    # hub score, zero cross-talk, and zeros on the isolate.
+    nodes = spark.range(0, 3).union(spark.range(10, 13)).union(
+        spark.range(99, 100)
+    ).select(F.col("id").alias("node"))
+    edges = (
+        spark.range(10, 13)
+        .select(F.col("id").alias("src"))
+        .crossJoin(
+            spark.range(0, 3).select(F.col("id").alias("dst"))
+        )
+    )
+    got = {
+        r["node"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in ht.integer_hits(nodes, edges, n_iter=3).collect()
+    }
+    for a in (0, 1, 2):
+        assert got[a] == (ht.SCALE, 0)
+    for h in (10, 11, 12):
+        assert got[h] == (0, ht.SCALE)
+    assert got[99] == (0, 0)
+
+    # integer arithmetic => bit-identical under any partitioning
+    got2 = {
+        r["node"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in ht.integer_hits(
+            nodes.repartition(7), edges.repartition(5), n_iter=3
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_bigram_lm_reversed_docs_cost_more(spark):
+    from pyspark.sql import functions as F
+
+    from spatula_spark.functions import lm
+
+    # fluent corpus: one dominant word order. The reversed twin has
+    # the IDENTICAL unigram profile but corpus-rare bigrams, so its
+    # conditional cost must exceed the fluent doc's.
+    sent = "the cat sat on the mat and the dog sat on the rug"
+    train = spark.createDataFrame(
+        [(i, "en", sent) for i in range(20)],
+        ["doc_id", "lang", "text"],
+    )
+    cands = spark.createDataFrame(
+        [
+            (100, "en", sent),
+            (101, "en", " ".join(reversed(sent.split()))),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm.bigram_lm_score(cands, lm_docs=train).collect()
+    }
+    assert got[100]["n_bigrams"] == got[101]["n_bigrams"] == 12
+    assert got[101]["sum_cost"] > got[100]["sum_cost"]
+    assert got[100]["bucket"] == "head"
+    assert got[101]["bucket"] == "tail"
+
+    # one-word doc: no bigram, cost 0, still present in the output
+    single = spark.createDataFrame(
+        [(7, "en", "the")], ["doc_id", "lang", "text"]
+    )
+    row = lm.bigram_lm_score(single, lm_docs=train).collect()[0]
+    assert row["n_bigrams"] == 0 and row["sum_cost"] == 0
+
+
+def test_fetch_schedule_slots_and_makespan(spark):
+    from spatula_spark.operators.schedule import (
+        fetch_schedule,
+        host_makespan,
+    )
+
+    rows = [
+        # host a: delay 100, priorities 5 > 3 > 3 (tie -> url_id asc)
+        (1, "a", 100, 3),
+        (2, "a", 100, 5),
+        (3, "a", 100, 3),
+        # host b: delay 1000, one URL
+        (4, "b", 1000, 9),
+    ]
+    f = spark.createDataFrame(
+        rows, ["url_id", "host", "crawl_delay_ms", "priority"]
+    )
+    sched = fetch_schedule(f)
+    got = {r["url_id"]: r for r in sched.collect()}
+    assert got[2]["slot"] == 0 and got[2]["fetch_at_ms"] == 0
+    assert got[1]["slot"] == 1 and got[1]["fetch_at_ms"] == 100
+    assert got[3]["slot"] == 2 and got[3]["fetch_at_ms"] == 200
+    assert got[4]["slot"] == 0 and got[4]["sec_bucket"] == 0
+    ms = {r["host"]: r for r in host_makespan(sched).collect()}
+    assert ms["a"]["makespan_ms"] == 200 and ms["a"]["n_urls"] == 3
+    assert ms["b"]["makespan_ms"] == 0 and ms["b"]["n_urls"] == 1
