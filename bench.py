@@ -148,6 +148,7 @@ HEADLINE = [
     "semdedup_prune",
     "image_stats_filter",
     "image_downsample",
+    "colorhist_near_dups",
     "bpe_pair_counts",
     "zorder_layout",
     "degree_histogram",

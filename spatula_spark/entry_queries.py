@@ -3819,3 +3819,138 @@ def fetch_schedule_q(spark, sf_dir):
         "url_id", "host", "crawl_delay_ms", "priority", "slot",
         "fetch_at_ms", "sec_bucket",
     )
+
+
+_COLORHIST_ORACLE = """
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents ORDER BY g LIMIT 200),
+imgs AS (
+  SELECT g AS image_id, g AS idx, 0 AS variant FROM ids
+  UNION ALL SELECT g + 5000000, g, 1 FROM ids WHERE g < 50
+  UNION ALL SELECT g + 2000000, g, 2 FROM ids WHERE g < 10),
+coords AS (
+  SELECT image_id, idx, variant,
+    CASE WHEN variant = 1 THEN 47 - x ELSE x END AS px,
+    CASE WHEN variant = 1 THEN 31 - y ELSE y END AS py
+  FROM imgs, range(0, 48) t1(x), range(0, 32) t2(y)),
+ch AS (
+  SELECT image_id, variant,
+    (px*3 + py*7 + ((idx * 2654435761) % 4294967296)) % 256 AS r0,
+    (px*5 + py*2 + ((idx * 2654435761) % 4294967296) // 256) % 256 AS g0,
+    ((px*px) // 7 + py*11 + ((idx * 2654435761) % 4294967296) // 65536)
+      % 256 AS b0
+  FROM coords),
+ys AS (
+  SELECT image_id,
+    (77*(CASE WHEN variant = 2 THEN r0 // 8 ELSE r0 END)
+     + 150*(CASE WHEN variant = 2 THEN g0 // 8 ELSE g0 END)
+     + 29*(CASE WHEN variant = 2 THEN b0 // 8 ELSE b0 END)) // 256 AS yv
+  FROM ch),
+hist AS (
+  SELECT image_id,
+    sum(CASE WHEN yv // 32 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
+    sum(CASE WHEN yv // 32 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+    sum(CASE WHEN yv // 32 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
+    sum(CASE WHEN yv // 32 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3,
+    sum(CASE WHEN yv // 32 = 4 THEN 1 ELSE 0 END)::BIGINT AS h4,
+    sum(CASE WHEN yv // 32 = 5 THEN 1 ELSE 0 END)::BIGINT AS h5,
+    sum(CASE WHEN yv // 32 = 6 THEN 1 ELSE 0 END)::BIGINT AS h6,
+    sum(CASE WHEN yv // 32 = 7 THEN 1 ELSE 0 END)::BIGINT AS h7
+  FROM ys GROUP BY image_id),
+keyed AS (
+  SELECT *, (h0//16)::VARCHAR || ':' || (h1//16)::VARCHAR || ':'
+    || (h2//16)::VARCHAR || ':' || (h3//16)::VARCHAR || ':'
+    || (h4//16)::VARCHAR || ':' || (h5//16)::VARCHAR || ':'
+    || (h6//16)::VARCHAR || ':' || (h7//16)::VARCHAR AS k
+  FROM hist)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+  (abs(a.h0-b.h0) + abs(a.h1-b.h1) + abs(a.h2-b.h2) + abs(a.h3-b.h3)
+   + abs(a.h4-b.h4) + abs(a.h5-b.h5) + abs(a.h6-b.h6) + abs(a.h7-b.h7)
+  )::BIGINT AS l1
+FROM keyed a JOIN keyed b ON a.k = b.k AND a.image_id < b.image_id
+WHERE abs(a.h0-b.h0) + abs(a.h1-b.h1) + abs(a.h2-b.h2) + abs(a.h3-b.h3)
+   + abs(a.h4-b.h4) + abs(a.h5-b.h5) + abs(a.h6-b.h6) + abs(a.h7-b.h7)
+   <= 64
+"""
+
+
+@register("colorhist_near_dups", _COLORHIST_ORACLE)
+def colorhist_near_dups_q(spark, sf_dir):
+    """Color-histogram image near-dup — the rotation-invariant
+    modality of the image-dedup family (pHash is spatial: a
+    180-degree rotation flips its DCT signs; the luma histogram is a
+    pixel-MULTISET statistic, bit-identical under any spatial
+    permutation). 50 planted rotated twins land at L1 = 0; 10 planted
+    all-dark frames demonstrate the modality's known collision class
+    (low-information images share histograms — the reason production
+    dedup stacks AND the histogram with a spatial hash rather than
+    trusting either alone). Candidates come from an exact equi-join
+    on the 16-quantized histogram key — bucketed, never all-pairs,
+    same scale shape as the LSH/banding family — then L1 <= 64
+    verification on the candidate sliver. Histograms are computed
+    Arrow-batched over the closed-form pixel field, so the DuckDB
+    oracle regenerates every pixel (rotated coordinates spelled
+    literally) and replays key join + L1 bit-for-bit."""
+    import pandas as pd
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long"))
+        .orderBy("doc_id")
+        .limit(200)
+        .repartition(8)
+    )
+
+    def hist_iter(batches):
+        import numpy as np
+
+        from spatula_spark.functions.images import (
+            luma_histogram,
+            synth_pixels,
+        )
+
+        for pdf in batches:
+            rows: list = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                px = synth_pixels(i, 48, 32)
+                rows.append((i, *luma_histogram(px)))
+                if i < 50:
+                    rows.append(
+                        (i + 5_000_000, *luma_histogram(px[::-1, ::-1]))
+                    )
+                if i < 10:
+                    rows.append(
+                        (i + 2_000_000, *luma_histogram(px // 8))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id"] + [f"h{j}" for j in range(8)],
+            )
+
+    schema = "image_id long, " + ", ".join(
+        f"h{j} long" for j in range(8)
+    )
+    # eager checkpoint: the self-join's two legs would otherwise race
+    # past the empty cache and run the pixel kernel twice
+    hist = ids.mapInPandas(hist_iter, schema).localCheckpoint(eager=True)
+    key = F.concat_ws(
+        ":", *[F.expr(f"h{j} div 16").cast("string") for j in range(8)]
+    )
+    keyed = hist.withColumn("k", key)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    l1 = sum(
+        F.abs(F.col(f"a.h{j}") - F.col(f"b.h{j}")) for j in range(8)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            l1.cast("long").alias("l1"),
+        )
+        .filter(F.col("l1") <= 64)
+    )

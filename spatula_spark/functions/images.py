@@ -343,3 +343,16 @@ def box_downsample(pixels: np.ndarray, f: int) -> np.ndarray:
         raise ValueError(f"box_downsample: {h}x{w} not divisible by {f}")
     p = pixels.astype(np.int64)
     return p.reshape(h // f, f, w // f, f, c).sum(axis=(1, 3)) // (f * f)
+
+
+def luma_histogram(pixels: np.ndarray, bins: int = 8) -> list[int]:
+    """Integer luma histogram (bin = y // (256 // bins)) — the
+    rotation/flip/crop-shuffle-INVARIANT fingerprint of an image:
+    any spatial permutation of the pixels leaves it bit-identical,
+    which is exactly the family of near-duplicate transforms a
+    spatial hash (DCT pHash) misses. Pure integer, so any SQL engine
+    replays it from the same pixel field."""
+    y = luma_plane(pixels)
+    width = 256 // bins
+    counts = np.bincount((y // width).ravel(), minlength=bins)
+    return [int(c) for c in counts[:bins]]

@@ -1839,3 +1839,24 @@ def test_fetch_schedule_slots_and_makespan(spark):
     ms = {r["host"]: r for r in host_makespan(sched).collect()}
     assert ms["a"]["makespan_ms"] == 200 and ms["a"]["n_urls"] == 3
     assert ms["b"]["makespan_ms"] == 0 and ms["b"]["n_urls"] == 1
+
+
+def test_colorhist_near_dups_planted_recall(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    got = QUERIES["colorhist_near_dups"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["l1"] for r in got}
+    # every rotated twin is recovered at exactly L1 = 0 (histogram is
+    # a pixel-multiset statistic, invariant to the 180-deg rotation)
+    for i in range(50):
+        assert pairs[(i, i + 5_000_000)] == 0
+    # the 10 all-dark frames form the known low-information collision
+    # clique: all 45 pairs, all identical histograms
+    dark = [
+        (a, b) for (a, b) in pairs
+        if a >= 2_000_000 and b < 5_000_000
+    ]
+    assert len(dark) == 45
+    assert all(pairs[p] == 0 for p in dark)
