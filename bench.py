@@ -150,11 +150,13 @@ HEADLINE = [
     "image_downsample",
     "colorhist_near_dups",
     "bpe_pair_counts",
+    "oov_rate",
     "zorder_layout",
     "degree_histogram",
     "url_template_mining",
     "hll_url_distinct",
     "cms_word_freq",
+    "host_latency_quantiles",
     "pagerank_top20",
     "hits_topk",
     "lm_perplexity_cut",

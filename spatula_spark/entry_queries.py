@@ -3954,3 +3954,105 @@ def colorhist_near_dups_q(spark, sf_dir):
         )
         .filter(F.col("l1") <= 64)
     )
+
+
+def _hq_oracle() -> str:
+    from .functions import sketches as sk
+
+    lat = duck_hash("event_id::VARCHAR || ':lat'")
+    rows = (
+        "SELECT 'h' || (user_id % 25)::VARCHAR AS k, "
+        f"{lat} % 2000 AS v FROM events"
+    )
+    return f"""
+WITH {sk.histogram_quantiles_duckdb(rows)}
+SELECT k AS host, n, min_v, max_v, q50, q95, q99 FROM hq_final
+"""
+
+
+@register("host_latency_quantiles", _hq_oracle)
+def host_latency_quantiles_q(spark, sf_dir):
+    """Exact per-host fetch-latency quantiles
+    (sketches.histogram_quantiles): p50/p95/p99 over integer-binned
+    latencies via the histogram-CDF rule — smallest value whose
+    cumulative count reaches ceil(q% * n), all-integer, so the DuckDB
+    replay is bit-exact. This is the scale-correct percentile: one
+    map-side-combinable (host, latency) count, then a window over the
+    value DOMAIN (<= 2000 rows per host), never a total-order sort of
+    the raw rows and never percentile_approx's engine-specific float
+    interpolation. The p95 feed is what the politeness scheduler uses
+    to widen crawl delays on hosts that are slowing down."""
+    from .functions import sketches as sk
+
+    e = _t(spark, sf_dir, "events")
+    rows = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+        .alias("host"),
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col("event_id").cast("string"), F.lit(":lat"))
+            ),
+            F.lit(2000),
+        ).alias("lat_ms"),
+    )
+    return sk.histogram_quantiles(
+        rows, "host", "lat_ms", quantiles=(50, 95, 99)
+    ).select("host", "n", "min_v", "max_v", "q50", "q95", "q99")
+
+
+@register(
+    "oov_rate",
+    f"""
+WITH cands AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000,
+    array_to_string(list_transform({DUCK_WORDS},
+      x -> x || '~' || doc_id::VARCHAR), ' ')
+  FROM documents WHERE doc_id < 20),
+counts AS (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest({DUCK_WORDS}) AS w FROM documents) GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY n DESC, w) AS r FROM counts)
+  WHERE r <= 100),
+toks AS (
+  SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM cands),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+  round(n_oov::DOUBLE / n_tokens, 6) AS oov_frac,
+  n_oov * 100 >= 30 * n_tokens AS flagged
+FROM per
+""",
+)
+def oov_rate_q(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit (tx.oov_rate): per-doc OOV
+    rate against the top-100 corpus vocabulary. 20 planted docs whose
+    every word carries a '~docid' suffix are 100% OOV and flagged —
+    the shattered-into-chars failure a vocab audit exists to catch —
+    while clean docs built from the corpus's own word distribution
+    sit near 0. Vocab membership is a deterministic top-k (count
+    DESC, word ASC) and the flag threshold is cross-multiplied
+    integer arithmetic, so the DuckDB replay hashes bit-for-bit."""
+    from .functions import text as tx
+    from .functions.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                normalized_words(F.col("text")),
+                lambda x: F.concat(
+                    x, F.lit("~"), F.col("doc_id").cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    cands = docs.unionByName(planted)
+    return tx.oov_rate(cands, vocab_docs=docs, vocab_size=100)

@@ -199,3 +199,79 @@ hll_s AS (SELECT {p} AS p, {m} AS m,
               4) AS hll_estimate
           FROM hll_a)
 """
+
+
+def histogram_quantiles(
+    df,
+    key_col: str,
+    value_col: str,
+    quantiles: tuple[int, ...] = (50, 95, 99),
+):
+    """Exact grouped quantiles over an integer-binned value — the
+    scale-correct alternative to both a global sort (one total-order
+    shuffle of every row) and percentile_approx (float interpolation,
+    engine-specific, not oracle-able). Fetch latencies, response
+    sizes and queue depths are integers (or are binned to integers by
+    the caller), so the per-key histogram is tiny regardless of row
+    count: ONE map-side-combinable count aggregate keyed by
+    (key, value), then a per-key cumulative window over at most
+    |value domain| rows per key. The quantile rule is the exact
+    lower-quantile definition: smallest v with cum_count >= ceil(q/100
+    * n) — all-integer (cum * 100 >= q * n), so any SQL engine
+    replays it bit-for-bit.
+
+    Returns one row per key: n, min/max, and q<NN> columns.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hist = df.groupBy(
+        F.col(key_col).alias("k"), F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("c"))
+    win = (
+        Window.partitionBy("k")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(win)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("k"))
+    )
+    aggs = [
+        F.sum("c").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("v"))
+            ).alias(f"q{q}")
+        )
+    return cum.groupBy(F.col("k").alias(key_col)).agg(*aggs)
+
+
+def histogram_quantiles_duckdb(
+    rows_sql: str,
+    key: str = "k",
+    value: str = "v",
+    quantiles: tuple[int, ...] = (50, 95, 99),
+) -> str:
+    """DuckDB mirror of histogram_quantiles over ``rows_sql`` yielding
+    (k, v) rows; final table ``hq_final``."""
+    qcols = ", ".join(
+        f"min(CASE WHEN cum * 100 >= {q} * n THEN v END) AS q{q}"
+        for q in quantiles
+    )
+    return f"""
+hq_rows AS ({rows_sql}),
+hq_hist AS (SELECT {key} AS k, {value} AS v, count(*) AS c
+            FROM hq_rows GROUP BY 1, 2),
+hq_cum AS (SELECT k, v, c,
+    sum(c) OVER (PARTITION BY k ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(c) OVER (PARTITION BY k) AS n
+  FROM hq_hist),
+hq_final AS (SELECT k AS {key}, sum(c)::BIGINT AS n,
+    min(v) AS min_v, max(v) AS max_v, {qcols}
+  FROM hq_cum GROUP BY k)
+""".strip()

@@ -535,3 +535,67 @@ def bpe_pair_counts(
         counted.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_docs: DataFrame | None = None,
+    text_col: str = "text",
+    vocab_size: int = 100,
+    flag_pct: int = 30,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: the out-of-
+    vocabulary rate against the top-``vocab_size`` corpus words — the
+    health check run after (or before) training a tokenizer, because
+    a doc whose tokens mostly miss the vocab will shatter into
+    char-level pieces and blow up its token count downstream
+    (bpe_pair_counts is the training side; this is the audit side).
+
+    Exactness: vocab membership is a top-k by (count DESC, word ASC)
+    — total order, so the vocab set is deterministic; per-doc counts
+    are integers and the flag threshold is cross-multiplied
+    (n_oov * 100 >= flag_pct * n_tokens), no float anywhere but the
+    rounded report rate.
+
+    Scale shape: one corpus word count (map-side combined,
+    vocab-sized result), one window over that vocab-sized table, one
+    join from exploded candidate tokens to the vocab (AQE broadcasts
+    the top-k side — it is ``vocab_size`` rows), one per-doc regroup.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import normalized_words
+
+    src = vocab_docs if vocab_docs is not None else df
+    counts = (
+        src.select(F.explode(normalized_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    rank_w = Window.orderBy(F.col("n").desc(), "w")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= vocab_size)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    toks = df.select(
+        "doc_id", F.explode(normalized_words(F.col(text_col))).alias("w")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_frac"),
+        (F.col("n_oov") * 100 >= F.lit(flag_pct) * F.col("n_tokens"))
+        .alias("flagged"),
+    )

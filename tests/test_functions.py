@@ -1860,3 +1860,47 @@ def test_colorhist_near_dups_planted_recall(spark):
     ]
     assert len(dark) == 45
     assert all(pairs[p] == 0 for p in dark)
+
+
+def test_histogram_quantiles_exact_rule(spark):
+    from spatula_spark.functions import sketches as sk
+
+    # host a: values 1..100 once each -> q50=50, q95=95, q99=99
+    # host b: 990 zeros + 10 nines -> ceil(.99*1000)=990 is still a
+    # zero, so q50=q95=q99=0 (lower-quantile rule; max_v shows the 9s)
+    rows = [("a", v) for v in range(1, 101)]
+    rows += [("b", 0)] * 990 + [("b", 9)] * 10
+    df = spark.createDataFrame(rows, ["host", "lat"])
+    got = {
+        r["host"]: r
+        for r in sk.histogram_quantiles(df, "host", "lat").collect()
+    }
+    a, b = got["a"], got["b"]
+    assert (a["n"], a["q50"], a["q95"], a["q99"]) == (100, 50, 95, 99)
+    assert (b["n"], b["q50"], b["q95"], b["q99"]) == (1000, 0, 0, 0)
+    assert b["min_v"] == 0 and b["max_v"] == 9
+
+    # cross-check the rule against the sorted-list definition on the
+    # skewed host: smallest v with cum >= ceil(q/100 * n)
+    vals = sorted([0] * 990 + [9] * 10)
+    import math
+    for q in (50, 95, 99):
+        assert got["b"][f"q{q}"] == vals[math.ceil(q / 100 * 1000) - 1]
+
+
+def test_oov_rate_planted_flags(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["oov_rate"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    planted = [r for i, r in got.items() if i >= 4_000_000]
+    clean = [r for i, r in got.items() if i < 4_000_000]
+    assert planted and all(
+        r["flagged"] and r["n_oov"] == r["n_tokens"] for r in planted
+    )
+    # clean docs draw from the corpus's own head words: none flagged
+    assert all(not r["flagged"] for r in clean)
