@@ -144,6 +144,7 @@ HEADLINE = [
     "doc_repetition_filters",
     "quality_cut",
     "boilerplate_strip",
+    "c4_clean",
     "logfreq_quality",
     "semdedup_prune",
     "image_stats_filter",

@@ -4056,3 +4056,93 @@ def oov_rate_q(spark, sf_dir):
     )
     cands = docs.unionByName(planted)
     return tx.oov_rate(cands, vocab_docs=docs, vocab_size=100)
+
+
+_C4_DUCK_LINES = f"""
+wd AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+base AS (
+  SELECT doc_id,
+    list_transform(range(0, ((len(w) - 1) // 8) + 1),
+      i -> array_to_string(w[i*8+1 : i*8+8], ' ')
+           || CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END) AS ls
+  FROM wd),
+lined AS (
+  SELECT doc_id,
+    list_concat(
+      list_concat(
+        list_concat(ls,
+          CASE WHEN doc_id % 31 = 0
+               THEN ['function() {{ return spam; }}'] ELSE [] END),
+        CASE WHEN doc_id % 37 = 0
+             THEN ['Lorem ipsum dolor sit amet sentence.'] ELSE [] END),
+      CASE WHEN doc_id % 41 = 0
+           THEN ['play casino games now here today.'] ELSE [] END) AS ls
+  FROM base)
+"""
+
+
+@register(
+    "c4_clean",
+    f"""
+WITH {_C4_DUCK_LINES},
+flt AS (
+  SELECT doc_id, ls,
+    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+                AND len(string_split(x, ' ')) >= 5) AS kept
+  FROM lined)
+SELECT doc_id, len(ls)::INT AS n_lines, len(kept)::INT AS n_kept,
+  coalesce(list_sum(list_transform(kept, x -> length(x))), 0)::INT
+    AS clean_chars,
+  CASE
+    WHEN len(list_filter(ls, x -> contains(x, '{{'))) > 0 THEN 'brace'
+    WHEN len(list_filter(ls, x -> contains(lower(x), 'lorem ipsum'))) > 0
+      THEN 'lorem'
+    WHEN len(list_filter(ls, x -> list_has_any(
+        string_split_regex(lower(x), '[^a-z0-9]+'),
+        ['casino', 'xxx', 'viagra']))) > 0 THEN 'badword'
+    WHEN len(kept) < 3 THEN 'too_few_sentences'
+    ELSE 'ok' END AS verdict
+FROM flt
+""",
+)
+def c4_clean_q(spark, sf_dir):
+    """The C4 corpus-cleaning recipe (quality.c4_clean — Raffel et
+    al. 2020): terminal-punctuation + >=5-word line filter, then page
+    drops for '{{' / 'lorem ipsum' / bad words / <3 surviving lines,
+    in C4's order. Lines are carved deterministically from the word
+    stream (8-word lines; every (doc_id+i)%4==0 line loses its
+    terminal punctuation, so the line filter has real work) and three
+    page-level violations are planted on doc_id multiples of
+    31/37/41. All higher-order-function arithmetic on the lines
+    array: zero joins, zero shuffles, scan-speed at any corpus size —
+    the DuckDB replay is the same lambda pipeline, hashed
+    bit-for-bit."""
+    from .functions import quality as q
+    from .functions.dedup import normalized_words
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("w", normalized_words(F.col("text")))
+    base = F.expr(
+        "transform(sequence(0, (size(w) - 1) div 8), i -> "
+        "concat(array_join(slice(w, i*8+1, 8), ' '), "
+        "CASE WHEN pmod(doc_id + i, 4) = 0 THEN '' ELSE '.' END))"
+    )
+    def plant(m, line):
+        return (
+            "CASE WHEN doc_id % " + str(m) + " = 0 THEN array('"
+            + line + "') ELSE array()::array<string> END"
+        )
+
+    lines = F.expr(
+        "concat(concat(concat(base, "
+        + plant(31, "function() { return spam; }")
+        + "), "
+        + plant(37, "Lorem ipsum dolor sit amet sentence.")
+        + "), "
+        + plant(41, "play casino games now here today.")
+        + ")"
+    )
+    lined = d.withColumn("base", base).withColumn("lines", lines)
+    return q.c4_clean(lined).select(
+        "doc_id", "n_lines", "n_kept", "clean_chars", "verdict"
+    )

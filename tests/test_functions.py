@@ -1904,3 +1904,41 @@ def test_oov_rate_planted_flags(spark):
     )
     # clean docs draw from the corpus's own head words: none flagged
     assert all(not r["flagged"] for r in clean)
+
+
+def test_c4_clean_rules_and_plants(spark):
+    from pyspark.sql import functions as F
+
+    from spatula_spark.functions import quality as q
+
+    rows = [
+        # ok page: 3 punctuated >=5-word lines
+        (1, ["one two three four five.", "a b c d e!", 'v w x y z?']),
+        # line filter: no terminal punct / too short -> too few kept
+        (2, ["one two three four five", "short line.", "ok a b c d."]),
+        # page drops, in C4's order
+        (3, ["int main() { return 0; }", "fine line here today ok."]),
+        (4, ["Lorem Ipsum dolor sit amet."]),
+        (5, ["win at the casino tonight.", "a b c d e.",
+             "f g h i j.", "k l m n o."]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    got = {r["doc_id"]: r for r in q.c4_clean(df).collect()}
+    assert got[1]["verdict"] == "ok" and got[1]["n_kept"] == 3
+    assert got[1]["clean_chars"] == sum(len(x) for x in rows[0][1])
+    assert got[2]["verdict"] == "too_few_sentences"
+    assert got[2]["n_kept"] == 1  # only the >=5-word punctuated line
+    assert got[3]["verdict"] == "brace"
+    assert got[4]["verdict"] == "lorem"  # case-insensitive phrase
+    assert got[5]["verdict"] == "badword"  # despite 4 kept lines
+
+    # battery query: all three planted violation classes fire at
+    # sf0.001 and every verdict value appears
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["c4_clean"](spark, "/root/testdata/sf0.001").collect()
+    verdicts = {r["verdict"] for r in out}
+    assert {"brace", "lorem", "badword", "ok"} <= verdicts
+    by_id = {r["doc_id"]: r["verdict"] for r in out}
+    assert by_id[0] == "brace"  # 0 hits every plant; brace wins order
+    assert by_id[37] == "lorem" and by_id[41] == "badword"
