@@ -145,6 +145,7 @@ HEADLINE = [
     "quality_cut",
     "boilerplate_strip",
     "c4_clean",
+    "gopher_quality",
     "logfreq_quality",
     "semdedup_prune",
     "image_stats_filter",

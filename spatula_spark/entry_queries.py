@@ -4146,3 +4146,117 @@ def c4_clean_q(spark, sf_dir):
     return q.c4_clean(lined).select(
         "doc_id", "n_lines", "n_kept", "clean_chars", "verdict"
     )
+
+
+_GOPHER_DUCK = f"""
+g_base AS (SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+g_cand AS (
+  SELECT doc_id, array_to_string(w, ' ') AS text FROM g_base
+  UNION ALL SELECT doc_id + 7000000,
+    array_to_string(w[1:5], ' ')
+  FROM g_base WHERE doc_id < 25
+  UNION ALL SELECT doc_id + 7000000,
+    array_to_string(w, ' ') || ' ' || array_to_string(
+      list_transform(range(0, 20), i -> '#'), ' ')
+  FROM g_base WHERE doc_id >= 25 AND doc_id < 50
+  UNION ALL SELECT doc_id + 7000000,
+    array_to_string(list_transform(w, x -> '123'), ' ')
+  FROM g_base WHERE doc_id >= 50 AND doc_id < 75
+  UNION ALL SELECT doc_id + 7000000,
+    array_to_string(list_transform(w, x -> 'zq' || x), ' ')
+  FROM g_base WHERE doc_id >= 75 AND doc_id < 100),
+g_w AS (
+  SELECT doc_id,
+    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+      AS w
+  FROM g_cand),
+g_stats AS (
+  SELECT doc_id, len(w)::INT AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0)::INT
+      AS sum_word_chars,
+    len(list_filter(w, x -> contains(x, '#')
+        OR contains(x, '...')))::INT AS n_symbol_words,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::INT
+      AS n_alpha_words,
+    len(list_filter(w, x -> list_contains(
+        ['the','be','to','of','and','that','have','with'], x)))::INT
+      AS n_stopwords
+  FROM g_w)
+"""
+
+
+@register(
+    "gopher_quality",
+    f"""
+WITH {_GOPHER_DUCK}
+SELECT doc_id, n_words, sum_word_chars, n_symbol_words, n_alpha_words,
+  n_stopwords,
+  CASE
+    WHEN n_words < 10 OR n_words > 100000 THEN 'word_count'
+    WHEN sum_word_chars < 3 * n_words
+      OR sum_word_chars > 10 * n_words THEN 'mean_word_len'
+    WHEN n_symbol_words * 10 > n_words THEN 'symbol_ratio'
+    WHEN n_alpha_words * 5 < n_words * 4 THEN 'alpha_frac'
+    WHEN n_stopwords < 2 THEN 'stopwords'
+    ELSE 'ok' END AS verdict
+FROM g_stats
+""",
+)
+def gopher_quality_q(spark, sf_dir):
+    """The Gopher quality rule-set (quality.gopher_quality — Rae et
+    al. 2021) over clean docs plus four planted violation families
+    (+7000000 twins): 5-word truncations trip word_count, 20 appended
+    '#' words trip the 10% symbol rule, all-digit rewrites trip the
+    80% alpha rule, 'zq'-prefixed vocabularies trip the 2-stopword
+    floor. min_words is 10 here (the battery corpus runs 10-99 words;
+    the paper's 50 would make word_count shadow every other rule) —
+    the operator's default keeps Gopher's constant. All thresholds
+    are integer cross-multiplications, verdict is the first failing
+    rule in the paper's order, and the whole thing is one narrow
+    word-array projection: no joins, no shuffles. The battery
+    corpus's stopword-poor vocabulary means ~half the CLEAN docs
+    genuinely fail the 2-stopword floor — a real verdict split the
+    oracle hashes, not an accident."""
+    from .functions import quality as q
+    from .functions.dedup import normalized_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("w", normalized_words(F.col("text")))
+    did = F.col("doc_id")
+
+    def variant(lo, hi, expr):
+        return base.filter((did >= lo) & (did < hi)).select(
+            (did + 7_000_000).alias("doc_id"), expr.alias("text")
+        )
+
+    w = F.col("w")
+    cands = (
+        base.select("doc_id", F.array_join(w, " ").alias("text"))
+        .unionByName(variant(0, 25, F.array_join(F.slice(w, 1, 5), " ")))
+        .unionByName(
+            variant(
+                25,
+                50,
+                F.concat(
+                    F.array_join(w, " "),
+                    F.lit(" " + " ".join(["#"] * 20)),
+                ),
+            )
+        )
+        .unionByName(
+            variant(
+                50, 75,
+                F.array_join(F.transform(w, lambda x: F.lit("123")), " "),
+            )
+        )
+        .unionByName(
+            variant(
+                75, 100,
+                F.array_join(
+                    F.transform(w, lambda x: F.concat(F.lit("zq"), x)),
+                    " ",
+                ),
+            )
+        )
+    )
+    return q.gopher_quality(cands, min_words=10)

@@ -255,3 +255,69 @@ def c4_clean(
         ).alias("clean_chars"),
         verdict.alias("verdict"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+) -> DataFrame:
+    """The Gopher word-level quality rules (Rae et al. 2021, App. A):
+    word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#' or ellipsis words) <= 10%;
+    >= 80% of words contain an alphabetic character; >= 2 words from
+    Gopher's 8-stopword list. (The paper's line-shape rules —
+    bullet-start / ellipsis-end fractions — need a lines column and
+    live with the C4 recipe's line machinery instead.)
+
+    Every threshold is cross-multiplied into integer comparisons
+    (mean length bounds become min*n <= sum_chars <= max*n, the 10%
+    symbol rule becomes 10*n_sym > n, the 80% alpha rule becomes
+    5*n_alpha < 4*n), so no float touches a verdict and any SQL
+    engine replays the CASE chain bit-for-bit. Verdict is the FIRST
+    failing rule in the paper's listing order. One narrow projection
+    over the word array: no joins, no shuffles, scan-speed.
+    """
+    from .dedup import normalized_words
+
+    w = normalized_words(F.col(text_col))
+    n = F.size(w)
+    sum_chars = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_sym = F.size(
+        F.filter(w, lambda x: x.contains("#") | x.contains("..."))
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(
+        F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+    )
+    verdict = (
+        F.when(
+            (n < min_words) | (n > max_words), F.lit("word_count")
+        )
+        .when(
+            (sum_chars < min_mean_len * n)
+            | (sum_chars > max_mean_len * n),
+            F.lit("mean_word_len"),
+        )
+        .when(n_sym * 10 > n, F.lit("symbol_ratio"))
+        .when(n_alpha * 5 < n * 4, F.lit("alpha_frac"))
+        .when(n_stop < 2, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_sym.alias("n_symbol_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        verdict.alias("verdict"),
+    )

@@ -1942,3 +1942,46 @@ def test_c4_clean_rules_and_plants(spark):
     by_id = {r["doc_id"]: r["verdict"] for r in out}
     assert by_id[0] == "brace"  # 0 hits every plant; brace wins order
     assert by_id[37] == "lorem" and by_id[41] == "badword"
+
+
+def test_gopher_quality_rule_order_and_plants(spark):
+    from spatula_spark.entry_queries import QUERIES
+    from spatula_spark.functions import quality as q
+
+    # operator defaults carry the paper's 50-word floor
+    df = spark.createDataFrame(
+        [(1, "the cat sat of and that have with here now")],
+        ["doc_id", "text"],
+    )
+    assert (
+        q.gopher_quality(df).collect()[0]["verdict"] == "word_count"
+    )
+
+    out = QUERIES["gopher_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    planted = {
+        i - 7_000_000: r["verdict"]
+        for i, r in by_id.items()
+        if i >= 7_000_000
+    }
+    assert all(v == "word_count" for k, v in planted.items() if k < 25)
+    # twenty 1-char '#' words also drag short docs' mean word length
+    # under 3, which outranks symbol_ratio in the paper's rule order
+    sym = [v for k, v in planted.items() if 25 <= k < 50]
+    assert set(sym) <= {"symbol_ratio", "mean_word_len"}
+    assert sym.count("symbol_ratio") > len(sym) // 2
+    assert all(
+        v == "alpha_frac" for k, v in planted.items() if 50 <= k < 75
+    )
+    assert all(
+        v == "stopwords" for k, v in planted.items() if 75 <= k < 100
+    )
+    # clean docs fail only (if at all) the 2-stopword floor: the
+    # synthetic vocabulary is stopword-poor, so Gopher's rule splits
+    # the clean corpus into a real ok/stopwords mix — no other rule
+    # ever fires on an unplanted doc
+    clean = [r["verdict"] for i, r in by_id.items() if i < 7_000_000]
+    assert set(clean) == {"ok", "stopwords"}
+    assert clean.count("ok") > len(clean) * 0.4
