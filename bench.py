@@ -168,6 +168,7 @@ HEADLINE = [
     "pack_sequences",
     "audio_features",
     "caption_image_alignment",
+    "caption_pixel_mismatch",
     "sitemap_frontier",
     "crawl_trap_hosts",
     "recrawl_priority",

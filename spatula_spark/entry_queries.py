@@ -4260,3 +4260,77 @@ def gopher_quality_q(spark, sf_dir):
         )
     )
     return q.gopher_quality(cands, min_words=10)
+
+
+def _caption_mismatch_oracle() -> str:
+    return f"""
+WITH ids AS (SELECT doc_id::BIGINT AS g FROM documents),
+base AS (
+  SELECT g AS image_id, g, ({_DUCK_PHRASE}) AS phrase,
+         {_duck_fp('g')} AS fp
+  FROM ids),
+twins AS (
+  SELECT g + 8000000 AS image_id, g, ({_DUCK_PHRASE}) AS phrase,
+         xor({_duck_fp('g')},
+             (1::BIGINT << ((g * 11) % 60)::INT)) AS fp
+  FROM ids WHERE g < 30),
+m AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+SELECT a.phrase, a.image_id AS id_a, b.image_id AS id_b,
+  bit_count(xor(a.fp, b.fp))::INT AS hd,
+  bit_count(xor(a.fp, b.fp)) > 20 AS mismatch
+FROM m a JOIN m b ON a.phrase = b.phrase AND a.image_id < b.image_id
+"""
+
+
+@register("caption_pixel_mismatch", _caption_mismatch_oracle)
+def caption_pixel_mismatch_q(spark, sf_dir):
+    """Cross-modal label-noise detection: image pairs sharing an
+    EXACT caption whose perceptual fingerprints disagree (hamming
+    > 20) are flagged as caption noise — the LAION-style pair where a
+    boilerplate alt-text ('stock photo', 'image 1') was scraped onto
+    unrelated pixels, which alignment scoring only partially catches
+    (caption_image_alignment scores pairs solo; this operator uses
+    caption COLLISIONS as the signal). The synthetic media table's
+    caption key (g % 173) collides across unrelated fingerprint
+    groups (g % 97), so real mismatches occur naturally; 30 planted
+    twins share caption AND fingerprint-within-1-bit and come out
+    mismatch=false. Shape: one equi-join bucketed on the caption key
+    — group sizes are caption-frequency-bounded (the mega-caption cap
+    from dedup_lsh_capped applies verbatim if a corpus has
+    'stock photo' x 10^6) — then integer XOR popcount on the sliver."""
+    ids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("g")
+    )
+    g = F.col("g")
+    base = ids.select(
+        g.alias("image_id"), "g",
+        _SPARK_PHRASE(g).alias("phrase"),
+        _derived_fp("g").alias("fp"),
+    )
+    twins = ids.filter(g < 30).select(
+        (g + 8_000_000).alias("image_id"), "g",
+        _SPARK_PHRASE(g).alias("phrase"),
+        _derived_fp("g")
+        .bitwiseXOR(F.expr("shiftleft(cast(1 as bigint), "
+                           "cast((g * 11) % 60 as int))"))
+        .alias("fp"),
+    )
+    m = base.unionByName(twins)
+    a, b = m.alias("a"), m.alias("b")
+    hd = F.bit_count(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.phrase") == F.col("b.phrase"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.phrase").alias("phrase"),
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            hd.alias("hd"),
+            (hd > 20).alias("mismatch"),
+        )
+    )

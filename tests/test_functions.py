@@ -1985,3 +1985,25 @@ def test_gopher_quality_rule_order_and_plants(spark):
     clean = [r["verdict"] for i, r in by_id.items() if i < 7_000_000]
     assert set(clean) == {"ok", "stopwords"}
     assert clean.count("ok") > len(clean) * 0.4
+
+
+def test_caption_pixel_mismatch_classes(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["caption_pixel_mismatch"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    # every planted twin pair exists, is 1 bit apart, and is NOT a
+    # mismatch (same caption, same pixels-within-noise)
+    for i in range(30):
+        r = pairs[(i, i + 8_000_000)]
+        assert r["hd"] == 1 and not r["mismatch"]
+    # caption collisions across unrelated fingerprint groups DO get
+    # flagged: mismatches exist and dominate the non-twin pairs
+    organic = [
+        r for (a, b), r in pairs.items() if b < 8_000_000 and a != b
+    ]
+    assert organic and sum(r["mismatch"] for r in organic) > len(
+        organic
+    ) * 0.9
