@@ -4274,30 +4274,36 @@ twins AS (
          xor({_duck_fp('g')},
              (1::BIGINT << ((g * 11) % 60)::INT)) AS fp
   FROM ids WHERE g < 30),
-m AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
-SELECT a.phrase, a.image_id AS id_a, b.image_id AS id_b,
-  bit_count(xor(a.fp, b.fp))::INT AS hd,
-  bit_count(xor(a.fp, b.fp)) > 20 AS mismatch
-FROM m a JOIN m b ON a.phrase = b.phrase AND a.image_id < b.image_id
+m AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+w AS (
+  SELECT image_id, phrase, fp,
+    min(image_id) OVER (PARTITION BY phrase) AS rep_id,
+    arg_min(fp, image_id) OVER (PARTITION BY phrase) AS rep_fp
+  FROM m)
+SELECT phrase, rep_id, image_id, bit_count(xor(fp, rep_fp))::INT AS hd,
+  bit_count(xor(fp, rep_fp)) > 20 AS mismatch
+FROM w WHERE image_id <> rep_id
 """
 
 
 @register("caption_pixel_mismatch", _caption_mismatch_oracle)
 def caption_pixel_mismatch_q(spark, sf_dir):
-    """Cross-modal label-noise detection: image pairs sharing an
-    EXACT caption whose perceptual fingerprints disagree (hamming
-    > 20) are flagged as caption noise — the LAION-style pair where a
-    boilerplate alt-text ('stock photo', 'image 1') was scraped onto
-    unrelated pixels, which alignment scoring only partially catches
-    (caption_image_alignment scores pairs solo; this operator uses
-    caption COLLISIONS as the signal). The synthetic media table's
-    caption key (g % 173) collides across unrelated fingerprint
-    groups (g % 97), so real mismatches occur naturally; 30 planted
-    twins share caption AND fingerprint-within-1-bit and come out
-    mismatch=false. Shape: one equi-join bucketed on the caption key
-    — group sizes are caption-frequency-bounded (the mega-caption cap
-    from dedup_lsh_capped applies verbatim if a corpus has
-    'stock photo' x 10^6) — then integer XOR popcount on the sliver."""
+    """Cross-modal label-noise detection: images sharing an EXACT
+    caption whose perceptual fingerprints disagree (hamming > 20 vs
+    the caption group's representative) are flagged as caption noise
+    — the LAION-style pair where a boilerplate alt-text ('stock
+    photo', 'image 1') was scraped onto unrelated pixels, which
+    alignment scoring only partially catches (it scores pairs solo;
+    this operator uses caption COLLISIONS as the signal). Scale
+    shape: star-vs-representative, NOT all-pairs — each image
+    compares against its caption group's min-id member, so a
+    'stock photo' x 10^6 mega-caption costs 10^6 rows, not 10^12
+    pairs (the same reasoning as dedup_lsh_capped's hub-star cap,
+    built in rather than bolted on). ONE window shuffle keyed by
+    caption, then integer XOR popcount per row. The synthetic caption
+    key (g % 173) collides across unrelated fingerprint groups
+    (g % 97), so organic mismatches occur; 30 planted twins sit 1 bit
+    from their representative and come out mismatch=false."""
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("g")
     )
@@ -4316,21 +4322,14 @@ def caption_pixel_mismatch_q(spark, sf_dir):
         .alias("fp"),
     )
     m = base.unionByName(twins)
-    a, b = m.alias("a"), m.alias("b")
-    hd = F.bit_count(
-        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-    ).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.phrase") == F.col("b.phrase"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.phrase").alias("phrase"),
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-            hd.alias("hd"),
-            (hd > 20).alias("mismatch"),
-        )
+    win = Window.partitionBy("phrase")
+    w = m.select(
+        "image_id", "phrase", "fp",
+        F.min("image_id").over(win).alias("rep_id"),
+        F.expr("min_by(fp, image_id)").over(win).alias("rep_fp"),
+    )
+    hd = F.bit_count(F.col("fp").bitwiseXOR(F.col("rep_fp"))).cast("int")
+    return w.filter(F.col("image_id") != F.col("rep_id")).select(
+        "phrase", "rep_id", "image_id", hd.alias("hd"),
+        (hd > 20).alias("mismatch"),
     )

@@ -1993,16 +1993,18 @@ def test_caption_pixel_mismatch_classes(spark):
     out = QUERIES["caption_pixel_mismatch"](
         spark, "/root/testdata/sf0.001"
     ).collect()
-    pairs = {(r["id_a"], r["id_b"]): r for r in out}
-    # every planted twin pair exists, is 1 bit apart, and is NOT a
-    # mismatch (same caption, same pixels-within-noise)
+    rows = {(r["rep_id"], r["image_id"]): r for r in out}
+    # linear star shape: exactly one row per non-representative image
+    assert len(rows) == len(out)
+    # every planted twin sits 1 bit from its own original (which is
+    # its caption group's representative) -> NOT a mismatch
     for i in range(30):
-        r = pairs[(i, i + 8_000_000)]
+        r = rows[(i, i + 8_000_000)]
         assert r["hd"] == 1 and not r["mismatch"]
     # caption collisions across unrelated fingerprint groups DO get
-    # flagged: mismatches exist and dominate the non-twin pairs
+    # flagged: organic (non-twin) rows are dominated by mismatches
     organic = [
-        r for (a, b), r in pairs.items() if b < 8_000_000 and a != b
+        r for (a, b), r in rows.items() if b < 8_000_000
     ]
     assert organic and sum(r["mismatch"] for r in organic) > len(
         organic
