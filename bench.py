@@ -146,6 +146,7 @@ HEADLINE = [
     "boilerplate_strip",
     "c4_clean",
     "gopher_quality",
+    "dsir_select",
     "logfreq_quality",
     "semdedup_prune",
     "image_stats_filter",

@@ -4333,3 +4333,78 @@ def caption_pixel_mismatch_q(spark, sf_dir):
         "phrase", "rep_id", "image_id", hd.alias("hd"),
         (hd > 20).alias("mismatch"),
     )
+
+
+_DSIR_MARK = " wiki cite ref wiki cite ref wiki cite ref"
+
+_DSIR_BG = (
+    "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END"
+)
+
+
+def _dsir_oracle() -> str:
+    wsplit = DUCK_WORDS
+    b = duck_hash("bg") + " % 1024"
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+tgt AS (SELECT doc_id, text || '{_DSIR_MARK}' AS text FROM d
+        WHERE doc_id < 100),
+cands AS (
+  SELECT doc_id, text FROM d
+  UNION ALL SELECT doc_id + 9000000, text || '{_DSIR_MARK}'
+  FROM d WHERE doc_id < 50),
+nt AS (SELECT count(*) AS n FROM tgt),
+nr AS (SELECT count(*) AS n FROM cands),
+t_occ AS (
+  SELECT {b} AS bkt FROM (
+    SELECT unnest({_DSIR_BG}) AS bg FROM (
+      SELECT {wsplit} AS w FROM tgt))),
+r_occ AS (
+  SELECT doc_id, {b} AS bkt FROM (
+    SELECT doc_id, unnest({_DSIR_BG}) AS bg FROM (
+      SELECT doc_id, {wsplit} AS w FROM cands))),
+t_c AS (SELECT bkt, count(*) AS t_c FROM t_occ GROUP BY bkt),
+r_c AS (SELECT bkt, count(*) AS r_c FROM r_occ GROUP BY bkt),
+model AS (
+  SELECT r_c.bkt,
+    ((length(bin(coalesce(t_c.t_c, 0) * (SELECT n FROM nr))) - 1)
+     - (length(bin(r_c.r_c * (SELECT n FROM nt))) - 1))::BIGINT AS w
+  FROM r_c LEFT JOIN t_c ON r_c.bkt = t_c.bkt),
+scored AS (
+  SELECT o.doc_id, count(*) AS n_feats, sum(m.w) AS sum_w
+  FROM r_occ o JOIN model m ON o.bkt = m.bkt GROUP BY o.doc_id)
+SELECT c.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+  coalesce(s.sum_w, 0)::BIGINT AS sum_w,
+  coalesce(s.sum_w, 0) > 0 AS kept
+FROM cands c LEFT JOIN scored s ON c.doc_id = s.doc_id
+"""
+
+
+@register("dsir_select", _dsir_oracle)
+def dsir_select_q(spark, sf_dir):
+    """DSIR data selection (lm.dsir_importance — Xie et al. 2023):
+    importance-weight every candidate by hashed-bigram likelihood
+    ratio between a 100-doc TARGET corpus (marker-suffixed twins of
+    docs 0-99, standing in for 'trusted wiki text') and the raw pool,
+    keep positive-weight docs. 50 planted marker-suffixed candidates
+    all come out kept; among organic positives the docs whose content
+    IS in the target are ~3x enriched over base rate — distribution
+    matching doing its job without a single hand-written rule. The
+    log-ratio is the battery's integer floor-log2 (bit-length) form,
+    the feature table is fixed at 1024 hashed buckets exactly as DSIR
+    prescribes, and the whole pipe is two bucket-count aggregates +
+    one broadcast model join + one per-doc regroup — no corpus-scale
+    shuffle, no window."""
+    from .functions import lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.concat("text", F.lit(_DSIR_MARK)).alias("text")
+    )
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_DSIR_MARK)).alias("text"),
+    )
+    cands = docs.unionByName(planted)
+    return lm.dsir_importance(cands, target)

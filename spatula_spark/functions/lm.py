@@ -196,3 +196,87 @@ def bigram_lm_score_duckdb(
         "FROM lm_per_doc))",
     ]
     return ",\n".join(parts) + "\n-- final: lm_scored"
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    cands: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, Data Selection via
+    Importance Resampling): score each candidate document by how much
+    more likely its hashed-bigram features are under a small TARGET
+    corpus (the distribution you want — wiki-quality text, a domain)
+    than under the RAW pool, then keep positive-weight docs. This is
+    the third canonical data-selection recipe next to C4's rules and
+    Gopher's thresholds — distribution matching rather than
+    hand-written heuristics.
+
+    Integer-exact log-ratio, same trick as this module's bigram LM:
+    the per-feature weight is
+    ``ilog2(t_c * n_raw_docs) - ilog2(r_c * n_target_docs)`` (with
+    ilog2 = bit-length - 1 and ilog2(0) defined 0) — a floor-log2
+    surrogate of log((t_c/T)/(r_c/R)) that stays in int64
+    (t_c * n_raw <= corpus_pairs * docs; at 10^10 docs switch to the
+    difference-of-bitlens form) and replays bit-for-bit in any SQL
+    engine. Counts are hashed into ``n_buckets`` buckets exactly as
+    DSIR does, so the model table is fixed-size regardless of corpus.
+
+    Shape: two explode->count aggregates (bucket-sized results), one
+    broadcast join from candidate feature occurrences to the
+    two-sided bucket table, one per-doc regroup; kept = sum > 0 needs
+    no global window. Returns (doc_id, n_feats, sum_w, kept).
+    """
+    from ..urls import portable_hash64
+
+    def buckets(df):
+        # explode must be a top-level generator; hash in a second step
+        return df.select(
+            "doc_id",
+            F.explode(word_bigrams(F.col(text_col))).alias("bg"),
+        ).select(
+            "doc_id",
+            F.pmod(portable_hash64(F.col("bg")), F.lit(n_buckets))
+            .alias("b"),
+        )
+
+    t_occ = buckets(target)
+    # r_occ feeds BOTH the raw bucket counts and the per-doc scoring
+    # join; eager checkpoint so the bigram explode runs once (the
+    # lazy-persist double-compute trap BENCH/BASELINE.md documents)
+    r_occ = buckets(cands).localCheckpoint(eager=True)
+    n_t = target.count()
+    n_r = cands.count()
+    t_c = t_occ.groupBy("b").agg(F.count("*").alias("t_c"))
+    r_c = r_occ.groupBy("b").agg(F.count("*").alias("r_c"))
+    model = (
+        r_c.join(t_c, "b", "left")
+        .select(
+            "b",
+            (
+                (
+                    F.length(F.bin(F.coalesce("t_c", F.lit(0)) * n_r))
+                    - 1
+                )
+                - (F.length(F.bin(F.col("r_c") * n_t)) - 1)
+            ).alias("w"),
+        )
+    )
+    scored = (
+        r_occ.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w").alias("sum_w"),
+        )
+    )
+    return cands.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("sum_w", F.lit(0).cast("long")).alias("sum_w"),
+        (F.coalesce("sum_w", F.lit(0).cast("long")) > 0).alias("kept"),
+    )

@@ -2009,3 +2009,28 @@ def test_caption_pixel_mismatch_classes(spark):
     assert organic and sum(r["mismatch"] for r in organic) > len(
         organic
     ) * 0.9
+
+
+def test_dsir_select_planted_and_enrichment(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["dsir_select"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = [r for r in out if r["doc_id"] >= 9_000_000]
+    clean = [r for r in out if r["doc_id"] < 9_000_000]
+    # every marker-suffixed plant is target-like and kept
+    assert planted and all(r["kept"] for r in planted)
+    # organic positives are enriched in target members (docs 0-99):
+    # their base text IS the target's, so distribution matching must
+    # prefer them over the 100/550 base rate
+    pos = [r["doc_id"] for r in clean if r["kept"]]
+    assert pos
+    frac_target = sum(1 for i in pos if i < 100) / len(pos)
+    assert frac_target > 0.4
+    # plants dominate the clean score distribution
+    import statistics
+
+    assert min(r["sum_w"] for r in planted) > statistics.median(
+        [r["sum_w"] for r in clean]
+    )
