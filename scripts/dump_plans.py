@@ -58,6 +58,11 @@ PICKS = [
     "lm_perplexity_cut",      # two vocab aggs + model join + per-lang window
     "fetch_schedule",         # single host-window, pure arithmetic after
     "colorhist_near_dups",    # quantized-key self-join on checkpointed hists
+    "c4_clean",               # zero-shuffle HOF lines pipeline
+    "gopher_quality",         # zero-shuffle integer rule thresholds
+    "caption_pixel_mismatch",  # single caption-window star compare
+    "dsir_select",            # bucket aggs + broadcast model join
+    "host_latency_quantiles",  # domain-sized histogram-CDF window
 ]
 
 
