@@ -2034,3 +2034,29 @@ def test_dsir_select_planted_and_enrichment(spark):
     assert min(r["sum_w"] for r in planted) > statistics.median(
         [r["sum_w"] for r in clean]
     )
+
+
+def test_histogram_quantiles_random_vs_sorted_definition(spark):
+    import math
+    import random
+
+    from spatula_spark.functions import sketches as sk
+
+    rng = random.Random(4242)
+    rows = []
+    truth = {}
+    for k in ("ha", "hb", "hc"):
+        vals = [rng.randrange(0, 50) for _ in range(rng.randrange(1, 300))]
+        rows += [(k, v) for v in vals]
+        s = sorted(vals)
+        truth[k] = {
+            q: s[math.ceil(q / 100 * len(s)) - 1] for q in (50, 95, 99)
+        }
+    df = spark.createDataFrame(rows, ["host", "lat"])
+    got = {
+        r["host"]: r
+        for r in sk.histogram_quantiles(df, "host", "lat").collect()
+    }
+    for k, t in truth.items():
+        for q in (50, 95, 99):
+            assert got[k][f"q{q}"] == t[q], (k, q)
