@@ -173,6 +173,7 @@ HEADLINE = [
     "sitemap_frontier",
     "crawl_trap_hosts",
     "recrawl_priority",
+    "revalidation_plan",
     "anchor_text_topk",
     "embedding_topk",
     "embedding_near_dups",

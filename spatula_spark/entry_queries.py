@@ -4408,3 +4408,76 @@ def dsir_select_q(spark, sf_dir):
     )
     cands = docs.unionByName(planted)
     return lm.dsir_importance(cands, target)
+
+
+def _reval_oracle() -> str:
+    h = duck_hash("'rv:' || o_orderkey::VARCHAR")
+    return f"""
+WITH f AS (
+  SELECT o_orderkey AS url_id, 'h' || (o_custkey % 30)::VARCHAR AS host,
+    (500 + {h} % 20000)::BIGINT AS page_bytes,
+    ({h} % 3 = 0) AS has_etag,
+    ({h} % 5 < 2) AS has_lastmod,
+    ({h} % 10 < 7) AS likely_unchanged
+  FROM orders),
+p AS (
+  SELECT *, CASE WHEN has_etag THEN 'conditional_etag'
+                 WHEN has_lastmod THEN 'conditional_lastmod'
+                 ELSE 'full_fetch' END AS plan,
+    CASE WHEN (has_etag OR has_lastmod) AND likely_unchanged
+         THEN page_bytes ELSE 0 END AS bytes_saved
+  FROM f)
+SELECT host, plan, count(*)::BIGINT AS n_urls,
+  sum(page_bytes)::BIGINT AS bytes_total,
+  sum(bytes_saved)::BIGINT AS bytes_saved
+FROM p GROUP BY host, plan
+"""
+
+
+@register("revalidation_plan", _reval_oracle)
+def revalidation_plan_q(spark, sf_dir):
+    """HTTP revalidation planning — the bandwidth side of recrawl
+    (operators/recrawl.py schedules WHEN; this decides HOW): frontier
+    rows with a stored ETag revalidate with If-None-Match, rows with
+    only Last-Modified use If-Modified-Since, the rest re-fetch in
+    full, and expected transfer savings are the bytes of
+    conditionally-fetched pages predicted unchanged (a 304 costs
+    headers only). One CASE projection + one (host, plan) aggregate,
+    map-side combinable — the per-host savings table is what a crawl
+    budget allocator reads to trade recrawl freshness against egress.
+    Cache metadata is synthesized deterministically per URL, so the
+    DuckDB replay hashes bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    h = portable_hash64(
+        F.concat(F.lit("rv:"), F.col("o_orderkey").cast("string"))
+    )
+    f = o.select(
+        F.col("o_orderkey").alias("url_id"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 30).cast("string")
+        ).alias("host"),
+        (500 + F.pmod(h, F.lit(20000))).cast("long").alias("page_bytes"),
+        (F.pmod(h, F.lit(3)) == 0).alias("has_etag"),
+        (F.pmod(h, F.lit(5)) < 2).alias("has_lastmod"),
+        (F.pmod(h, F.lit(10)) < 7).alias("likely_unchanged"),
+    )
+    plan = (
+        F.when(F.col("has_etag"), F.lit("conditional_etag"))
+        .when(F.col("has_lastmod"), F.lit("conditional_lastmod"))
+        .otherwise(F.lit("full_fetch"))
+    )
+    saved = F.when(
+        (F.col("has_etag") | F.col("has_lastmod"))
+        & F.col("likely_unchanged"),
+        F.col("page_bytes"),
+    ).otherwise(F.lit(0))
+    return (
+        f.withColumn("plan", plan)
+        .withColumn("bytes_saved", saved)
+        .groupBy("host", "plan")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("page_bytes").alias("bytes_total"),
+            F.sum("bytes_saved").alias("bytes_saved"),
+        )
+    )

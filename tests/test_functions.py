@@ -2060,3 +2060,28 @@ def test_histogram_quantiles_random_vs_sorted_definition(spark):
     for k, t in truth.items():
         for q in (50, 95, 99):
             assert got[k][f"q{q}"] == t[q], (k, q)
+
+
+def test_revalidation_plan_partitions_and_savings(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["revalidation_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    plans = {r["plan"] for r in out}
+    assert plans == {
+        "conditional_etag", "conditional_lastmod", "full_fetch"
+    }
+    for r in out:
+        # a full fetch can never save bytes; conditional fetches save
+        # at most what they would have transferred
+        if r["plan"] == "full_fetch":
+            assert r["bytes_saved"] == 0
+        assert 0 <= r["bytes_saved"] <= r["bytes_total"]
+    # the ETag/Last-Modified/none split follows the synthesized
+    # metadata rates (1/3 etag; of the rest, ~2/5 last-modified)
+    n = {p: sum(r["n_urls"] for r in out if r["plan"] == p)
+         for p in plans}
+    total = sum(n.values())
+    assert abs(n["conditional_etag"] / total - 1 / 3) < 0.05
+    assert n["full_fetch"] > 0
