@@ -147,6 +147,7 @@ HEADLINE = [
     "c4_clean",
     "gopher_quality",
     "dsir_select",
+    "corpus_datacard",
     "logfreq_quality",
     "semdedup_prune",
     "image_stats_filter",

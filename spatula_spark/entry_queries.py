@@ -4481,3 +4481,90 @@ def revalidation_plan_q(spark, sf_dir):
             F.sum("bytes_saved").alias("bytes_saved"),
         )
     )
+
+
+def _datacard_oracle() -> str:
+    from .functions import lm
+
+    docs_sql = "SELECT doc_id, lang, text FROM documents"
+    lm_ctes = lm.bigram_lm_score_duckdb(docs_sql).split("\n-- final")[0]
+    return f"""
+WITH {lm_ctes},
+dc_w AS (
+  SELECT doc_id, {DUCK_WORDS} AS w FROM documents),
+dc_g AS (
+  SELECT doc_id, len(w)::INT AS n_words,
+    coalesce(list_sum(list_transform(w, x -> length(x))), 0)::INT
+      AS sum_word_chars,
+    len(list_filter(w, x -> contains(x, '#')
+        OR contains(x, '...')))::INT AS n_symbol_words,
+    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::INT
+      AS n_alpha_words,
+    len(list_filter(w, x -> list_contains(
+        ['the','be','to','of','and','that','have','with'], x)))::INT
+      AS n_stopwords
+  FROM dc_w),
+dc_v AS (
+  SELECT doc_id, n_words,
+    CASE
+      WHEN n_words < 10 OR n_words > 100000 THEN 'word_count'
+      WHEN sum_word_chars < 3 * n_words
+        OR sum_word_chars > 10 * n_words THEN 'mean_word_len'
+      WHEN n_symbol_words * 10 > n_words THEN 'symbol_ratio'
+      WHEN n_alpha_words * 5 < n_words * 4 THEN 'alpha_frac'
+      WHEN n_stopwords < 2 THEN 'stopwords'
+      ELSE 'ok' END AS gopher_verdict
+  FROM dc_g)
+SELECT s.lang, s.bucket AS lm_bucket, v.gopher_verdict,
+  count(*)::BIGINT AS n_docs, sum(v.n_words)::BIGINT AS n_words,
+  (sum(CASE WHEN s.bucket <> 'tail' AND v.gopher_verdict = 'ok'
+            THEN v.n_words ELSE 0 END))::BIGINT AS n_words_kept
+FROM lm_scored s JOIN dc_v v ON s.doc_id = v.doc_id
+GROUP BY s.lang, s.bucket, v.gopher_verdict
+"""
+
+
+@register("corpus_datacard", _datacard_oracle)
+def corpus_datacard_q(spark, sf_dir):
+    """The pretraining data card: the per-(lang, LM bucket, Gopher
+    verdict) census a corpus release publishes — doc counts, token
+    totals, and the token budget surviving the combined cut (LM
+    bucket != tail AND Gopher ok). Composes two battery operators
+    over the SAME scan (lm.bigram_lm_score self-trained +
+    quality.gopher_quality at the corpus's min_words=10), joins on
+    doc_id and rolls up; the rollup output is vocabulary-of-
+    categories-sized, so at 100 TB this is two model aggregates, one
+    doc-keyed join, one final tiny aggregate — the census is free
+    relative to the scoring it reuses. Both scorers are
+    integer-exact, so the census hashes bit-for-bit in DuckDB."""
+    from .functions import lm
+    from .functions import quality as q
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = lm.bigram_lm_score(docs).select(
+        "doc_id", "lang", "bucket"
+    )
+    goph = q.gopher_quality(docs, min_words=10).select(
+        "doc_id", "n_words",
+        F.col("verdict").alias("gopher_verdict"),
+    )
+    kept_words = F.when(
+        (F.col("bucket") != "tail")
+        & (F.col("gopher_verdict") == "ok"),
+        F.col("n_words"),
+    ).otherwise(F.lit(0))
+    return (
+        scored.join(goph, "doc_id")
+        .groupBy(
+            "lang",
+            F.col("bucket").alias("lm_bucket"),
+            "gopher_verdict",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum(kept_words).alias("n_words_kept"),
+        )
+    )

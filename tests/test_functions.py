@@ -2085,3 +2085,28 @@ def test_revalidation_plan_partitions_and_savings(spark):
     total = sum(n.values())
     assert abs(n["conditional_etag"] / total - 1 / 3) < 0.05
     assert n["full_fetch"] > 0
+
+
+def test_corpus_datacard_census_consistency(spark):
+    import duckdb
+
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["corpus_datacard"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs_total = duckdb.connect().execute(
+        "SELECT count(*) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    for r in out:
+        assert 0 <= r["n_words_kept"] <= r["n_words"]
+        if r["lm_bucket"] == "tail" or r["gopher_verdict"] != "ok":
+            assert r["n_words_kept"] == 0
+        else:
+            assert r["n_words_kept"] == r["n_words"]
+    # the combined cut keeps a nonzero but proper subset of tokens
+    kept = sum(r["n_words_kept"] for r in out)
+    total = sum(r["n_words"] for r in out)
+    assert 0 < kept < total
