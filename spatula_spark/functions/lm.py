@@ -75,19 +75,30 @@ def bigram_lm_score(
     from .dedup import normalized_words
 
     train = lm_docs if lm_docs is not None else docs
-    uni = (
-        train.select(
-            F.explode(normalized_words(F.col(text_col))).alias("w1")
-        )
-        .groupBy("w1")
-        .agg(_ilog2_count())
-        .withColumnRenamed("ilog2", "ilog2_uni")
-    )
-    big = (
+    # ONE text pass + ONE corpus-scale shuffle for BOTH model tables:
+    # the bigram explode is the pipeline's dominant cost (measured 3x
+    # the rest combined at sf0.1), so the bigram-count aggregate runs
+    # once and the unigram context model is derived from IT — the
+    # word's count in bigram-LEFT position is the sum of its bigram
+    # counts, a vocab-sized follow-up aggregate, not a second corpus
+    # pass. Every (w1, w2) occurrence is also a left-position
+    # occurrence of w1, so count(bg) <= count(w1) and the conditional
+    # cost stays >= 0. The count table is checkpointed because two
+    # model tables consume it — it is bigram-vocab-sized (Heaps-
+    # sublinear), so the checkpoint is small at any corpus size.
+    t_cnt = (
         train.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
         .groupBy("bg")
-        .agg(_ilog2_count())
-        .withColumnRenamed("ilog2", "ilog2_big")
+        .agg(F.count("*").alias("n_bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        t_cnt.groupBy("w1")
+        .agg((F.length(F.bin(F.sum("n_bg"))) - 1).alias("ilog2_uni"))
+    )
+    big = t_cnt.select(
+        "bg", (F.length(F.bin(F.col("n_bg"))) - 1).alias("ilog2_big")
     )
     occ = docs.select(
         "doc_id",
@@ -165,12 +176,15 @@ def bigram_lm_score_duckdb(
         f"lm_train AS ({train_sql or 'SELECT * FROM lm_docs'})",
         f"lm_w AS (SELECT doc_id, lang, {words} AS w FROM lm_docs)",
         f"lm_tw AS (SELECT {words} AS w FROM lm_train)",
-        "lm_uni AS (SELECT w1, (length(bin(count(*))) - 1)::BIGINT AS "
-        "ilog2_uni FROM (SELECT unnest(w) AS w1 FROM lm_tw) GROUP BY w1)",
-        "lm_big AS (SELECT bg, (length(bin(count(*))) - 1)::BIGINT AS "
-        "ilog2_big FROM (SELECT unnest(CASE WHEN len(w) >= 2 THEN "
+        "lm_tcnt AS (SELECT bg, count(*) AS n_bg, "
+        "string_split(bg, ' ')[1] AS w1 FROM "
+        "(SELECT unnest(CASE WHEN len(w) >= 2 THEN "
         "list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
         "ELSE []::VARCHAR[] END) AS bg FROM lm_tw) GROUP BY bg)",
+        "lm_uni AS (SELECT w1, (length(bin(sum(n_bg))) - 1)::BIGINT AS "
+        "ilog2_uni FROM lm_tcnt GROUP BY w1)",
+        "lm_big AS (SELECT bg, (length(bin(n_bg)) - 1)::BIGINT AS "
+        "ilog2_big FROM lm_tcnt)",
         "lm_occ AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] "
         "AS w1 FROM (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2 "
         "THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || "
