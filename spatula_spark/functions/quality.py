@@ -286,7 +286,12 @@ def gopher_quality(
     """
     from .dedup import normalized_words
 
-    w = normalized_words(F.col(text_col))
+    # project the words array into a real column: five lambda-bearing
+    # metrics read it, and Catalyst does not CSE across lambda
+    # boundaries — inlined, the split would re-run per element per
+    # metric (the measured 13x trap documented in lm.bigrams_from_words)
+    df = df.withColumn("__w", normalized_words(F.col(text_col)))
+    w = F.col("__w")
     n = F.size(w)
     sum_chars = F.aggregate(
         w, F.lit(0), lambda acc, x: acc + F.length(x)
