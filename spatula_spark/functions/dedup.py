@@ -67,14 +67,25 @@ def normalized_words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams as strings (the MinHash feature set)."""
+    """Distinct word n-grams as strings (the MinHash feature set).
+
+    Built as nested zip_with over n shifted slices so the words array
+    appears only OUTSIDE lambdas: Catalyst does not common-
+    subexpression-eliminate across lambda boundaries, and the previous
+    ``transform(sequence, i -> array_join(slice(w, i+1, n)))`` form
+    re-evaluated the split once per produced shingle — measured 11.5 s
+    vs 1.7 s (6.7x) for the sf0.1 shingle explode, bit-identical
+    output. Same trap and fix as lm.bigrams_from_words."""
     w = normalized_words(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
+    m = F.size(w) - n + 1
+    acc = F.slice(w, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(w, k + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     short = F.array(F.array_join(w, " "))  # doc shorter than n words
-    return F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(short))
+    return F.array_distinct(F.when(F.size(w) >= n, acc).otherwise(short))
 
 
 # ----------------------------------------------------------------- minhash
