@@ -573,8 +573,13 @@ def boilerplate_strip(spark, sf_dir):
     min_df=10) and splits the body into 8-word lines that are unique
     per page; the operator must strip exactly the planted wrapper and
     keep the body verbatim, order intact."""
-    docs = _t(spark, sf_dir, "documents")
-    w = dd.normalized_words(F.col("text"))
+    # words projected to a real column: the chunks lambda would
+    # otherwise re-run the split per produced line (the lambda-CSE
+    # trap measured in dd.word_shingles)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__w", dd.normalized_words(F.col("text"))
+    )
+    w = F.col("__w")
     h = (F.col("doc_id") % 7).cast("string")
     nch = F.floor((F.size(w) + 7) / 8).cast("int")
     chunks = F.transform(

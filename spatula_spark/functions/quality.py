@@ -50,12 +50,19 @@ def word_ngrams(text: Column, n: int) -> Column:
     (repetition metrics need counts; the distinct variant is
     :func:`~spatula_spark.functions.dedup.word_shingles`). Empty array
     when the doc has fewer than n words."""
+    # nested zip_with over shifted slices: the words array stays
+    # OUTSIDE every lambda (Catalyst does not CSE across lambda
+    # boundaries — the transform-with-index form re-ran the split per
+    # produced gram; see dedup.word_shingles for the measurements)
     w = normalized_words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - n + 1),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
+    m = F.size(w) - n + 1
+    acc = F.slice(w, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(w, k + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(w) >= n, acc).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -72,14 +79,12 @@ def adjacent_dup_frac(text: Column) -> Column:
     """Fraction of adjacent word pairs that are the same word — the
     "aaaa aaaa aaaa" degenerate-generation signal."""
     w = normalized_words(text)
+    n1 = F.size(w) - 1
+    eq = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: a == b
+    )
     adj = F.when(
-        F.size(w) >= 2,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.element_at(w, i) == F.element_at(w, i + 1),
-            )
-        ),
+        F.size(w) >= 2, F.size(F.filter(eq, lambda x: x))
     ).otherwise(F.lit(0))
     return F.round(adj / F.greatest(F.size(w) - 1, F.lit(1)), 6)
 

@@ -121,26 +121,33 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     whole text; <= w grams yield one global minimum."""
     from ..urls import portable_hash64
 
+    # grams and window minima via zip_with over shifted slices: the
+    # array operands stay OUTSIDE every lambda. The previous
+    # transform-with-index forms re-evaluated the captured array per
+    # produced element — for ``sel`` that meant re-hashing EVERY gram
+    # once per window position (O(n*w) hash evals); see
+    # dedup.word_shingles for the trap's measurements.
     ws = F.split(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")), " ")
     n = F.size(ws)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array(F.array_join(ws, " ")))
+    gm = n - (k - 1)
+    gacc = F.slice(ws, 1, gm)
+    for j in range(1, k):
+        gacc = F.zip_with(
+            gacc, F.slice(ws, j + 1, gm),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.when(n >= k, gacc).otherwise(
+        F.array(F.array_join(ws, " "))
+    )
     hs = F.transform(grams, lambda g: portable_hash64(g))
     m = F.size(hs)
-    sel = F.when(
-        m > w,
-        F.transform(
-            F.sequence(F.lit(1), m - (w - 1)),
-            lambda i: F.array_min(F.slice(hs, i, w)),
-        ),
-    ).otherwise(F.array(F.array_min(hs)))
+    sm = m - (w - 1)
+    sacc = F.slice(hs, 1, sm)
+    for j in range(1, w):
+        sacc = F.zip_with(
+            sacc, F.slice(hs, j + 1, sm), lambda a, b: F.least(a, b)
+        )
+    sel = F.when(m > w, sacc).otherwise(F.array(F.array_min(hs)))
     return F.array_sort(F.array_distinct(sel))
 
 
