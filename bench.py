@@ -176,6 +176,7 @@ HEADLINE = [
     "recrawl_priority",
     "revalidation_plan",
     "anchor_text_topk",
+    "anchor_spam_hosts",
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",

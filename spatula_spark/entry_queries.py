@@ -4573,3 +4573,91 @@ def corpus_datacard_q(spark, sf_dir):
             F.sum(kept_words).alias("n_words_kept"),
         )
     )
+
+
+def _anchor_spam_oracle() -> str:
+    from .sources.synthweb import _WORDS
+
+    wlist = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+    pid = duck_hash("'anc:' || src::VARCHAR") + " % 3"
+    return f"""
+WITH d AS (SELECT doc_id::BIGINT AS src FROM documents),
+organic AS (
+  SELECT src // 5 AS dst, src % 13 AS src_host,
+    '  ' || {wlist}[(((src // 5) + ({pid})) % 20 + 1)::INT]
+    || '   ' || {wlist}[(((src // 5) * 7 + ({pid})) % 20 + 1)::INT]
+    || ' ' AS anchor
+  FROM d),
+popular AS (
+  SELECT 8000000 + (src % 2) AS dst, src % 13 AS src_host,
+    {wlist}[((src * 3) % 20 + 1)::INT] || ' '
+    || {wlist}[((src * 11 + 5) % 20 + 1)::INT] AS anchor
+  FROM d WHERE src < 100),
+farm AS (
+  SELECT 9000000 + (src % 3) AS dst, src % 3 AS src_host,
+    ' Cheap   PILLS here ' AS anchor
+  FROM d WHERE src < 60),
+l AS (SELECT * FROM organic UNION ALL SELECT * FROM popular
+      UNION ALL SELECT * FROM farm),
+n AS (SELECT dst, src_host AS h,
+        lower(regexp_replace(trim(anchor), '\\s+', ' ', 'g')) AS phrase
+      FROM l),
+pp AS (SELECT dst, phrase, count(*) AS n_pl FROM n GROUP BY 1, 2),
+pd AS (SELECT dst, sum(n_pl)::BIGINT AS n_links,
+         count(*)::BIGINT AS n_phrases,
+         max(n_pl)::BIGINT AS top_phrase_links
+       FROM pp GROUP BY dst),
+hh AS (SELECT dst, count(DISTINCT h)::BIGINT AS n_src_hosts
+       FROM n GROUP BY dst)
+SELECT pd.dst, n_links, n_phrases, n_src_hosts, top_phrase_links,
+  (n_links >= 20 AND top_phrase_links * 2 > n_links
+   AND n_src_hosts * 5 < n_links) AS spam
+FROM pd JOIN hh ON pd.dst = hh.dst
+"""
+
+
+@register("anchor_spam_hosts", _anchor_spam_oracle)
+def anchor_spam_hosts_q(spark, sf_dir):
+    """Link-farm detection (tx.anchor_spam_hosts): pages whose
+    in-links are numerous but come from few hosts repeating one
+    phrase are bought reputation — the classic link-spam signature a
+    crawler demotes before ranking. Three planted populations: a
+    long-tail organic graph (under the volume floor), two POPULAR
+    targets (50+ links but varied anchors and 13 source hosts — must
+    NOT flag), and a 3-target farm (20 links each from 3 hosts, one
+    repeated anchor — must flag). One edge-scale (dst, phrase)
+    aggregate, then vocabulary-sized rollups; join-free on edges."""
+    from .functions import text as tx
+    from .sources.synthweb import _WORDS
+
+    warr = F.array(*[F.lit(x) for x in _WORDS])
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    src = F.col("src")
+    dst = F.expr("src div 5")
+    pid = portable_hash64(
+        F.concat(F.lit("anc:"), src.cast("string"))
+    ) % 3
+    word = lambda expr: F.element_at(warr, (expr % 20 + 1).cast("int"))  # noqa: E731
+    organic = d.select(
+        dst.alias("dst"), (src % 13).alias("src_host"),
+        F.concat(
+            F.lit("  "), word(dst + pid), F.lit("   "),
+            word(dst * 7 + pid), F.lit(" "),
+        ).alias("anchor"),
+    )
+    popular = d.filter(src < 100).select(
+        (8_000_000 + (src % 2)).alias("dst"),
+        (src % 13).alias("src_host"),
+        F.concat_ws(
+            " ", word(src * 3), word(src * 11 + 5)
+        ).alias("anchor"),
+    )
+    farm = d.filter(src < 60).select(
+        (9_000_000 + (src % 3)).alias("dst"),
+        (src % 3).alias("src_host"),
+        F.lit(" Cheap   PILLS here ").alias("anchor"),
+    )
+    links = organic.unionByName(popular).unionByName(farm)
+    return tx.anchor_spam_hosts(links)

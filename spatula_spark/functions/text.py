@@ -606,3 +606,56 @@ def oov_rate(
         (F.col("n_oov") * 100 >= F.lit(flag_pct) * F.col("n_tokens"))
         .alias("flagged"),
     )
+
+
+def anchor_spam_hosts(
+    links: DataFrame,
+    dst_col: str = "dst",
+    host_col: str = "src_host",
+    text_col: str = "anchor",
+    min_links: int = 20,
+) -> DataFrame:
+    """Link-farm detection from anchor-text shape — the complement of
+    :func:`anchor_text_topk`: a page whose in-links are numerous but
+    come from FEW source hosts repeating ONE phrase is bought/botted
+    reputation, not earned (the classic Google link-spam signature),
+    and a crawler demotes it before the ranking stage ever sees it.
+
+    Spam rule (all integer cross-multiplications, first-match order):
+    flagged iff n_links >= min_links AND the top phrase carries more
+    than half of all in-links (top_phrase_links * 2 > n_links) AND
+    source-host concentration is >= 5 links/host on average
+    (n_src_hosts * 5 < n_links). Organic pages fail at least one leg:
+    their anchors vary and their linkers are spread.
+
+    Shape: one (dst, phrase) aggregate with map-side partials — the
+    only edge-scale stage — then a dst-level rollup of the
+    vocabulary-sized result plus a dst-keyed distinct-host count;
+    join-free on the edge table, never a self-join.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    base = links.select(
+        F.col(dst_col).alias("dst"), F.col(host_col).alias("h"),
+        norm.alias("phrase"),
+    )
+    per_phrase = base.groupBy("dst", "phrase").agg(
+        F.count("*").alias("n_pl")
+    )
+    per_dst = per_phrase.groupBy("dst").agg(
+        F.sum("n_pl").alias("n_links"),
+        F.count("*").alias("n_phrases"),
+        F.max("n_pl").alias("top_phrase_links"),
+    )
+    hosts = base.groupBy("dst").agg(
+        F.countDistinct("h").alias("n_src_hosts")
+    )
+    out = per_dst.join(hosts, "dst")
+    spam = (
+        (F.col("n_links") >= min_links)
+        & (F.col("top_phrase_links") * 2 > F.col("n_links"))
+        & (F.col("n_src_hosts") * 5 < F.col("n_links"))
+    )
+    return out.select(
+        "dst", "n_links", "n_phrases", "n_src_hosts",
+        "top_phrase_links", spam.alias("spam"),
+    )

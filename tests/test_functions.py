@@ -2110,3 +2110,26 @@ def test_corpus_datacard_census_consistency(spark):
     kept = sum(r["n_words_kept"] for r in out)
     total = sum(r["n_words"] for r in out)
     assert 0 < kept < total
+
+
+def test_anchor_spam_hosts_classes(spark):
+    from spatula_spark.entry_queries import QUERIES
+
+    out = QUERIES["anchor_spam_hosts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {r["dst"]: r for r in out}
+    # the three farm targets flag: one phrase > half the links, heavy
+    # per-host concentration
+    for t in (9_000_000, 9_000_001, 9_000_002):
+        r = by[t]
+        assert r["spam"] and r["n_phrases"] == 1 and r["n_src_hosts"] == 1
+    # popular-but-organic targets have the volume but varied anchors
+    # and spread linkers: never flagged
+    for t in (8_000_000, 8_000_001):
+        r = by[t]
+        assert r["n_links"] >= 20 and not r["spam"]
+    # the long-tail organic graph stays unflagged entirely
+    assert not any(
+        r["spam"] for d, r in by.items() if d < 8_000_000
+    )
