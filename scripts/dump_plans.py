@@ -63,6 +63,10 @@ PICKS = [
     "caption_pixel_mismatch",  # single caption-window star compare
     "dsir_select",            # bucket aggs + broadcast model join
     "host_latency_quantiles",  # domain-sized histogram-CDF window
+    "anchor_spam_hosts",      # edge-scale agg + vocab rollups, join-free
+    "revalidation_plan",      # CASE projection + map-side (host,plan) agg
+    "corpus_datacard",        # two scorers composed over one scan
+    "oov_rate",               # vocab top-k broadcast to token join
 ]
 
 
