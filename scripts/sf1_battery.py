@@ -449,6 +449,41 @@ def run_scale(spark, tag: str, n_docs: int, n_vecs: int, n_events: int,
     out["align_keep"] = al.select((dotc >= 0).alias("k")).filter("k").count()
     out["align_s"] = round(time.time() - t, 2)
 
+    # round-4 session-2: bigram-LM + DSIR model-size legs. The scale
+    # claims: the bigram MODEL (Heaps-law vocab of the growing-
+    # vocabulary corpus) grows at most ~linearly in the corpus — never
+    # token-quadratically — and DSIR's hashed feature table is pinned
+    # at 1024 buckets, so its model rows must be ~CONSTANT at 10x.
+    from spatula_spark.functions import lm as lmf
+    from spatula_spark.urls import portable_hash64
+
+    t = time.time()
+    ldocs = docs.select("doc_id", F.lit("en").alias("lang"), "text")
+    scored = lmf.bigram_lm_score(ldocs)
+    # agg over sum_cost defeats count-pruning: the whole score
+    # pipeline (model build + joins + window) actually runs
+    out["lm_cost_total"] = int(
+        scored.agg(F.sum("sum_cost")).collect()[0][0]
+    )
+    out["lm_s"] = round(time.time() - t, 2)
+    bg_occ = docs.withColumn(
+        "__w", dd.normalized_words(F.col("text"))
+    ).select(F.explode(lmf.bigrams_from_words(F.col("__w"))).alias("bg"))
+    out["lm_bigram_vocab"] = bg_occ.distinct().count()
+
+    t = time.time()
+    sel = lmf.dsir_importance(
+        docs.select("doc_id", "text"),
+        docs.select("doc_id", "text").filter(F.col("doc_id") % 10 == 0),
+    )
+    out["dsir_kept"] = sel.filter("kept").count()
+    out["dsir_s"] = round(time.time() - t, 2)
+    out["dsir_model_rows"] = (
+        bg_occ.select(
+            F.pmod(portable_hash64(F.col("bg")), F.lit(1024)).alias("b")
+        ).distinct().count()
+    )
+
     for d in (docs, corpus, emb, pert, ev):
         d.unpersist()
     return out
@@ -502,6 +537,10 @@ def main():
         "trap_flags_growth": (ratio("trap_flags"), 20.0),
         "recrawl_rows_growth": (ratio("recrawl_rows"), 20.0),
         "sitemap_locs_growth": (ratio("sitemap_locs"), 20.0),
+        # bigram model Heaps growth: at most ~linear in the corpus
+        "lm_bigram_vocab_growth": (ratio("lm_bigram_vocab"), 12.0),
+        # DSIR's 1024-bucket hashed model: ~constant rows at 10x
+        "dsir_model_rows_growth": (ratio("dsir_model_rows"), 1.05),
         "align_keep_frac_ratio": (
             round(max(
                 (r10["align_keep"] / r10["n_docs"])
@@ -545,7 +584,9 @@ def main():
               "decon_bench_grams", "pack_packs", "mm_edges",
               "mm_components", "mm_rounds",
               "asof_rows", "range_rows",
-              "trap_flags", "recrawl_rows", "sitemap_locs", "align_keep"):
+              "trap_flags", "recrawl_rows", "sitemap_locs", "align_keep",
+              "lm_cost_total", "lm_bigram_vocab", "dsir_kept",
+              "dsir_model_rows"):
         lines.append(f"| {k} | {r1[k]:,} | {r10[k]:,} | {ratio(k)}x |")
     lines += [
         "",
@@ -556,7 +597,8 @@ def main():
               "emb_cand_s", "emb_nd_s", "ann_lsh_s", "ann_ivf_s", "mih_s",
               "cc_s", "capped_s", "rep_s", "decon_s", "pack_s", "mm_s",
               "asof_s", "range_s",
-              "trap_s", "recrawl_s", "sitemap_s", "align_s"):
+              "trap_s", "recrawl_s", "sitemap_s", "align_s", "lm_s",
+              "dsir_s"):
         lines.append(f"| {k[:-2]} | {r1[k]} | {r10[k]} |")
     lines += [
         "",
