@@ -186,6 +186,7 @@ HEADLINE = [
     "stream_window_counts",
     "stream_sessionize",
     "stream_dedup_keys",
+    "stream_phash_dedup",
     "crawl_doc_tree",
 ]
 

@@ -4661,3 +4661,32 @@ def anchor_spam_hosts_q(spark, sf_dir):
     )
     links = organic.unionByName(popular).unionByName(farm)
     return tx.anchor_spam_hosts(links)
+
+
+@register(
+    "stream_phash_dedup",
+    f"""
+SELECT DISTINCT {_duck_fp('(event_id % 200)')} AS fp FROM events
+""",
+)
+def stream_phash_dedup_q(spark, sf_dir):
+    """Streaming image-ingest dedup (streaming/dedup.py
+    stream_distinct_derived): the arriving record stream maps to a
+    perceptual fingerprint (closed-form stand-in for the decoder's
+    pHash — 200 distinct images recurring across the firehose) and
+    dropDuplicatesWithinWatermark keeps the first sighting of each,
+    state watermark-evicted so a 10^10-image firehose holds only the
+    horizon's fingerprints. Drained over the finite file this equals
+    global DISTINCT, giving the exact oracle; the three-micro-batch
+    eviction semantics are pinned in tests/test_streaming_dedup.py
+    for the shared machinery."""
+    from .streaming.dedup import stream_distinct_derived
+
+    def derive(stream):
+        return stream.select(
+            _derived_fp("(event_id % 200)").alias("fp"), "ts"
+        )
+
+    return stream_distinct_derived(
+        spark, f"{sf_dir}/events.parquet", derive, ("fp",)
+    )

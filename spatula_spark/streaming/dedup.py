@@ -72,3 +72,41 @@ def stream_distinct_keys(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_distinct_derived(
+    spark: SparkSession,
+    events_path: str,
+    derive,
+    out_cols: tuple[str, ...],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """First-occurrence emission of DERIVED keys — the streaming image
+    -ingest dedup: each arriving record maps to a fingerprint (here a
+    closed-form perceptual hash; in production the decoder's pHash)
+    and only the first sighting of each fingerprint survives,
+    watermark-evicted exactly like :func:`stream_distinct_keys`. The
+    crawl meaning: a continuously-arriving image firehose is pruned to
+    novel images before any expensive embed/caption stage, with state
+    bounded by the watermark horizon rather than the corpus.
+
+    ``derive`` maps the raw stream DataFrame (EVENTS_SCHEMA + ts) to
+    a DataFrame with ``out_cols`` + ``ts``; dedup is on ``out_cols``.
+    """
+    name = "fpdedup_" + uuid.uuid4().hex[:12]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_as_stream_dir(events_path))
+        .withWatermark("ts", watermark)
+    )
+    deduped = derive(stream).dropDuplicatesWithinWatermark(list(out_cols))
+    q = (
+        deduped.select(*out_cols)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
