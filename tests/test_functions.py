@@ -2133,3 +2133,43 @@ def test_anchor_spam_hosts_classes(spark):
     assert not any(
         r["spam"] for d, r in by.items() if d < 8_000_000
     )
+
+
+def test_shingle_and_bigram_builders_match_python_twin(spark):
+    """Property armor for the zip_with n-gram builders (the
+    lambda-CSE rewrite): Spark word_shingles / word_bigrams must
+    equal the pure-Python twin on adversarial texts — leading/
+    trailing/multiple spaces, tabs/newlines (Java \\s class), unicode
+    words, empties, and lengths straddling every n boundary."""
+    import random
+
+    from spatula_spark.functions import lm
+    from spatula_spark.functions import dedup as dd
+    from spatula_spark.functions.dedup import _shingle_set
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "Gamma", "d", "ee", "été", "x9"]
+    texts = ["", " ", "one", "one two", "a  b   c", "\tlead", "trail \n"]
+    for _ in range(40):
+        k = rng.randrange(0, 8)
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        texts.append(sep.join(rng.choice(vocab) for _ in range(k)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    rows = df.select(
+        "i",
+        dd.word_shingles(F.col("text")).alias("sh"),
+        lm.word_bigrams(F.col("text")).alias("bg"),
+    ).collect()
+    import re
+    ws = re.compile(r"\s+")
+    for r in rows:
+        t = texts[r["i"]]
+        assert set(r["sh"]) == _shingle_set(t, 3), (t, r["sh"])
+        words = ws.sub(" ", t.strip(" ")).lower().split(" ")
+        want_bg = (
+            [f"{a} {b}" for a, b in zip(words, words[1:])]
+            if len(words) >= 2 else []
+        )
+        assert list(r["bg"]) == want_bg, (t, r["bg"])
