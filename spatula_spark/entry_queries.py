@@ -439,7 +439,12 @@ FROM lineitem QUALIFY rn <= 500
 """,
 )
 def lineage_order(spark, sf_dir):
-    """The DFS path-key total order (D1): global sort -> stable ranks."""
+    """The DFS path-key total order (D1): global sort -> stable ranks.
+
+    The unpartitioned window is deliberate and bounded: the rn <= 500
+    filter lets Spark's WindowGroupLimit keep a map-side top-500 per
+    partition, so the single merge task sees at most partitions x 500
+    rows — a top-k, not a full-table single-partition sort."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_orderkey", "l_linenumber")
     return (

@@ -354,5 +354,9 @@ def luma_histogram(pixels: np.ndarray, bins: int = 8) -> list[int]:
     replays it from the same pixel field."""
     y = luma_plane(pixels)
     width = 256 // bins
-    counts = np.bincount((y // width).ravel(), minlength=bins)
+    # when bins does not divide 256 the top partial bin (luma >=
+    # bins*width) would fall off the end — clamp it into the last bin
+    # so the histogram always sums to the pixel count
+    idx = np.minimum(y // width, bins - 1)
+    counts = np.bincount(idx.ravel(), minlength=bins)
     return [int(c) for c in counts[:bins]]

@@ -67,10 +67,6 @@ def word_bigrams(text: Column) -> Column:
     return bigrams_from_words(normalized_words(text))
 
 
-def _ilog2_count() -> Column:
-    return (F.length(F.bin(F.count("*"))) - 1).alias("ilog2")
-
-
 def bigram_lm_score(
     docs: DataFrame,
     lm_docs: DataFrame | None = None,

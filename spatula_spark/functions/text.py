@@ -494,6 +494,39 @@ def logfreq_score(
     )
 
 
+def two_phase_topk(
+    df: DataFrame,
+    key_col: str,
+    order: list[Column],
+    k: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Exact global top-``k`` by a total order without funnelling the
+    full table through one task: phase 1 hash-buckets rows into a
+    FIXED ``n_groups`` and takes each bucket's top-k (every global
+    top-k row necessarily survives its own bucket's top-k), phase 2
+    ranks the <= n_groups*k survivors in one constant-size task. The
+    final window partitions by a literal so WindowExec never runs
+    with an empty partition spec — its input is bounded by
+    n_groups*k regardless of cluster size or corpus vocabulary,
+    unlike the single-phase global window whose WindowGroupLimit
+    merge grows with input partitions x k. Adds a ``rank`` column
+    (1-based)."""
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy("_g").orderBy(*order)
+    survivors = (
+        df.withColumn("_g", F.pmod(F.xxhash64(key_col), F.lit(n_groups)))
+        .withColumn("_lr", F.row_number().over(gw))
+        .filter(F.col("_lr") <= k)
+        .drop("_g", "_lr")
+    )
+    fw = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(fw)).filter(
+        F.col("rank") <= k
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame, text_col: str = "text", k: int = 30
 ) -> DataFrame:
@@ -533,14 +566,10 @@ def bpe_pair_counts(
         .groupBy("pair")
         .agg(F.sum("n_w").alias("n"))
     )
-    from pyspark.sql import Window
-
-    # global top-k window over the PAIR table only — bounded by the
-    # symbol alphabet squared, never corpus- or vocab-scale
-    rank_w = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        counted.withColumn("rank", F.row_number().over(rank_w))
-        .filter(F.col("rank") <= k)
+    # two-phase exact top-k over the PAIR table (alphabet-bounded
+    # anyway, but this keeps WindowExec off the empty-partition path)
+    return two_phase_topk(
+        counted, "pair", [F.col("n").desc(), F.col("pair")], k
     )
 
 
@@ -569,8 +598,6 @@ def oov_rate(
     join from exploded candidate tokens to the vocab (AQE broadcasts
     the top-k side — it is ``vocab_size`` rows), one per-doc regroup.
     """
-    from pyspark.sql import Window
-
     from .dedup import normalized_words
 
     src = vocab_docs if vocab_docs is not None else df
@@ -579,12 +606,15 @@ def oov_rate(
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    rank_w = Window.orderBy(F.col("n").desc(), "w")
-    vocab = (
-        counts.withColumn("r", F.row_number().over(rank_w))
-        .filter(F.col("r") <= vocab_size)
-        .select("w", F.lit(True).alias("in_vocab"))
-    )
+    # two-phase exact top-k: the distinct-word table is corpus-
+    # vocabulary-sized (50k-250k words at production scale), so the
+    # single-phase global window's WindowGroupLimit merge (input
+    # partitions x vocab_size rows into ONE task) is replaced by a
+    # fixed-fan-in bucket top-k whose final task sees <= 64*vocab_size
+    # rows no matter how many input partitions feed it
+    vocab = two_phase_topk(
+        counts, "w", [F.col("n").desc(), F.col("w")], vocab_size
+    ).select("w", F.lit(True).alias("in_vocab"))
     toks = df.select(
         "doc_id", F.explode(normalized_words(F.col(text_col))).alias("w")
     )

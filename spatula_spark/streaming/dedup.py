@@ -108,5 +108,8 @@ def stream_distinct_derived(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return spark.table(name)
