@@ -689,6 +689,65 @@ def bpe_pair_counts_q(spark, sf_dir):
     return tx.bpe_pair_counts(_t(spark, sf_dir, "documents"))
 
 
+_BPE_MERGE_SQL_CACHE: list = []
+
+
+def _bpe_merges_oracle() -> str:
+    """Lazy oracle for bpe_train_merges: the merge sequence is an
+    iterative argmax the driver's single SQL statement cannot replay,
+    so — like the codec-pinned image fingerprints — the literal table
+    comes from an INDEPENDENT implementation (tx.bpe_python_twin, a
+    dict-based scan trainer sharing no code with the Spark loop) run
+    over the same documents table the driver compares at
+    (sf0.01 per the driver contract; SPARK_GRAFT_ORACLE_SF_DIR
+    overrides for local runs at other scales). The honest asymmetry —
+    the corpus read is pinned to that directory rather than the SQL
+    views — is the same shape image_near_dup_phash documents, and the
+    twin-vs-engine equivalence is separately pytest-pinned on an
+    adversarial corpus (escapes, overlaps, ties)."""
+    if not _BPE_MERGE_SQL_CACHE:
+        import os
+
+        import duckdb
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        texts = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT text FROM '{sf_dir}/documents.parquet'"
+            ).fetchall()
+        ]
+        rows = tx.bpe_python_twin(texts, 10)
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        vals = ", ".join(
+            f"({step}::INT, {q(l)}, {q(r)}, {q(m)}, {n}::BIGINT)"
+            for step, l, r, m, n in rows
+        )
+        _BPE_MERGE_SQL_CACHE.append(
+            "SELECT * FROM (VALUES "
+            + vals
+            + ") AS t(step, left_sym, right_sym, merged, n)"
+        )
+    return _BPE_MERGE_SQL_CACHE[0]
+
+
+@register("bpe_train_merges", _bpe_merges_oracle)
+def bpe_train_merges_q(spark, sf_dir):
+    """Full BPE tokenizer training (tx.bpe_train_merges): 10 merge
+    rounds over the documents corpus — each round one vocab-sized
+    pair-count aggregate, a single-row argmax collect, and a
+    boundary-anchored regexp re-segmentation of the persisted
+    vocabulary state. The merge sequence (step, pair, merged, count)
+    is integer/total-order deterministic, replayed bit-for-bit by the
+    independent pure-Python twin that renders the oracle."""
+    return tx.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
 # ==========================================================================
 # 3. Training-data operators: deduplication
 # ==========================================================================

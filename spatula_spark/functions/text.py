@@ -573,6 +573,180 @@ def bpe_pair_counts(
     )
 
 
+# symbol separator in the packed segmentation string; not whitespace,
+# so normalized_words can never put it inside a word (a defensive
+# filter drops any word that does contain it, on both engine and twin)
+BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 10
+) -> DataFrame:
+    """Full distributed BPE tokenizer training (Sennrich et al. 2016):
+    ``n_merges`` rounds of count-pairs -> argmax -> re-segment, the
+    iterative loop :func:`bpe_pair_counts` is the first round of.
+
+    Scale shape — the loop never touches corpus-scale rows after the
+    single word-count pass: state is the Heaps-law vocabulary table
+    ``(w, n_w, syms)`` where ``syms`` packs the word's current
+    segmentation as ``SEP sym SEP ... SEP`` (leading/trailing SEP so
+    every symbol boundary is explicit). Each round runs one vocab-sized
+    pair count (map-side combined) whose single-row argmax is the only
+    thing collected (one row per round), then rewrites the packed
+    string with one boundary-anchored regexp_replace — Java regex
+    ``replaceAll`` consumes matches left-to-right without overlap,
+    which IS the BPE merge rule, and the ``(?<=SEP)l SEP r(?=SEP)``
+    lookarounds make overlapping occurrences like ``a a a a`` merge to
+    ``aa aa`` exactly as the scan-based formulation does. Per-round
+    state is persisted and the previous round unpersisted, so lineage
+    stays O(1) across rounds.
+
+    Determinism: integer counts; argmax tie-break is (count DESC,
+    left ASC, right ASC) via a single min(struct(-n, l, r)) aggregate
+    — a total order, so the merge sequence is replayable bit-for-bit
+    by an independent trainer (the pure-Python twin that renders the
+    oracle literal table, pinned again by pytest).
+
+    Returns (step, left_sym, right_sym, merged, n): the merge table a
+    tokenizer ships as its vocab, in training order."""
+    import re as _re
+
+    from .dedup import normalized_words
+
+    spark = df.sparkSession
+    sep = BPE_SEP
+    freq = (
+        df.select(F.explode(normalized_words(F.col(text_col))).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    # initial segmentation: characters + the terminal '</w>' symbol
+    chars = F.split(F.col("w"), "(?!$)")
+    init = F.concat(
+        F.lit(sep),
+        F.array_join(chars, sep),
+        F.lit(sep + "</w>" + sep),
+    )
+    cur = freq.select("n_w", init.alias("syms")).persist()
+    prev = None
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, n_merges + 1):
+            arr = F.split(F.col("syms"), sep)
+            # the packed form splits to ['', s1..sk, ''] — slice the
+            # empties off, then adjacent pairs via two shifted slices
+            inner = F.slice(arr, 2, F.size(arr) - 2)
+            seg = cur.select("n_w", inner.alias("s"))
+            k = F.size(F.col("s"))
+            pairs = F.zip_with(
+                F.slice(F.col("s"), 1, k - 1),
+                F.slice(F.col("s"), 2, k - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+            best_rows = (
+                seg.select("n_w", F.explode(pairs).alias("p"))
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n_w").alias("n"))
+                .agg(
+                    F.min(
+                        F.struct(
+                            (F.lit(0) - F.col("n")).alias("negn"),
+                            F.col("l"),
+                            F.col("r"),
+                        )
+                    ).alias("b")
+                )
+                .collect()
+            )
+            # the argmax job consumed every partition of cur, so its
+            # cache is now fully materialized and the previous round's
+            # state can be dropped without triggering recompute
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            b = best_rows[0]["b"] if best_rows else None
+            if b is None or b["l"] is None:
+                break
+            left, right, n = b["l"], b["r"], -b["negn"]
+            merged = left + right
+            merges.append((step, left, right, merged, int(n)))
+            pattern = (
+                f"(?<={sep})"
+                + _re.escape(left)
+                + sep
+                + _re.escape(right)
+                + f"(?={sep})"
+            )
+            # Java replacement string: $ and \ are special
+            repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+            nxt = cur.withColumn(
+                "syms", F.regexp_replace("syms", pattern, repl)
+            ).persist()
+            prev = cur
+            cur = nxt
+    finally:
+        cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left_sym string, right_sym string, "
+        "merged string, n long",
+    )
+
+
+def bpe_python_twin(
+    texts: list[str], n_merges: int = 10
+) -> list[tuple[int, str, str, str, int]]:
+    """Independent dict-based BPE trainer — the oracle twin for
+    :func:`bpe_train_merges` (same normalization, same tie-break,
+    scan-based re-segmentation instead of regex). Kept deliberately
+    free of any shared code with the Spark path."""
+    import re as _re
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        norm = _re.sub(r"\s+", " ", t.strip()).lower()
+        for w in norm.split(" "):
+            if w and BPE_SEP not in w:
+                wf[w] += 1
+    segs = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            nw = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += nw
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        merges.append((step, left, right, merged, int(n)))
+        for w, syms in segs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
 def oov_rate(
     df: DataFrame,
     vocab_docs: DataFrame | None = None,

@@ -1667,6 +1667,38 @@ def test_bpe_pair_counts_golden(spark):
     }
 
 
+def test_bpe_train_merges_matches_python_twin(spark):
+    """The distributed merge loop replays the independent dict-based
+    trainer bit-for-bit on an adversarial corpus: regex metachars and
+    Java-replacement specials ($, backslash) inside symbols,
+    overlapping merge runs (aaaa -> aa aa, not aa a a), count ties
+    broken (left ASC, right ASC), and an empty document."""
+    from spatula_spark.functions.text import (
+        bpe_python_twin,
+        bpe_train_merges,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the rats",
+        "low lower lowest newer newest",
+        "  Mixed   CASE   text  with.punct, and $dollar\\back ",
+        "aaaa aaaa aa a",
+        "x.y x.y (par) (par) [br] c++ c++",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train_merges(df, n_merges=15).collect()]
+    want = bpe_python_twin(texts, 15)
+    assert len(got) == 15
+    assert got == want
+    # training order: counts are non-increasing and steps sequential
+    assert [s for s, *_ in got] == list(range(1, 16))
+    assert all(a[4] >= b[4] for a, b in zip(got, got[1:]))
+
+
 def test_zorder_key_and_locality(spark):
     from pyspark.sql import functions as F
 
