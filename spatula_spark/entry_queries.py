@@ -1211,18 +1211,23 @@ def ngram_containment(spark, sf_dir):
     return dd.containment_pairs(corpus, max_df=30, threshold=0.5)
 
 
-DUCK_DUP_POSITIONS = f"""
+def duck_dup_positions(n: int) -> str:
+    """DuckDB rendering of dd._dup_positions for word n-grams."""
+    return f"""
 bw AS (SELECT doc_id, {DUCK_WORDS} AS words FROM corpus),
 g AS (
   SELECT doc_id, u.pos AS pos, u.gram AS gram
   FROM (
-    SELECT doc_id, unnest(list_transform(range(0, len(words) - 2),
+    SELECT doc_id, unnest(list_transform(range(0, len(words) - {n - 1}),
       p -> {{'pos': p,
-             'gram': array_to_string(words[p+1:p+3], ' ')}})) AS u
-    FROM bw WHERE len(words) >= 3)),
+             'gram': array_to_string(words[p+1:p+{n}], ' ')}})) AS u
+    FROM bw WHERE len(words) >= {n})),
 hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
 dup AS (SELECT doc_id, pos FROM g JOIN hot USING (gram))
 """
+
+
+DUCK_DUP_POSITIONS = duck_dup_positions(3)
 
 
 @register(
@@ -1247,6 +1252,32 @@ def duplicate_spans(spark, sf_dir):
     random-soup background contributes only chance-collision grams."""
     corpus = dd.perturbed_corpus(_t(spark, sf_dir, "documents"))
     return dd.duplicate_spans(corpus)
+
+
+@register(
+    "duplicate_spans_n",
+    f"""
+WITH {DUCK_PERTURBED_CORPUS},
+{duck_dup_positions(5)},
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) - min(pos) + 5)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp HAVING max(pos) - min(pos) + 5 >= 6
+""",
+)
+def duplicate_spans_n(spark, sf_dir):
+    """Configurable-length exact-substring dedup: the same distributed
+    k-gram span finder at n=5 with a min span of 6 words, proving the
+    span length is a knob, not a constant. The production shape is
+    n ~ 50 words with hash_grams=True (8-byte xxhash64 exchange keys
+    — see dd._dup_positions); that path is pinned by the pure-Python
+    twin test (test_duplicate_spans_n50_hashed_matches_twin) because
+    xxhash64 has no DuckDB twin to replay the strings through."""
+    corpus = dd.perturbed_corpus(_t(spark, sf_dir, "documents"))
+    return dd.duplicate_spans(corpus, n=5, min_len=6)
 
 
 @register(

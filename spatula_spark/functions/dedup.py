@@ -671,7 +671,11 @@ def _positioned_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 def _dup_positions(
-    df: DataFrame, text_col: str, n: int, min_count: int
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    min_count: int,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(doc_id, pos) of every n-gram occurrence whose gram occurs
     >= min_count times corpus-wide (within-doc repeats count — any
@@ -682,8 +686,20 @@ def _dup_positions(
     to one row per map partition before the shuffle (map-side
     combine), and the probe side reuses the same gram exchange under
     AQE — a count(*) OVER (PARTITION BY gram) window would instead
-    buffer the entire hot posting list in one task."""
+    buffer the entire hot posting list in one task.
+
+    ``hash_grams=True`` replaces the gram string with its xxhash64
+    BEFORE the shuffle — at the Lee et al. 2022 production span
+    length (n ~ 50 words, ~300-byte gram strings) the exchange key
+    shrinks ~40x, which is the difference between a shippable and an
+    unshippable gram shuffle at 10^10 positions. The tradeoff is a
+    64-bit collision could mark a unique position duplicated
+    (~N²/2^65 expected false positives — negligible and benign for a
+    dedup FILTER); the exact-string path stays the default so the
+    DuckDB oracle replays bit-for-bit."""
     grams = _positioned_grams(df, text_col, n)
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -699,6 +715,7 @@ def duplicate_spans(
     n: int = 3,
     min_count: int = 2,
     min_len: int = 3,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans, the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better")
@@ -716,10 +733,12 @@ def duplicate_spans(
     e - s + n words). Two shuffles total: one on gram (partial-agg +
     AQE-reused semi-join probe, see _dup_positions) and one on doc_id
     for the gap-and-islands window — both keys are slim, neither
-    carries text payloads. At 10^10-document scale the gram key would
-    be pre-hashed (xxhash64) to shrink the exchange; the string key
-    is kept here so the DuckDB oracle replays the exact pipeline."""
-    dup = _dup_positions(df, text_col, n, min_count)
+    carries text payloads. The production span length is n ~ 50 words
+    (the Lee et al. 2022 shape); at that n pass ``hash_grams=True``
+    so the gram exchange carries 8-byte xxhash64 keys instead of
+    ~300-byte strings (see _dup_positions); the string key stays the
+    default so the DuckDB oracle replays the exact pipeline."""
+    dup = _dup_positions(df, text_col, n, min_count, hash_grams)
     isl = dup.withColumn(
         "_grp",
         F.col("pos")

@@ -1667,6 +1667,83 @@ def test_bpe_pair_counts_golden(spark):
     }
 
 
+def _spans_python_twin(texts, n, min_count, min_len):
+    """Independent positioned-gram span finder (dict counters + linear
+    scan) — the n=50 production-shape twin for dd.duplicate_spans."""
+    import re as _re
+    from collections import Counter
+
+    words = {}
+    for doc_id, t in texts:
+        norm = _re.sub(r"\s+", " ", t.strip()).lower()
+        words[doc_id] = norm.split(" ")
+    grams = Counter()
+    pos_grams = {}
+    for doc_id, ws in words.items():
+        pg = [
+            " ".join(ws[p:p + n]) for p in range(len(ws) - n + 1)
+        ] if len(ws) >= n else []
+        pos_grams[doc_id] = pg
+        grams.update(pg)
+    out = []
+    for doc_id, pg in pos_grams.items():
+        dup = [p for p, g in enumerate(pg) if grams[g] >= min_count]
+        runs = []
+        for p in dup:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            ln = e - s + n
+            if ln >= min_len:
+                out.append((doc_id, s, ln))
+    return sorted(out)
+
+
+def test_duplicate_spans_n50_hashed_matches_twin(spark):
+    """The Lee et al. 2022 production shape: 50-word spans over
+    xxhash64'd gram keys. Corpus plants an 80-word run shared by two
+    docs, a 60-word run repeated inside one doc, and unique filler —
+    the hashed path must find exactly the twin's spans."""
+    import random
+
+    from spatula_spark.functions.dedup import duplicate_spans
+
+    rng = random.Random(7)
+
+    def soup(k):
+        return [f"w{rng.randrange(100000)}" for _ in range(k)]
+
+    shared = [f"s{i}" for i in range(80)]
+    rep = [f"r{i}" for i in range(60)]
+    texts = [
+        (0, " ".join(soup(30) + shared + soup(40))),
+        (1, " ".join(soup(25) + shared + soup(35))),
+        (2, " ".join(soup(10) + rep + soup(15) + rep + soup(5))),
+        (3, " ".join(soup(200))),
+        (4, " ".join(soup(20))),  # shorter than n: no grams
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(
+            df, n=50, min_count=2, min_len=50, hash_grams=True
+        ).collect()
+    )
+    want = _spans_python_twin(texts, n=50, min_count=2, min_len=50)
+    assert got == want
+    assert {d for d, *_ in got} == {0, 1, 2}
+    # string-key path agrees with the hashed path on the same corpus
+    got_str = sorted(
+        tuple(r)
+        for r in duplicate_spans(
+            df, n=50, min_count=2, min_len=50, hash_grams=False
+        ).collect()
+    )
+    assert got_str == got
+
+
 def test_bpe_train_merges_matches_python_twin(spark):
     """The distributed merge loop replays the independent dict-based
     trainer bit-for-bit on an adversarial corpus: regex metachars and
