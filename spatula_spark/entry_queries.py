@@ -2280,6 +2280,90 @@ def ann_pq_topk_q(spark, sf_dir):
     return sim.pq_topk(emb, queries, k=5, m=8, n_codes=16)
 
 
+@register(
+    "ann_ivfpq_topk",
+    f"""
+WITH {_DUCK_PERTURBED_EMB},
+c AS (SELECT vec_id AS cid, v AS cv FROM corpus),
+cents AS (
+  SELECT cid AS cent_id, cv AS centv FROM (
+    SELECT cid, cv FROM c
+    ORDER BY {duck_hash("'ivf:'||cid")}, cid LIMIT 32)),
+sc AS (SELECT cid, cv, cent_id, centv,
+         round(list_cosine_similarity(cv, centv), 6) AS cs FROM c, cents),
+assigned AS (
+  SELECT cid, cv, cent_id, centv FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+             ORDER BY cs DESC, cent_id) AS rn FROM sc) WHERE rn = 1),
+res AS (SELECT cid, cent_id,
+          list_transform(range(0, 64), d -> cv[d+1] - centv[d+1]) AS rv
+        FROM assigned),
+samp AS (
+  SELECT rv, {duck_hash("'pq:'||cid")} AS h, cid FROM res
+  ORDER BY h, cid LIMIT 16),
+bk AS (SELECT (row_number() OVER (ORDER BY h, cid) - 1) AS j, rv AS bv
+       FROM samp),
+ss AS (SELECT unnest(range(0, 8)) AS s),
+enc AS (
+  SELECT cid, cent_id, s, j AS code FROM (
+    SELECT r.cid, r.cent_id, ss.s, bk.j,
+      row_number() OVER (PARTITION BY r.cid, ss.s
+        ORDER BY CAST(round(({_pq_terms('r.rv', 'bk.bv', 'ss.s')}) * 1e6)
+                 AS BIGINT), bk.j) AS rn
+    FROM res r, ss, bk) t WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+qs AS (SELECT query_id, qv, cent_id, centv,
+         round(list_cosine_similarity(qv, centv), 6) AS cs FROM q, cents),
+probes AS (
+  SELECT query_id, cent_id,
+         list_transform(range(0, 64), d -> qv[d+1] - centv[d+1]) AS rv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, cent_id) AS pr FROM qs) WHERE pr <= 4),
+lut AS (SELECT p.query_id, p.cent_id, ss.s, bk.j,
+          CAST(round(({_pq_terms('p.rv', 'bk.bv', 'ss.s')}) * 1e6)
+               AS BIGINT) AS e
+        FROM probes p, ss, bk),
+ad AS (SELECT l.query_id, e.cid AS neighbor_id, sum(l.e)::BIGINT AS adl
+       FROM enc e JOIN lut l
+         ON l.cent_id = e.cent_id AND l.s = e.s AND l.j = e.code
+       WHERE e.cid <> l.query_id
+       GROUP BY l.query_id, e.cid),
+short AS (SELECT query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+        ORDER BY adl, neighbor_id) AS sr FROM ad) WHERE sr <= 20),
+rr AS (SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(q.qv, c.cv), 6) AS cos
+       FROM short s JOIN q ON q.query_id = s.query_id
+       JOIN c ON c.cid = s.neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id))::INT AS rank FROM rr)
+WHERE rank <= 5
+""",
+)
+def ann_ivfpq_topk_q(spark, sf_dir):
+    """IVF-PQ with residual encoding and exact re-rank
+    (sim.ivfpq_topk) — the deployed 10^9-vector composition: IVF
+    prunes WHICH lists are scanned (nprobe/n_centroids of the
+    corpus), residual PQ compresses WHAT is scanned (8 codes vs 64
+    doubles), ADC shortlists, raw vectors re-rank only shortlist x
+    queries rows. Every stage is deterministic (hash samples, integer
+    micro-distances, total-order ranks), so the oracle replays the
+    ENTIRE composition. Planted-twin recall@5 = 1.0 and the
+    scanned-fraction bound are asserted in tests/test_functions.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    corpus = sim.perturbed_embeddings(emb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(
+        corpus, queries, k=5, n_centroids=32, nprobe=4, m=8,
+        n_codes=16, shortlist=20,
+    )
+
+
 # --------------------------------------------------------------------------
 # Image+caption (media) pipeline queries — the graft cell's payload.
 #

@@ -617,6 +617,44 @@ def _pq_encode_udf(books: np.ndarray):
     return _enc
 
 
+def _pq_lut_expr(books: np.ndarray, vec_name: str) -> Column:
+    """ADC lookup table as ONE parsed SQL expression over the vector
+    column ``vec_name``: lut[s*n_codes + j] = round-half-up integer
+    micro-distance ||v_sub_s - book[s][j]||^2 * 1e6. Integer entries
+    sum order-independently, so the ADC total is bit-identical across
+    numpy / Catalyst / DuckDB; the per-entry d-fold is the explicit
+    left-to-right order the twins use. Generated as a string and
+    parsed once — building it from Column objects costs a py4j round
+    trip per operator (11 s measured driver time)."""
+    m, n_codes, sub = books.shape
+
+    def _lit(x: float) -> str:
+        return repr(float(x)) + "D"  # D suffix: DOUBLE, not DECIMAL
+
+    entries = []
+    for ss in range(m):
+        for jj in range(n_codes):
+            terms = " + ".join(
+                f"(element_at({vec_name}, {ss * sub + d + 1}) - "
+                f"{_lit(books[ss][jj][d])})*"
+                f"(element_at({vec_name}, {ss * sub + d + 1}) - "
+                f"{_lit(books[ss][jj][d])})"
+                for d in range(sub)
+            )
+            entries.append(f"CAST(round(({terms}) * 1e6) AS BIGINT)")
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
+def _pq_adist_expr(m: int, n_codes: int) -> Column:
+    """ADC distance from columns ``lut`` and ``codes``: the pure-
+    Catalyst fold (sum_s lut[s*n_codes + codes[s]]) / 1e6."""
+    picks_sql = " + ".join(
+        f"element_at(lut, {ss * n_codes + 1} + element_at(codes, {ss + 1}))"
+        for ss in range(m)
+    )
+    return F.expr(f"({picks_sql}) / 1e6")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -673,29 +711,10 @@ def pq_topk(
     # a single F.expr call: building it from Column objects costs one
     # py4j round trip per operator — 11 s of measured driver time —
     # while the parser does it in milliseconds.
-    def _lit(x: float) -> str:
-        return repr(float(x)) + "D"  # D suffix: DOUBLE, not DECIMAL
-
-    entries = []
-    for ss in range(m):
-        for jj in range(n_codes):
-            terms = " + ".join(
-                f"(element_at(qv, {ss * sub + d + 1}) - "
-                f"{_lit(books[ss][jj][d])})*"
-                f"(element_at(qv, {ss * sub + d + 1}) - "
-                f"{_lit(books[ss][jj][d])})"
-                for d in range(sub)
-            )
-            entries.append(f"CAST(round(({terms}) * 1e6) AS BIGINT)")
-    lut = F.expr("array(" + ", ".join(entries) + ")")
-    qlut = q.select("query_id", lut.alias("lut"))
+    qlut = q.select("query_id", _pq_lut_expr(books, "qv").alias("lut"))
     # adist = (sum_s lut[s*n_codes + codes[s]]) / 1e6 — pure Catalyst,
     # sequential fold spelled as one parsed expression
-    picks_sql = " + ".join(
-        f"element_at(lut, {ss * n_codes + 1} + element_at(codes, {ss + 1}))"
-        for ss in range(m)
-    )
-    adist = F.expr(f"({picks_sql}) / 1e6")
+    adist = _pq_adist_expr(m, n_codes)
     scored = (
         codes.join(F.broadcast(qlut))
         .filter(F.col("cid") != F.col("query_id"))
@@ -713,13 +732,131 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding and exact re-rank — the deployed
+    10^9-vector ANN shape (Jégou et al. 2011): IVF's coarse quantizer
+    prunes WHICH vectors are scanned (~nprobe/n_centroids of the
+    corpus) while PQ compresses WHAT is scanned (m small codes per
+    vector instead of dim floats), and the two compose through
+    residuals — each vector is PQ-encoded as (v - its centroid), so
+    the codebook only has to cover the within-cell displacement, not
+    the whole space.
+
+    Build: hash-sampled centroids (:func:`ivf_centroids`, fixed
+    driver cost), one Arrow assignment pass, residuals as a pure
+    Catalyst zip_with, residual codebooks from a second fixed-size
+    hash sample (:func:`pq_codebooks` over the residual table), one
+    Arrow encode pass. The stored index row is (cid, cent_id,
+    m codes) — at 10^10 rows ~200 GB against ~5 TB of raw float64.
+
+    Query: probe the nprobe nearest centroids; per probe the query
+    residual (qv - centv) feeds the generated-SQL integer LUT
+    (:func:`_pq_lut_expr`), broadcast as (query_id, cent_id, lut);
+    ADC is the pure-Catalyst fold over probed lists only. The ADC
+    ``shortlist`` per query is then re-ranked EXACTLY — one broadcast
+    join back to the raw vectors of shortlist x queries rows, never
+    the corpus — by round(cosine, 6) DESC, neighbor ASC.
+
+    Everything is deterministic (hash samples, integer
+    micro-distances, total-order ranks), so the ENTIRE composition —
+    assignment, residuals, codebooks, LUTs, ADC, re-rank — replays in
+    DuckDB as a full value-hash oracle. Planted-twin recall@k = 1.0
+    and the scanned-fraction bound are asserted in tests."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    cent_ids, cmat = ivf_centroids(c, n_centroids)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cent_ids, cmat)],
+        "cent_id long, centv array<double>",
+    )
+    residual = F.zip_with("cv", "centv", lambda a, b: a - b)
+    assigned = (
+        c.withColumn("cent_id", _assign_udf(cent_ids, cmat)("cv"))
+        .filter(F.col("cent_id").isNotNull())
+        .join(F.broadcast(cents), "cent_id")
+        .select("cid", "cent_id", "cv", residual.alias("rv"))
+    )
+    books = pq_codebooks(
+        assigned.select("cid", F.col("rv").alias("cv")), m, n_codes, dim
+    )
+    codes = assigned.select(
+        "cid", "cent_id", _pq_encode_udf(books)("rv").alias("codes")
+    ).filter(F.col("codes").isNotNull())
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_qs").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cent_id", "centv",
+            F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("_qs"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            "cent_id",
+            F.zip_with("qv", "centv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    qlut = probes.select(
+        "query_id", "cent_id", _pq_lut_expr(books, "rv").alias("lut")
+    )
+    short_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = (
+        codes.join(F.broadcast(qlut), "cent_id")
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cid").alias("neighbor_id"),
+            _pq_adist_expr(m, n_codes).alias("adist"),
+        )
+        .withColumn("_sr", F.row_number().over(short_w))
+        .filter(F.col("_sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(cand), F.col("cid") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fast(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     n_centroids: int = 32,
     eps: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster: int | None = None,
+    max_cluster: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     embedding — k-means-cluster the corpus, then within each cluster
@@ -733,8 +870,16 @@ def semdedup(
     (driver memory independent of corpus size), assignment is one
     Arrow matmul batch pass, the pair join is a shuffle keyed on
     cent_id (raise n_centroids with the corpus to bound cluster
-    sizes, like IVF nlist; a skew-capped variant would star-connect
-    oversized clusters — see dedup._capped_bucket_pairs).
+    sizes, like IVF nlist). ``max_cluster`` star-connects oversized
+    clusters (dedup._capped_bucket_pairs) and DEFAULTS ON at 4096 —
+    at 100 TB one runaway cluster must degrade to O(m) hub
+    comparisons, never O(m^2) pairs; for the epsilon-ball clusters
+    that actually create mega-clusters the hub finds the same
+    duplicates the full clique would (pinned by
+    test_semdedup_cluster_cap), and the sf1
+    battery pins ~linear candidate growth with the cap active. Pass
+    ``max_cluster=None`` for the exact all-pairs semantics when
+    cluster sizes are known-bounded.
 
     Returns the DROPPED set: (vec_id, cent_id, dup_of, cos) where
     dup_of is the smallest qualifying lower id (deterministic,

@@ -959,6 +959,67 @@ def test_pq_topk_recall_and_oracle_shape(spark):
     assert r > 0.4, r
 
 
+def test_ivfpq_topk_recall_scan_fraction_and_exactness(spark):
+    """IVF-PQ composition invariants: (1) every planted ε-perturbed
+    twin is found AND ranks first after the exact re-rank
+    (recall@5 = 1.0 on 20 planted pairs), (2) probing every list with
+    a corpus-sized shortlist equals brute force exactly, (3) the ADC
+    stage scans only the probed fraction of the corpus — the IVF
+    pruning bound that makes the composition the 10^9-vector shape."""
+    import numpy as np
+
+    from spatula_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    pert = sim.perturbed_embeddings(emb)
+    qs = pert.filter(F.col("vec_id") < 20)
+    out = sim.ivfpq_topk(
+        pert, qs, k=5, n_centroids=32, nprobe=4, shortlist=20
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"]))
+    assert len(by_q) == 20
+    for q, lst in by_q.items():
+        assert any(n == q + 1_000_000 for _, n in lst), (q, lst)
+        assert sorted(lst)[0][1] == q + 1_000_000, (q, lst)
+    # full probe + corpus-wide shortlist == brute force, bit for bit
+    full = sorted(
+        tuple(r)
+        for r in sim.ivfpq_topk(
+            pert, qs, k=5, n_centroids=8, nprobe=8, shortlist=10 ** 9
+        ).collect()
+    )
+    bf = sorted(tuple(r) for r in sim.cosine_topk(pert, qs, k=5).collect())
+    assert full == bf
+    # scanned fraction: sum of probed list sizes vs nprobe/n_centroids
+    c = pert.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    cent_ids, cmat = sim.ivf_centroids(c, 32)
+    assigned = c.withColumn(
+        "cent_id", sim._assign_udf(cent_ids, cmat)("cv"))
+    sizes = {
+        r["cent_id"]: r["n"]
+        for r in assigned.groupBy("cent_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    corpus_n = sum(sizes.values())
+    qv = {r["vec_id"]: np.asarray(r["embedding"])
+          for r in qs.filter(F.col("vec_id") < 20).collect()}
+    cn = cmat / np.sqrt((cmat ** 2).sum(axis=1))[:, None]
+    fracs = []
+    for q, v in qv.items():
+        sims = np.round((v / np.linalg.norm(v)) @ cn.T, 6)
+        order = sorted(zip(-sims, cent_ids))[:4]
+        scanned = sum(sizes.get(int(cid), 0) for _, cid in order)
+        fracs.append(scanned / corpus_n)
+    mean_frac = sum(fracs) / len(fracs)
+    # 4/32 lists probed; allow 2x imbalance headroom
+    assert mean_frac <= 0.25, mean_frac
+
+
 def test_media_phash_near_dups_query(spark):
     """Battery entry: the derived-fingerprint hamming join equals a
     Spark brute-force all-pairs join (the DuckDB oracle is the
