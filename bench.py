@@ -154,6 +154,8 @@ HEADLINE = [
     "image_downsample",
     "colorhist_near_dups",
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "duplicate_spans_n",
     "oov_rate",
     "zorder_layout",
     "degree_histogram",
@@ -183,6 +185,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "stream_window_counts",
     "stream_sessionize",
     "stream_dedup_keys",
@@ -237,6 +240,13 @@ def main() -> None:
 
     hw_rate, _ = hw.run(16, 6000)
     hw_control = {"workers": 16, "items_per_sec": round(hw_rate, 1)}
+    # IO-side control in the same window (round-4 finding: the crawl
+    # is shuffle/commit-IO-bound and the CPU kernel is blind to
+    # IO-side host degradation — raw parquet write/read MB/s is the
+    # resource the wave snapshots actually contend on)
+    import hw_io_bench
+
+    hw_control["io"] = hw_io_bench.run(256)
 
     # headline crawl throughput on the bench frontier
     n_urls = int(os.environ.get("SPATULA_BENCH_URLS", "200000"))

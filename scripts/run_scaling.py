@@ -127,14 +127,45 @@ def run_concurrent(n_urls: int) -> dict:
     return results
 
 
+def probe_window(n_items: int = 12000, io_mb: int = 256) -> dict:
+    """One in-window hardware reading: the concurrent-pinned CPU
+    kernel (absolute 4-leg rate + 4->16 ratio) AND the raw parquet
+    write/read control (scripts/hw_io_bench.py) — the round-4 finding
+    is that the crawl is shuffle/commit-IO-bound and the CPU ratio is
+    blind to IO-side host degradation, so every pair now carries BOTH
+    controls at launch and close."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from scripts import hw_io_bench
+    from scripts.hw_kernel_bench import run_concurrent as hw_cpu
+
+    cpu = hw_cpu(n_items)
+    (r4, _), (r16, _) = cpu[4], cpu[16]
+    io = hw_io_bench.run(io_mb)
+    return {
+        "cpu_r4_items_s": round(r4, 1),
+        "cpu_r16_items_s": round(r16, 1),
+        "cpu_eff": round((r16 / r4) / 4, 3),
+        "io_write_mb_s": io["write_mb_s"],
+        "io_read_mb_s": io["read_mb_s"],
+        "io_cwrite_mb_s": io["cwrite_mb_s"],
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--concurrent"]
     concurrent = "--concurrent" in sys.argv[1:]
     n_urls = int(args[0]) if args else 200_000
+    print("probing window (launch)...", flush=True)
+    launch_probe = probe_window()
+    print(json.dumps({"launch_probe": launch_probe}), flush=True)
     if concurrent:
         results = run_concurrent(n_urls)
     else:
         results = {c: run(c, n_urls) for c in (4, 16)}
+    print("probing window (close)...", flush=True)
+    close_probe = probe_window()
+    print(json.dumps({"close_probe": close_probe}), flush=True)
     eff = (results[16]["urls_per_sec"] / results[4]["urls_per_sec"]) / 4.0
     summary = {
         "n_urls": n_urls,
@@ -162,7 +193,11 @@ def main() -> None:
         "urls_per_sec_4": results[4]["urls_per_sec"],
         "urls_per_sec_16": results[16]["urls_per_sec"],
         "efficiency": summary["scaling_efficiency_4_to_16"],
-        "hw_control_eff": None,  # fill from hw_kernel probes by hand
+        "hw_control_eff": round(
+            (launch_probe["cpu_eff"] + close_probe["cpu_eff"]) / 2, 3
+        ),
+        "launch_probe": launch_probe,
+        "close_probe": close_probe,
     })
     cur.update(summary)
     cur["samples"] = samples

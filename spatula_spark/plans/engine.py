@@ -189,6 +189,25 @@ class CrawlConfig:
     # waves; K trades resume fan-in against rewrite amortization.
     # 0 disables (every delta kept live forever, pre-compaction shape).
     checkpoint_compact_every: int = 16
+    # durable-snapshot cadence: commit the wave checkpoint every K
+    # waves (1 = every wave, the round-4 behavior). Between durable
+    # waves the engine keeps only its scratch-parquet lineage cuts
+    # (session-local, already paid for) and ACCUMULATES the item/seen
+    # deltas; the checkpoint wave writes their union since the last
+    # durable wave, so the snapshot chain stays complete and resume
+    # replays at most K-1 waves. This is the commit-IO knob the
+    # round-4 late-session band collapse pointed at: on a shared/
+    # degraded store, K>1 divides the per-wave snapshot-write exposure
+    # by K at the price of K-1 waves of recovery recompute.
+    checkpoint_every: int = 1
+    # overlap the durable snapshot write with the next wave's compute:
+    # the checkpoint job runs on ONE background thread over the wave's
+    # already-materialized scratch parquet (immutable until crawl
+    # end), so manifest-last atomicity is untouched; the loop joins
+    # the in-flight write before starting the next one and before
+    # crawl() returns. Hides snapshot-commit latency behind the next
+    # wave's politeness/dedup/fetch stages instead of serializing it.
+    checkpoint_async: bool = False
     # snapshot expiry (Iceberg expire_snapshots analogue): after a
     # successful compaction, delete the seen deltas and older bases the
     # new base supersedes. Keeps seen storage at ~1x instead of 2x (+
@@ -750,6 +769,10 @@ class CrawlEngine:
         self._spill = cfg.spill_dir or tempfile.mkdtemp(prefix="spatula_spill_")
         os.makedirs(self._spill, exist_ok=True)
         self._seen_slices: list[DataFrame] = []
+        self._ckpt_items: list[DataFrame] = []
+        self._ckpt_seen: list[DataFrame] = []
+        self._ckpt_future = None
+        self._ckpt_pool = None
         # seed lists are built with attempts=0; DataFrame seeds or a
         # resume may carry in-flight requeues — be conservative there
         self._requeues_possible = isinstance(seeds, DataFrame)
@@ -1402,16 +1425,32 @@ class CrawlEngine:
                     .filter(F.col("wave") == wave).drop("wave")
                 )
             elif cfg.checkpoint_dir:
-                self._checkpoint(
-                    cfg.checkpoint_dir, wave, frontier,
-                    new_seen if n_new else None,
-                    wave_items, metrics_rows,
-                )
-                frontier = spark.read.parquet(
-                    os.path.join(cfg.checkpoint_dir, f"wave={wave}", "frontier")
-                )
+                self._ckpt_items.append(wave_items)
+                if n_new:
+                    self._ckpt_seen.append(new_seen)
+                every = max(1, cfg.checkpoint_every)
+                if (wave + 1 - start_wave) % every == 0:
+                    self._commit_checkpoint(cfg, wave, frontier, metrics_rows)
+                    if not cfg.checkpoint_async:
+                        # sync mode re-reads the just-committed frontier
+                        # (the r4 behavior: the next wave scans the
+                        # durable copy); async keeps the scratch-parquet
+                        # plan so the wave never waits on the commit
+                        frontier = spark.read.parquet(
+                            os.path.join(
+                                cfg.checkpoint_dir, f"wave={wave}", "frontier"
+                            )
+                        )
 
             wave += 1
+
+        if self._ice is None and cfg.checkpoint_dir:
+            if self._ckpt_items or self._ckpt_seen:
+                # flush deltas from the tail waves of an every-K window
+                # (frontier is the final — possibly empty — frontier, so
+                # a resume from this snapshot sees the finished crawl)
+                self._commit_checkpoint(cfg, wave - 1, frontier, metrics_rows)
+            self._join_checkpoint()
 
         all_results = _union_tree(
             [spark.createDataFrame([], schemas.RESULT_SCHEMA)] + results
@@ -1781,6 +1820,46 @@ class CrawlEngine:
         return spec.process_page(ctx)
 
     # ----------------------------------------------------------- checkpoint
+    def _commit_checkpoint(self, cfg, wave, frontier, metrics_rows):
+        """Commit the accumulated item/seen deltas (every-K window) as
+        the wave-``wave`` snapshot — inline, or on the single
+        checkpoint thread when ``checkpoint_async``. The inputs are
+        filters over the wave's already-materialized scratch parquet
+        (immutable until crawl end), so the background write races
+        nothing; one worker thread serializes commits so the
+        manifest-last atomicity argument is unchanged."""
+        items = (
+            self._ckpt_items[0]
+            if len(self._ckpt_items) == 1
+            else _union_tree(self._ckpt_items)
+        )
+        seen = _union_tree(self._ckpt_seen) if self._ckpt_seen else None
+        self._ckpt_items, self._ckpt_seen = [], []
+        mrows = list(metrics_rows)
+        if cfg.checkpoint_async:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._ckpt_pool is None:
+                self._ckpt_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ckpt"
+                )
+            self._join_checkpoint()
+            self._ckpt_future = self._ckpt_pool.submit(
+                self._checkpoint, cfg.checkpoint_dir, wave, frontier,
+                seen, items, mrows,
+            )
+        else:
+            self._checkpoint(
+                cfg.checkpoint_dir, wave, frontier, seen, items, mrows
+            )
+
+    def _join_checkpoint(self):
+        """Wait for (and surface errors from) the in-flight async
+        snapshot commit, if any."""
+        if self._ckpt_future is not None:
+            f, self._ckpt_future = self._ckpt_future, None
+            f.result()
+
     def _checkpoint(self, base, wave, frontier, seen_delta, items,
                     metrics_rows):
         """Wave-granular snapshot: full frontier + this wave's seen

@@ -353,6 +353,42 @@ def test_checkpoint_resume_identical(spark, web, store, tmp_path):
     shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_checkpoint_every_k_async_resume_identical(
+        spark, web, store, tmp_path):
+    """checkpoint_every=K commits a durable snapshot every K waves —
+    the commit-IO knob (round-4 late-session band collapse pointed at
+    the per-wave snapshot write) — accumulating the item/seen deltas
+    between commits, and checkpoint_async overlaps the write with the
+    next wave's compute on one background thread. Kill-and-resume must
+    replay at most K-1 waves and finish byte-identical to an
+    uncheckpointed crawl, and the dir listing must show the cadence
+    (commit waves + final flush only, not every wave)."""
+    import os
+
+    ck = str(tmp_path / "ckk")
+    full = CrawlEngine(spark, media_registry(), page_store=store,
+                       config=CrawlConfig()).crawl(web.seeds())
+    CrawlEngine(spark, media_registry(), page_store=store,
+                config=CrawlConfig(checkpoint_dir=ck, max_waves=5,
+                                   checkpoint_every=3,
+                                   checkpoint_async=True)
+                ).crawl(web.seeds())
+    waves = sorted(int(e.split("=")[1]) for e in os.listdir(ck)
+                   if e.startswith("wave="))
+    # waves 0-4 ran; cadence commit at wave 2, tail flush at wave 4
+    assert waves == [2, 4], waves
+    res = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig(checkpoint_dir=ck,
+                                         checkpoint_every=3,
+                                         checkpoint_async=True)
+                      ).crawl(web.seeds())
+    got = {r["url"] for r in crawl_items_df(res.results).collect()}
+    want = {r["url"] for r in crawl_items_df(full.results).collect()}
+    assert got == want
+    assert res.seen.count() == full.seen.count()
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def test_checkpoint_seen_compaction_bounds_resume_fanin(
         spark, web, store, tmp_path):
     """checkpoint_compact_every=K rewrites the accumulated seen set as
