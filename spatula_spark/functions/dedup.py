@@ -760,6 +760,7 @@ def duplicate_token_ratio(
     text_col: str = "text",
     n: int = 3,
     min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-doc fraction of words covered by a duplicated span — the
     actionable substring-dedup FILTER metric (drop or trim docs whose
@@ -779,7 +780,7 @@ def duplicate_token_ratio(
         )
     )
     cov = (
-        _dup_positions(df, text_col, n, min_count)
+        _dup_positions(df, text_col, n, min_count, hash_grams)
         .select(
             "doc_id",
             F.explode(

@@ -645,6 +645,39 @@ def _pq_lut_expr(books: np.ndarray, vec_name: str) -> Column:
     return F.expr("array(" + ", ".join(entries) + ")")
 
 
+def _pq_lut_udf(books: np.ndarray):
+    """Arrow-vectorized ADC lookup table — same integer entries as
+    :func:`_pq_lut_expr` (identical explicit d-sequential fold and
+    round-half-up keying, so the DuckDB twin still replays it
+    bit-for-bit), computed in numpy instead of a ~1k-term Catalyst
+    expression. Used where the LUT input is a small probe table whose
+    stage would otherwise eat the Janino 64KB compile-and-fail cost
+    (~3 s of driver time for 20 rows)."""
+    m, n_codes, sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _lut(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            ent = np.empty(m * n_codes, dtype=np.int64)
+            for s in range(m):
+                xs = x[s * sub:(s + 1) * sub]
+                acc = np.zeros(n_codes)
+                for d in range(sub):
+                    diff = xs[d] - books[s][:, d]
+                    acc = acc + diff * diff
+                ent[s * n_codes:(s + 1) * n_codes] = np.floor(
+                    acc * 1e6 + 0.5
+                ).astype(np.int64)
+            out[i] = [int(e) for e in ent]
+        return pd.Series(out, dtype="object")
+
+    return _lut
+
+
 def _pq_adist_expr(m: int, n_codes: int) -> Column:
     """ADC distance from columns ``lut`` and ``codes``: the pure-
     Catalyst fold (sum_s lut[s*n_codes + codes[s]]) / 1e6."""
@@ -782,11 +815,15 @@ def ivfpq_topk(
         "cent_id long, centv array<double>",
     )
     residual = F.zip_with("cv", "centv", lambda a, b: a - b)
+    # localCheckpoint: consumed twice (codebook hash-sample collect +
+    # the encode pass) — without it each consumer re-runs the Arrow
+    # assignment matmul over the whole corpus
     assigned = (
         c.withColumn("cent_id", _assign_udf(cent_ids, cmat)("cv"))
         .filter(F.col("cent_id").isNotNull())
         .join(F.broadcast(cents), "cent_id")
         .select("cid", "cent_id", "cv", residual.alias("rv"))
+        .localCheckpoint()
     )
     books = pq_codebooks(
         assigned.select("cid", F.col("rv").alias("cv")), m, n_codes, dim
@@ -816,7 +853,7 @@ def ivfpq_topk(
         )
     )
     qlut = probes.select(
-        "query_id", "cent_id", _pq_lut_expr(books, "rv").alias("lut")
+        "query_id", "cent_id", _pq_lut_udf(books)("rv").alias("lut")
     )
     short_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     cand = (

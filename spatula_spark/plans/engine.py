@@ -266,14 +266,18 @@ class CrawlConfig:
     # this many store rows the url_hash set is collected ONCE (~80 B/
     # key in a Python set) and small-wave found/missing splits happen
     # in Python — no per-wave store-keys broadcast job at all. Bigger
-    # stores keep the in-plan anti-join.
-    driver_store_keys_max: int = 1 << 20
+    # stores keep the in-plan anti-join. None (default) derives the
+    # cap from the provisioned driver heap — 5% at ~80 B/key (~650k
+    # at Spark's stock 1 GiB, ~16M at 24 GiB) — so a larger deployment
+    # widens the fast path instead of inheriting a laptop literal.
+    driver_store_keys_max: int | None = None
     # cap on the driver-resident seen-set twin (~100-150 B/key in a
     # Python set): beyond this the twin is dropped and cluster dedup
     # owns the rest of the crawl. Deep chains add O(1) keys/wave and
     # never approach it; breadth-heavy crawls lose the twin early via
-    # driver_wave_max anyway.
-    driver_seen_max: int = 2_000_000
+    # driver_wave_max anyway. None (default) derives from the driver
+    # heap like driver_store_keys_max (5% at ~130 B/key).
+    driver_seen_max: int | None = None
 
 
 _MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -661,6 +665,21 @@ class CrawlEngine:
             self._bcast_fetch_max = _broadcast_rows_budget(spark)
         else:
             self._bcast_fetch_max = self.config.broadcast_fetch_max
+        # driver-python-structure caps: derive from the provisioned
+        # driver heap when left at None (the literals-don't-scale
+        # amber from round 4) — a python set key costs ~80 B (ints) to
+        # ~130 B (with overhead), and 5% of heap is a safe residency
+        # budget beside py4j + result buffers
+        self._driver_store_keys_max = (
+            self.config.driver_store_keys_max
+            if self.config.driver_store_keys_max is not None
+            else _broadcast_rows_budget(spark, frac=0.05, row_bytes=80)
+        )
+        self._driver_seen_max = (
+            self.config.driver_seen_max
+            if self.config.driver_seen_max is not None
+            else _broadcast_rows_budget(spark, frac=0.05, row_bytes=130)
+        )
         # lazily-built wave-invariant Column caches (see crawl() —
         # rebuilding expression trees every wave is driver-bound)
         self._dedup_agg = None
@@ -1348,7 +1367,7 @@ class CrawlEngine:
                         self._py_seen = None
                     if (
                         self._py_seen is not None
-                        and len(self._py_seen) > cfg.driver_seen_max
+                        and len(self._py_seen) > self._driver_seen_max
                     ):
                         self._py_seen = None  # driver-memory cap
                 if (
@@ -1647,7 +1666,7 @@ class CrawlEngine:
             if (
                 self.page_store is not None
                 and self._store_rows is not None
-                and self._store_rows <= self.config.driver_store_keys_max
+                and self._store_rows <= self._driver_store_keys_max
             ):
                 self._store_keys_py = {
                     r[0]

@@ -334,6 +334,26 @@ def test_dfs_order_matches_document_order(spark, web, store):
         assert own == sorted(own), host
 
 
+def test_driver_caps_derive_from_heap(spark, store):
+    """The driver-python-structure caps scale with the provisioned
+    driver heap when left at their None defaults (the round-4
+    'literals don't scale' amber): 5% of heap at the structure's
+    bytes/key, never below the 10k floor; explicit ints still win."""
+    from spatula_spark.plans.engine import _parse_jvm_mem
+
+    eng = CrawlEngine(spark, media_registry(), page_store=store,
+                      config=CrawlConfig())
+    heap = _parse_jvm_mem(spark.conf.get("spark.driver.memory"))
+    assert eng._driver_store_keys_max == max(10_000, int(heap * 0.05) // 80)
+    assert eng._driver_seen_max == max(10_000, int(heap * 0.05) // 130)
+    pinned = CrawlEngine(
+        spark, media_registry(), page_store=store,
+        config=CrawlConfig(driver_store_keys_max=123,
+                           driver_seen_max=456))
+    assert pinned._driver_store_keys_max == 123
+    assert pinned._driver_seen_max == 456
+
+
 def test_checkpoint_resume_identical(spark, web, store, tmp_path):
     ck = str(tmp_path / "ck")
     full = CrawlEngine(spark, media_registry(), page_store=store,
