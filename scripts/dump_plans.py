@@ -66,7 +66,11 @@ PICKS = [
     "anchor_spam_hosts",      # edge-scale agg + vocab rollups, join-free
     "revalidation_plan",      # CASE projection + map-side (host,plan) agg
     "corpus_datacard",        # two scorers composed over one scan
-    "oov_rate",               # vocab top-k broadcast to token join
+    "oov_rate",               # two-phase vocab top-k -> broadcast join
+    "duplicate_spans_n",      # n=5 gram probe (hash_grams = slim key path)
+    "ann_ivfpq_topk",         # IVF lists + residual-PQ ADC + exact re-rank
+    # (bpe_train_merges returns a driver-built merge table — its work
+    # is the per-round vocab aggregates, not the returned plan)
 ]
 
 
