@@ -155,6 +155,7 @@ HEADLINE = [
     "colorhist_near_dups",
     "bpe_pair_counts",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     "duplicate_spans_n",
     "oov_rate",
     "zorder_layout",

@@ -736,6 +736,64 @@ def _bpe_merges_oracle() -> str:
     return _BPE_MERGE_SQL_CACHE[0]
 
 
+_BPE_ENCODE_SQL_CACHE: list = []
+
+
+def _bpe_encode_oracle() -> str:
+    """Lazy oracle for bpe_encode_counts: the vocab-sized word ->
+    token-count function table comes from the independent twin
+    (tx.bpe_encode_python_twin — train + scan-replay segmentation,
+    sharing no code with the Spark path), pinned as literals exactly
+    like the codec fingerprints; the CORPUS-SCALE compute — word
+    explode, vocabulary join, per-doc aggregation — runs in real SQL,
+    so the value hash pins the distributed half of the plan against
+    DuckDB's own execution."""
+    if not _BPE_ENCODE_SQL_CACHE:
+        import os
+
+        import duckdb
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wt = tx.bpe_encode_python_twin(rows, 10)["word_tokens"]
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        vals = ", ".join(
+            f"({q(w)}, {n}::BIGINT)" for w, n in sorted(wt.items())
+        )
+        _BPE_ENCODE_SQL_CACHE.append(f"""
+WITH wt(w, w_toks) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest({DUCK_WORDS}) AS w FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(w_toks)::BIGINT AS n_tokens
+FROM toks JOIN wt USING (w)
+GROUP BY doc_id
+""")
+    return _BPE_ENCODE_SQL_CACHE[0]
+
+
+@register("bpe_encode_tokens", _bpe_encode_oracle)
+def bpe_encode_tokens_q(spark, sf_dir):
+    """Train-then-tokenize (tx.bpe_encode_counts): the 10-merge BPE
+    vocabulary trained on documents is applied back to the corpus and
+    every document billed its token count — the inference side of the
+    tokenizer story, with the whole merge chain fused into ONE
+    vocab-sized projection and corpus rows touching only an explode +
+    word join + sum. Oracle: twin-literal word->tokens function table
+    (independent scan-replay implementation) + real SQL for the
+    corpus-scale aggregation."""
+    return tx.bpe_encode_counts(
+        _t(spark, sf_dir, "documents"), n_merges=10
+    )
+
+
 @register("bpe_train_merges", _bpe_merges_oracle)
 def bpe_train_merges_q(spark, sf_dir):
     """Full BPE tokenizer training (tx.bpe_train_merges): 10 merge

@@ -696,6 +696,118 @@ def bpe_train_merges(
     )
 
 
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The inference side of BPE — tokenize the corpus under a trained
+    merge table and count tokens per document (the number every
+    training-data pipeline actually bills by). ``merges`` is the
+    ordered [(left, right), ...] list; None trains it on ``df`` via
+    :func:`bpe_train_merges` (train-then-tokenize, the self-contained
+    corpus-prep shape).
+
+    Scale shape: the merge chain is applied to the DISTINCT word table
+    only — all ``n_merges`` boundary-anchored regexp_replaces fuse
+    into ONE vocab-sized projection (no loop jobs, unlike training,
+    which must argmax between rounds) — and documents then count
+    tokens via an explode + join on the word key + per-doc sum, so
+    corpus-scale rows never carry segmentation strings. Returns
+    (doc_id, n_words, n_tokens); docs with no words are omitted
+    (explode semantics), matching the twin."""
+    import re as _re
+
+    from .dedup import normalized_words
+
+    sep = BPE_SEP
+    if merges is None:
+        rows = bpe_train_merges(df, text_col, n_merges).collect()
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in sorted(rows, key=lambda r: r["step"])
+        ]
+    toks = df.select(
+        "doc_id", F.explode(normalized_words(F.col(text_col))).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains(sep)))
+    vocab = toks.select("w").distinct()
+    chars = F.split(F.col("w"), "(?!$)")
+    syms = F.concat(
+        F.lit(sep), F.array_join(chars, sep), F.lit(sep + "</w>" + sep)
+    )
+    for left, right in merges:
+        pattern = (
+            f"(?<={sep})" + _re.escape(left) + sep
+            + _re.escape(right) + f"(?={sep})"
+        )
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        syms = F.regexp_replace(syms, pattern, repl)
+    # packed form splits to ['', s1..sk, ''] — token count = size - 2
+    wordtok = vocab.select(
+        "w", (F.size(F.split(syms, sep)) - 2).cast("long").alias("w_toks")
+    )
+    return (
+        toks.join(wordtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_toks").alias("n_tokens"),
+        )
+        .select("doc_id", "n_words", "n_tokens")
+    )
+
+
+def bpe_encode_python_twin(
+    texts: list[tuple[int, str]], n_merges: int = 10
+) -> dict:
+    """Independent train-then-tokenize twin for
+    :func:`bpe_encode_counts`: trains with :func:`bpe_python_twin`'s
+    algorithm, then re-segments every word by scan replay. Returns
+    {"word_tokens": {word: n_tokens}, "per_doc": {doc_id: (n_words,
+    n_tokens)}}."""
+    import re as _re
+
+    merges = bpe_python_twin([t for _, t in texts], n_merges)
+    order = [(left, right) for _, left, right, _, _ in merges]
+
+    def segment(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right in order:
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    word_tokens: dict = {}
+    per_doc: dict = {}
+    for doc_id, t in texts:
+        if t is None:
+            continue
+        norm = _re.sub(r"\s+", " ", t.strip()).lower()
+        words = [w for w in norm.split(" ") if w and BPE_SEP not in w]
+        if not words:
+            continue
+        total = 0
+        for w in words:
+            if w not in word_tokens:
+                word_tokens[w] = segment(w)
+            total += word_tokens[w]
+        per_doc[doc_id] = (len(words), total)
+    return {"word_tokens": word_tokens, "per_doc": per_doc}
+
+
 def bpe_python_twin(
     texts: list[str], n_merges: int = 10
 ) -> list[tuple[int, str, str, str, int]]:

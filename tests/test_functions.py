@@ -1805,6 +1805,38 @@ def test_duplicate_spans_n50_hashed_matches_twin(spark):
     assert got_str == got
 
 
+def test_bpe_encode_counts_matches_python_twin(spark):
+    """Train-then-tokenize agrees with the independent scan-replay
+    twin per document, and merged symbols actually compress: a word
+    made of trained merges costs fewer tokens than chars+1."""
+    from spatula_spark.functions.text import (
+        bpe_encode_counts,
+        bpe_encode_python_twin,
+    )
+
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the cats eat the rats"),
+        (2, "aaaa aaaa aa a"),
+        (3, "mixed.punct and $dollar\\back"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_counts(df, n_merges=12).collect()
+    }
+    twin = bpe_encode_python_twin(texts, 12)
+    assert got == twin["per_doc"]
+    assert 4 not in got  # empty doc omitted on both sides
+    for doc, (nw, nt) in got.items():
+        assert nt >= nw  # at least one token per word
+    # 'the' appears 4x -> its chars+</w> merge; token count must be
+    # below the unmerged chars+1 ceiling for doc 0
+    n_chars0 = sum(len(w) for w in texts[0][1].split())
+    assert got[0][1] < n_chars0 + got[0][0]
+
+
 def test_bpe_train_merges_matches_python_twin(spark):
     """The distributed merge loop replays the independent dict-based
     trainer bit-for-bit on an adversarial corpus: regex metachars and
