@@ -27,7 +27,7 @@ import time
 
 def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
                     details_per_list: int, verify: bool = False,
-                    img_scale: int = 1) -> dict:
+                    img_scale: int = 1, verbose: bool = False) -> dict:
     """Crawl the wide synthetic web.
 
     ``verify=False``: pure frontier-scheduling loop (scheduling
@@ -72,7 +72,7 @@ def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
             registry,
             fetch_fn=web.fetcher(),
             robots=web.robots(spark),
-            config=CrawlConfig(host_budget_per_wave=10**9),
+            config=CrawlConfig(host_budget_per_wave=10**9, verbose=verbose),
         )
     else:
         store = web.page_store(spark)
@@ -101,6 +101,11 @@ def run_crawl_bench(spark, n_hosts: int, details_per_host: int,
         ).count()
         out["verify_bad"] = int(bad)
         out["items"] = int(res.metrics["items"].sum())
+        # per-wave fetched counts: lets a concurrent-pair analysis
+        # attribute throughput to wall-clock windows (scaling evidence)
+        out["per_wave_fetched"] = [
+            int(x) for x in res.metrics["fetched"].tolist()
+        ]
     wall = time.time() - t0
     out["wall_sec"] = round(wall, 3)
     out["urls_per_sec"] = round(n_fetched / wall, 1)

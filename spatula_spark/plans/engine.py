@@ -878,7 +878,11 @@ class CrawlEngine:
         def _tick(label: str, t: list) -> None:
             if cfg.verbose:
                 now = _time.time()
-                print(f"  [wave {wave}] {label}: {now - t[0]:.2f}s",
+                # absolute epoch stamp so two concurrent legs' step
+                # streams can be aligned on one wall clock (the
+                # overlap-window scaling analysis needs it)
+                print(f"  [wave {wave}] {label}: {now - t[0]:.2f}s"
+                      f" @{now:.2f}",
                       file=sys.stderr, flush=True)
                 t[0] = now
 
