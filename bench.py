@@ -144,6 +144,8 @@ HEADLINE = [
     "media_dedup_cc",
     "multimodal_dedup_cc",
     "corpus_split",
+    "corpus_shuffle",
+    "mixture_plan",
     "lang_rebalance",
     "redact_pii",
     "doc_repetition_filters",

@@ -2842,6 +2842,82 @@ def corpus_split_q(spark, sf_dir):
 ORACLES["corpus_split"] = _corpus_split_oracle()
 
 
+def _corpus_shuffle_oracle() -> str:
+    h_sort = duck_hash("'epoch0:' || doc_id::VARCHAR")
+    h_shard = duck_hash("'shard:' || doc_id::VARCHAR")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {h_sort} AS sort_key,
+         ({h_shard} % 16)::INT AS shard
+  FROM documents)
+SELECT doc_id, shard, sort_key,
+       (row_number() OVER (PARTITION BY shard
+                           ORDER BY sort_key, doc_id))::BIGINT AS pos
+FROM s
+"""
+
+
+@register("corpus_shuffle", None)
+def corpus_shuffle_q(spark, sf_dir):
+    """Deterministic seeded training-order shuffle
+    (functions/sampling.py seeded_shuffle): every doc's (shard,
+    sort_key) is a pure column function of (seed, doc_id) — the
+    training-loader order is reproducible across reruns, cluster
+    sizes and partitionings, unlike orderBy(rand(seed)), and a new
+    epoch is just a new seed string. ``pos`` (rank within shard) is a
+    per-shard window — shards are the parallel unit, so no task sorts
+    more than corpus/n_shards rows at any scale. Oracle recomputes
+    the md5 hashes and per-shard row_number in DuckDB."""
+    from .functions import sampling as sp
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = sp.seeded_shuffle(docs, "doc_id", seed="epoch0", n_shards=16)
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return s.select(
+        "doc_id", "shard", "sort_key",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+ORACLES["corpus_shuffle"] = _corpus_shuffle_oracle()
+
+
+@register(
+    "mixture_plan",
+    f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum({_duck_ntok})::BIGINT AS tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(tokens)::BIGINT AS tot, count(*)::BIGINT AS n FROM per)
+SELECT source, n_docs, tokens,
+  (tokens * 1000000 // tot)::BIGINT AS natural_share_ppm,
+  (1000000 // n)::BIGINT AS target_share_ppm,
+  least(1000000, (tot // 2 * 1 // n) * 1000000 // tokens)::BIGINT
+    AS sample_rate_ppm,
+  ((tot // 2 * 1 // n) * 1000000 // tokens)::BIGINT AS epochs_ppm
+FROM per, tot
+""",
+)
+def mixture_plan_q(spark, sf_dir):
+    """Training-mixture planning (functions/sampling.py mixture_plan):
+    per-source token inventories -> sampling rate and epoch count for
+    a uniform target mixture under a half-corpus token budget. The
+    downsample/repeat decision every pretraining data recipe makes;
+    all-int64 ppm fixed point (floor division, operation order
+    mirrored in the oracle) so no float share ever materializes."""
+    from .functions import sampling as sp
+    from .functions import text as _tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return sp.mixture_plan(
+        docs.select("source", _tx.token_count(F.col("text")).alias("ntok")),
+        "source",
+        "ntok",
+    )
+
+
 # ==========================================================================
 # 10. Corpus hygiene: repetition filters / decontamination / sampling
 # ==========================================================================

@@ -116,3 +116,106 @@ def rebalance(
         .filter(u < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch0",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle into shards.
+
+    Pretraining loaders need the corpus in a reproducible pseudorandom
+    order, restartable and identical across cluster sizes —
+    ``df.orderBy(rand(seed))`` is neither (rand is per-partition
+    seeded) and a true global sort is one giant range-exchange. Here
+    order is a pure column function of (seed, id): ``sort_key`` is the
+    portable 60-bit hash of the seeded id and ``shard`` the hash of a
+    shard-salted id (decorrelated from sort_key so shard boundaries
+    don't stripe the order). The physical write is
+    ``repartition(n_shards, shard).sortWithinPartitions(sort_key)`` —
+    one hash exchange plus independent per-shard sorts, no global
+    range exchange, no RNG state; a new epoch is a new ``seed``
+    string, zero re-reads of the old order. At 10^10-doc scale
+    ``n_shards`` sizes the per-shard sort (pick shards ~ the loader's
+    file count, e.g. 10^5 → 10^5-row... 10^5-doc sorts), so no single
+    task ever sees the whole corpus.
+    """
+    sort_key = portable_hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        portable_hash64(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    return df.withColumn("sort_key", sort_key).withColumn("shard", shard)
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Training-mixture planning: per-source sampling rates and epoch
+    counts for a uniform target mixture under a token budget.
+
+    The data-mixing step every pretraining run does before any
+    sampling happens: given per-source token inventories and a total
+    token budget (``budget_num/budget_den`` of the corpus, default
+    half), a uniform target share per source implies each source
+    contributes ``budget / n_sources`` tokens; sources with more than
+    that are downsampled (``sample_rate_ppm`` < 1e6) and sources with
+    less must repeat (``epochs_ppm`` > 1e6 — the up-sampling /
+    multi-epoch signal Hoffmann-style data curves care about).
+
+    All arithmetic is int64 (parts-per-million fixed point, floor
+    division) so the plan is bit-reproducible across engines — no
+    float share ever materializes. One vocabulary-sized aggregate
+    (n_sources rows), map-side combinable; the int64 ppm product caps
+    the corpus at ~9e12 budget tokens — beyond that swap the ppm
+    columns to DECIMAL(38,0).
+    """
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col).cast("long").alias("tokens"),
+    )
+    # corpus totals via an unpartitioned window over the n_sources-row
+    # aggregate (tiny by construction; same pattern as rebalance above)
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    tot = F.sum("tokens").over(whole)
+    n_src = F.count("*").over(whole)
+    # integer ppm, floor-division throughout (DIV = int64 floor);
+    # per-source budget tokens = tot DIV den * num DIV n_sources,
+    # operation order mirrored verbatim in the DuckDB oracle
+    return per.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        (F.col("tokens") * F.lit(1_000_000)).cast("long").alias("_t6"),
+        tot.alias("_tot"),
+        n_src.alias("_n"),
+    ).select(
+        source_col,
+        "n_docs",
+        "tokens",
+        F.expr("_t6 DIV _tot").alias("natural_share_ppm"),
+        F.expr("1000000 DIV _n").alias("target_share_ppm"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                f"(_tot DIV {budget_den} * {budget_num} DIV _n)"
+                " * 1000000 DIV tokens"
+            ),
+        ).alias("sample_rate_ppm"),
+        F.expr(
+            f"(_tot DIV {budget_den} * {budget_num} DIV _n)"
+            " * 1000000 DIV tokens"
+        ).alias("epochs_ppm"),
+    )

@@ -1205,6 +1205,58 @@ def test_hash_split_deterministic_and_stratified(spark):
         hash_split(docs, "doc_id", weights={"train": 50, "test": 49})
 
 
+def test_seeded_shuffle_deterministic_order(spark):
+    """(shard, sort_key) is a pure function of (seed, id): identical
+    under any partitioning, shards in range, a new seed permutes the
+    order but never the shard assignment (epochs re-shuffle in place),
+    and the ordering differs between seeds."""
+    from spatula_spark.functions.sampling import seeded_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = seeded_shuffle(docs.repartition(1), "doc_id", "epoch0", 16)
+    b = seeded_shuffle(docs.repartition(16), "doc_id", "epoch0", 16)
+    rows_a = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in a.collect()}
+    rows_b = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in b.collect()}
+    assert rows_a == rows_b
+    assert all(0 <= s < 16 for s, _ in rows_a.values())
+
+    c = seeded_shuffle(docs, "doc_id", "epoch1", 16)
+    rows_c = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in c.collect()}
+    assert {k: v[0] for k, v in rows_c.items()} == {
+        k: v[0] for k, v in rows_a.items()
+    }  # shard unchanged across epochs
+    order_a = sorted(rows_a, key=lambda k: rows_a[k][1])
+    order_c = sorted(rows_c, key=lambda k: rows_c[k][1])
+    assert order_a != order_c  # a new seed is a new order
+
+
+def test_mixture_plan_exact_integer_arithmetic(spark):
+    """ppm columns replay the floor-division arithmetic exactly on a
+    hand-computed corpus: over-represented sources get sample_rate
+    < 1e6, under-represented ones epochs > 1e6, and the capped rate
+    never exceeds 1e6."""
+    from spatula_spark.functions.sampling import mixture_plan
+
+    rows = [("big", 700), ("big", 700), ("small", 100), ("tiny", 40)]
+    df = spark.createDataFrame(rows, "source string, ntok long")
+    out = {
+        r["source"]: r
+        for r in mixture_plan(df, "source", "ntok").collect()
+    }
+    tot, n = 1540, 3
+    per_src_budget = tot // 2 * 1 // n  # 256
+    for src, tokens in (("big", 1400), ("small", 100), ("tiny", 40)):
+        r = out[src]
+        assert r["tokens"] == tokens
+        assert r["natural_share_ppm"] == tokens * 1_000_000 // tot
+        assert r["target_share_ppm"] == 1_000_000 // n
+        want = per_src_budget * 1_000_000 // tokens
+        assert r["epochs_ppm"] == want
+        assert r["sample_rate_ppm"] == min(1_000_000, want)
+    assert out["big"]["sample_rate_ppm"] < 1_000_000   # downsampled
+    assert out["tiny"]["epochs_ppm"] > 1_000_000       # must repeat
+
+
 # ------------------------------------------------- mega-bucket capping
 def test_hamming_bucket_cap_star_semantics(spark):
     """max_bucket on the hamming join (both the banded and the
