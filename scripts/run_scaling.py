@@ -35,6 +35,12 @@ from bench import run_crawl_bench
 cores = int(sys.argv[1]); n_urls = int(sys.argv[2])
 spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores,
                   shuffle_partitions=cores)
+# same JVM/codegen/python-daemon warm-up bench.py main() uses: without
+# it wave 0 of the timed crawl absorbs ~10-15 s of one-time session
+# startup — a fixed cost identical on both legs that only dilutes the
+# scaling signal
+spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count().count()
+spark.range(1000).toDF("x").mapInPandas(lambda it: it, "x long").count()
 n_hosts = max(8, n_urls // 1003)
 # img_scale=2: per-URL decode+verify cost at real crawled-image weight
 # (32-128 px) — the compute the north rule's efficiency criterion is
