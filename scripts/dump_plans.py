@@ -69,6 +69,8 @@ PICKS = [
     "oov_rate",               # two-phase vocab top-k -> broadcast join
     "duplicate_spans_n",      # n=5 gram probe (hash_grams = slim key path)
     "ann_ivfpq_topk",         # IVF lists + residual-PQ ADC + exact re-rank
+    "corpus_shuffle",         # pure-hash shard/order, one shard window
+    "mixture_plan",           # vocab-sized agg + unpartitioned tiny window
     # (bpe_train_merges returns a driver-built merge table — its work
     # is the per-round vocab aggregates, not the returned plan)
 ]
