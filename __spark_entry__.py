@@ -44,7 +44,7 @@ _PRIORITY = [
     "anchor_spam_hosts", "stream_phash_dedup",
     # round-5 additions
     "bpe_train_merges", "duplicate_spans_n", "ann_ivfpq_topk",
-    "bpe_encode_tokens", "corpus_shuffle", "mixture_plan",
+    "bpe_encode_tokens", "corpus_shuffle", "mixture_plan", "warc_cdx",
 ]
 
 

@@ -23,6 +23,9 @@ from .urls import (
     canonicalize_url,
     canonicalize_url_duckdb,
     portable_hash64,
+    portable_hash64_duckdb,
+    surt_key,
+    surt_key_duckdb,
 )
 
 QUERIES: dict = {}
@@ -5002,4 +5005,166 @@ def stream_phash_dedup_q(spark, sf_dir):
 
     return stream_distinct_derived(
         spark, f"{sf_dir}/events.parquet", derive, ("fp",)
+    )
+
+
+# --------------------------------------------------------------------------
+# WARC / CDX (sources/warc.py) — the 100-TB page-store index
+# --------------------------------------------------------------------------
+_WARC_CRLF = "(chr(13) || chr(10))"
+
+
+def _warc_cdx_oracle() -> str:
+    c = _WARC_CRLF
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    'http://WWW.H' || (doc_id % 97)::varchar || '.Example.COM/doc/'
+      || doc_id::varchar || '?id=' || doc_id::varchar || '&v=2' AS url,
+    (doc_id % 86400) AS s,
+    (CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END)::int AS status
+  FROM documents),
+tp AS (
+  SELECT *, lpad((s // 3600)::varchar, 2, '0') AS hh,
+    lpad(((s % 3600) // 60)::varchar, 2, '0') AS mi,
+    lpad((s % 60)::varchar, 2, '0') AS ss FROM base),
+rec AS (
+  SELECT doc_id, url, status, text,
+    '2026-08-19T' || hh || ':' || mi || ':' || ss || 'Z' AS warc_date,
+    '20260819' || hh || mi || ss AS cdx_ts FROM tp),
+blk AS (
+  SELECT *,
+    'HTTP/1.1 ' || status::varchar || ' '
+      || (CASE WHEN status = 404 THEN 'Not Found' ELSE 'OK' END) || {c}
+      || 'Content-Type: text/html' || {c}
+      || 'Content-Length: ' || strlen(text)::varchar || {c} || {c}
+      || text AS block,
+    sha256(text) AS digest, md5(url || warc_date) AS h FROM rec),
+fr AS (
+  SELECT *,
+    'WARC/1.1' || {c} || 'WARC-Type: response' || {c}
+      || 'WARC-Record-ID: <urn:uuid:' || substr(h, 1, 8) || '-'
+      || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-'
+      || substr(h, 17, 4) || '-' || substr(h, 21, 12) || '>' || {c}
+      || 'WARC-Date: ' || warc_date || {c}
+      || 'WARC-Target-URI: ' || url || {c}
+      || 'WARC-Payload-Digest: sha256:' || digest || {c}
+      || 'Content-Type: application/http;msgtype=response' || {c}
+      || 'Content-Length: ' || strlen(block)::varchar || {c} || {c}
+      || block || {c} || {c} AS record
+  FROM blk),
+cdx AS (
+  SELECT
+    'cdx-' || lpad(({portable_hash64_duckdb('url')} % 8)::varchar, 5, '0')
+      || '.warc' AS filename,
+    {surt_key_duckdb('url')} AS surt, cdx_ts, url,
+    digest AS digest_sha256, 'text/html' AS mime, status,
+    strlen(record)::bigint AS cdx_length
+  FROM fr)
+SELECT filename, surt, cdx_ts, url, digest_sha256, mime, status,
+  COALESCE(sum(cdx_length) OVER (PARTITION BY filename ORDER BY surt
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+    AS cdx_offset,
+  cdx_length
+FROM cdx
+"""
+
+
+@register("warc_cdx", _warc_cdx_oracle)
+def warc_cdx(spark, sf_dir):
+    """CDX index build over a synthesized WARC page store — the query
+    a web-archive pipeline runs over 100 TB of ``.warc`` shards to
+    make them seekable: SURT sort key, 14-digit timestamp, payload
+    digest, and per-shard byte offsets (windowed cumulative sum, one
+    shuffle keyed by shard so every 1000-executor task indexes its own
+    shards). Record lengths come from the exact WARC/1.1 serialization
+    of sources/warc.py (pinned byte-for-byte in tests/test_warc.py);
+    offsets here are the UNCOMPRESSED ``.warc`` variant — write_warc's
+    manifest carries the compressed ``.warc.gz`` member offsets. All
+    native Catalyst (concat/sha2/md5/octet_length/window); the
+    reference keeps pages only in memory (pages.py) — the archive
+    layer is the 100-TB extension."""
+    crlf = "\r\n"
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    s = doc_id % 86400
+    hh = F.lpad(F.floor(s / 3600).cast("string"), 2, "0")
+    mi = F.lpad(F.floor((s % 3600) / 60).cast("string"), 2, "0")
+    ss = F.lpad((s % 60).cast("string"), 2, "0")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://WWW.H"), (doc_id % 97).cast("string"),
+            F.lit(".Example.COM/doc/"), doc_id.cast("string"),
+            F.lit("?id="), doc_id.cast("string"), F.lit("&v=2"),
+        ).alias("url"),
+        F.when(doc_id % 10 == 0, F.lit(404)).otherwise(F.lit(200))
+        .alias("status"),
+        F.concat(
+            F.lit("2026-08-19T"), hh, F.lit(":"), mi, F.lit(":"), ss,
+            F.lit("Z"),
+        ).alias("warc_date"),
+        F.concat(F.lit("20260819"), hh, mi, ss).alias("cdx_ts"),
+    )
+    blk = base.select(
+        "*",
+        F.concat(
+            F.lit("HTTP/1.1 "), F.col("status").cast("string"), F.lit(" "),
+            F.when(F.col("status") == 404, F.lit("Not Found"))
+            .otherwise(F.lit("OK")),
+            F.lit(crlf + "Content-Type: text/html" + crlf
+                  + "Content-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit(crlf + crlf), F.col("text"),
+        ).alias("block"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        F.md5(F.concat(F.col("url"), F.col("warc_date"))).alias("h"),
+    )
+    rid = F.concat_ws(
+        "-", F.substring("h", 1, 8), F.substring("h", 9, 4),
+        F.substring("h", 13, 4), F.substring("h", 17, 4),
+        F.substring("h", 21, 12),
+    )
+    fr = blk.select(
+        "*",
+        F.concat(
+            F.lit("WARC/1.1" + crlf + "WARC-Type: response" + crlf
+                  + "WARC-Record-ID: <urn:uuid:"),
+            rid,
+            F.lit(">" + crlf + "WARC-Date: "), F.col("warc_date"),
+            F.lit(crlf + "WARC-Target-URI: "), F.col("url"),
+            F.lit(crlf + "WARC-Payload-Digest: sha256:"), F.col("digest"),
+            F.lit(crlf + "Content-Type: application/http;msgtype=response"
+                  + crlf + "Content-Length: "),
+            F.octet_length("block").cast("string"),
+            F.lit(crlf + crlf), F.col("block"), F.lit(crlf + crlf),
+        ).alias("record"),
+    )
+    cdx = fr.select(
+        F.concat(
+            F.lit("cdx-"),
+            F.lpad((portable_hash64(F.col("url")) % 8).cast("string"),
+                   5, "0"),
+            F.lit(".warc"),
+        ).alias("filename"),
+        surt_key(F.col("url")).alias("surt"),
+        "cdx_ts",
+        "url",
+        F.col("digest").alias("digest_sha256"),
+        F.lit("text/html").alias("mime"),
+        "status",
+        F.octet_length("record").cast("long").alias("cdx_length"),
+    )
+    w = (
+        Window.partitionBy("filename")
+        .orderBy("surt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return cdx.select(
+        "filename", "surt", "cdx_ts", "url", "digest_sha256", "mime",
+        "status",
+        F.coalesce(F.sum("cdx_length").over(w), F.lit(0)).cast("long")
+        .alias("cdx_offset"),
+        "cdx_length",
     )

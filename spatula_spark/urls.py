@@ -114,6 +114,47 @@ def portable_hash64_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::ubigint)::bigint"
 
 
+def surt_key(url: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform) — the CDX
+    index sort key used by web-archive tooling (OpenWayback/pywb):
+    ``com,example)/path?a=1`` for ``http://www.Example.com/path?a=1``.
+
+    Builds on :func:`canonicalize_url` (sorted query, default ports
+    dropped, lowercased host), then lowercases the WHOLE key (pywb's
+    canonicalizer semantics), strips one leading ``www.`` label, and
+    reverses the host labels comma-joined so hosts sort hierarchically
+    — which is exactly what makes a 100-TB CDX range-scannable by
+    domain prefix. Native Catalyst expressions only; mirrored
+    value-for-value by :func:`surt_key_duckdb`."""
+    c = F.lower(canonicalize_url(url))
+    authority = F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.regexp_replace(authority, ":[0-9]+$", "")
+    host = F.regexp_replace(host, "^www\\.", "")
+    port = F.regexp_extract(authority, ":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    rest = F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    return F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        rest,
+    )
+
+
+def surt_key_duckdb(expr: str) -> str:
+    """DuckDB rendering of :func:`surt_key` (kept in lockstep)."""
+    c = f"lower({canonicalize_url_duckdb(expr)})"
+    authority = f"regexp_extract({c}, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)"
+    host = f"regexp_replace(regexp_replace({authority}, ':[0-9]+$', ''), '^www\\.', '')"
+    port = f"regexp_extract({authority}, ':([0-9]+)$', 1)"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    rest = f"regexp_extract({c}, '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    return (
+        f"({rev} || (CASE WHEN {port} <> '' THEN ':' || {port} ELSE '' END)"
+        f" || ')' || {rest})"
+    )
+
+
 def url_templates(
     df, url_col: str = "url", host_col: str = "host", threshold: int = 50
 ):
