@@ -204,6 +204,7 @@ HEADLINE = [
     "stream_sessionize",
     "stream_dedup_keys",
     "stream_phash_dedup",
+    "warc_cdx",
     "crawl_doc_tree",
 ]
 

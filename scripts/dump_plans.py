@@ -71,6 +71,7 @@ PICKS = [
     "ann_ivfpq_topk",         # IVF lists + residual-PQ ADC + exact re-rank
     "corpus_shuffle",         # pure-hash shard/order, one shard window
     "mixture_plan",           # vocab-sized agg + unpartitioned tiny window
+    "warc_cdx",               # CDX build: shard-keyed window, native concat/hash
     # (bpe_train_merges returns a driver-built merge table — its work
     # is the per-round vocab aggregates, not the returned plan)
 ]

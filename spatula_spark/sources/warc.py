@@ -285,3 +285,91 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return bf.select("path", "content").mapInPandas(
         _read, schema=RECORD_SCHEMA
     )
+
+
+def read_warc_slices(
+    spark: SparkSession, warc_dir: str, manifest: DataFrame
+) -> DataFrame:
+    """CDX-driven random access: read ONLY the records the manifest
+    rows point at, never scanning the shards.
+
+    This is the operation that makes a 100-TB archive usable as a page
+    store: a refetch/reparse wave joins its wanted URLs against the
+    CDX/manifest table (filename, offset, length), and each task then
+    seek-reads just its byte ranges — IO proportional to the wanted
+    set, not the archive. Records are grouped per shard inside each
+    partition so a file is opened once per task; repartition the
+    manifest by ``filename`` upstream when the wanted set is large so
+    ranged reads of one shard co-locate.
+
+    Returns the same schema as :func:`read_warc`.
+    """
+    import pandas as pd
+
+    def _fetch(batches):
+        for pdf in batches:
+            out = []
+            for fname, grp in pdf.groupby("filename", sort=False):
+                with open(os.path.join(warc_dir, fname), "rb") as fh:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        fh.seek(int(off))
+                        member = fh.read(int(ln))
+                        raw = gzip.decompress(member)
+                        out.append(
+                            _parse_record(raw, fname, int(off), int(ln))
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in RECORD_SCHEMA]
+                )
+
+    return manifest.select("filename", "offset", "length").mapInPandas(
+        _fetch, schema=RECORD_SCHEMA
+    )
+
+
+_MIME_BY_KIND = {
+    "html": "text/html",
+    "json": "application/json",
+    "csv": "text/csv",
+    "xml": "application/xml",
+    "img/png": "image/png",
+    "img/jpeg": "image/jpeg",
+    "bin": "application/octet-stream",
+}
+
+
+def archive_page_store(
+    store: DataFrame,
+    out_dir: str,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    shards: int | None = None,
+    prefix: str = "store",
+) -> DataFrame:
+    """Archive a PAGE_STORE_SCHEMA DataFrame (schemas.py) as WARC —
+    the crawl-to-archive hop: what the engine fetched this run becomes
+    next run's seekable page store. Maps payload_kind → MIME, skips
+    payload-less rows (pure-error rows have nothing to archive), and
+    range-partitions by canonical URL so each shard covers a
+    contiguous URL range (the CDX locality the warc_cdx sort gives at
+    index time). ``warc_date`` is an explicit snapshot label, not
+    wall-clock — determinism rule of the whole engine. Returns the
+    write_warc manifest."""
+    from pyspark.sql import functions as F
+
+    src = store.filter(F.col("payload").isNotNull()).select(
+        "url",
+        F.lit(warc_date).alias("warc_date"),
+        "status",
+        F.coalesce(
+            *[
+                F.when(F.col("payload_kind") == k, F.lit(m))
+                for k, m in _MIME_BY_KIND.items()
+            ],
+            F.lit("application/octet-stream"),
+        ).alias("content_type"),
+        "payload",
+    )
+    if shards is not None:
+        src = src.repartitionByRange(shards, "url")
+    return write_warc(src, out_dir, prefix=prefix)
