@@ -225,6 +225,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--rmdir", action="store_true",
                            help="clear output directory if it exists "
                            "(reference cli.py:372-378)")
+            p.add_argument("--warc-dir", default=None,
+                           help="also archive every page this scrape "
+                           "fetched as seekable .warc.gz shards "
+                           "(sources/warc.py; no reference equivalent "
+                           "-- the 100-TB page-store layer)")
     shell_p = sub.add_parser("shell")
     shell_p.add_argument("url")
     shell_p.add_argument("-X", "--verb", default="GET",
@@ -280,6 +285,19 @@ def main(argv: list[str] | None = None) -> int:
                 dump_fn = getattr(importlib.import_module(mod), fn)
             n = to_json_files(res.ordered(), out, dump=dump_fn)
             print(f"success: wrote {n} objects to {out}")
+        if args.warc_dir and eng.page_store is not None:
+            from pyspark.sql import functions as F
+
+            from .sources.warc import archive_page_store
+
+            # engine's internal projection carries the canonical URL
+            # as store_url (engine.py page_store select)
+            fetched = eng.page_store.join(
+                res.seen.select("url_hash").distinct(),
+                "url_hash", "left_semi",
+            ).withColumn("url", F.col("store_url"))
+            n_arch = archive_page_store(fetched, args.warc_dir).count()
+            print(f"archived {n_arch} records to {args.warc_dir}")
         print(res.metrics.to_string())
     elif args.cmd == "scout":
         results = eng.scout([seed])

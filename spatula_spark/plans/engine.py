@@ -573,7 +573,17 @@ def _make_transform(
                     t if len(t) == len(_EMISSION_COLS) else t + (None, None)
                     for t in _process_one(specs[row.page_cls], row)
                 )
-            yield pd.DataFrame(out, columns=_EMISSION_COLS)
+            res = pd.DataFrame(out, columns=_EMISSION_COLS)
+            # the hash columns mix int64 with None: a plain DataFrame
+            # coerces them to float64, silently rounding away the low
+            # bits of any |hash| > 2^53 (~99% of xxhash64 values) and
+            # breaking the cross-wave seen-set exactly-once guarantee
+            # for hook classes. Rebuild them as exact nullable Int64.
+            res["url_hash"] = pd.array(
+                [t[11] for t in out], dtype="Int64")
+            res["seen_key"] = pd.array(
+                [t[12] for t in out], dtype="Int64")
+            yield res
 
     return transform
 
