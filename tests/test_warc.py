@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spatula_spark.sources.warc import (
+    _parse_record,
     _record_bytes,
     read_warc,
     warc_record_str,
@@ -243,3 +244,40 @@ def test_cli_scrape_warc_dir(spark, tmp_path):
     assert any("/d/apple" in u for u in urls)
     assert any("/d/kiwi" in u for u in urls)
     assert all(r["digest_ok"] for r in recs)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    path=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                               exclude_characters="\r\n"),
+        min_size=0, max_size=40,
+    ),
+    status=st.sampled_from([200, 204, 301, 404, 500, 999]),
+    ct=st.sampled_from(
+        ["text/html", "application/json", "image/png",
+         "application/octet-stream"]
+    ),
+    payload=st.binary(min_size=0, max_size=400),
+    sec=st.integers(0, 86399),
+)
+def test_record_parse_inverse_property(path, status, ct, payload, sec):
+    """Pure-Python serializer/parser inverse on arbitrary payloads —
+    including ones embedding CRLF runs, record separators, and
+    WARC-header-looking bytes."""
+    url = f"http://h.example.com/{path}"
+    date = f"2026-08-19T{sec // 3600:02d}:{sec % 3600 // 60:02d}:{sec % 60:02d}Z"
+    rec = _record_bytes(url, date, status, ct, payload)
+    parsed = _parse_record(rec, "f.warc.gz", 0, len(rec))
+    (fname, off, ln, wtype, rid, wdate, purl, pstatus, pct,
+     ppayload, digest_ok) = parsed
+    assert (wtype, wdate, purl, pstatus, pct) == (
+        "response", date, url, status, ct
+    )
+    assert bytes(ppayload) == payload
+    assert digest_ok is True
+    assert rid.startswith("urn:uuid:")
