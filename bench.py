@@ -235,28 +235,23 @@ def main() -> None:
         lambda it: it, "x long"
     ).count()
 
-    # operator battery at the given SF (action = count to drain the plan).
-    # count() is NOT a valid drain for projection-only queries: Catalyst
-    # column-prunes expressions that don't change cardinality, so a
-    # count over a pure select/window measures just the scan. Those
-    # queries drain through a value-consuming aggregate instead.
-    from pyspark.sql import functions as F
-
-    projection_only = {
-        "url_canonicalize": lambda df: df.agg(
-            F.sum(F.octet_length("canon_url"))).collect(),
-        "warc_cdx": lambda df: df.agg(
-            F.sum("cdx_offset"), F.sum("cdx_length"),
-            F.sum(F.octet_length("surt"))).collect(),
-    }
+    # operator battery at the given SF. Drain = noop-sink write, which
+    # evaluates EVERY output column. count() is NOT a valid drain:
+    # Catalyst column-prunes work that doesn't change cardinality, and
+    # a plan-diff audit (r5) showed 16 battery queries losing
+    # load-bearing operators under count — projection-only queries
+    # (url_canonicalize, warc_cdx) lost everything but the scan, and
+    # final-stage windows/broadcast-joins were pruned from
+    # lm_perplexity_cut, oov_rate, pack_sequences, corpus_shuffle,
+    # mixture_plan, fetch_schedule, host_latency_quantiles,
+    # asof_join_purchases, decontaminate, dsir_select, semdedup_prune,
+    # boilerplate_strip, logfreq_quality, minhash_signatures,
+    # dedup_simhash. r5 battery numbers are therefore the first
+    # full-evaluation series (see BENCH/BASELINE.md protocol note).
     for name in HEADLINE:
         fn = entry_queries.QUERIES[name]
         t0 = time.time()
-        drain = projection_only.get(name)
-        if drain is not None:
-            drain(fn(spark, sf_dir))
-        else:
-            fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     # no-Spark hardware control measured in the SAME window as the
