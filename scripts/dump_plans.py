@@ -72,6 +72,7 @@ PICKS = [
     "corpus_shuffle",         # pure-hash shard/order, one shard window
     "mixture_plan",           # vocab-sized agg + unpartitioned tiny window
     "warc_cdx",               # CDX build: shard-keyed window, native concat/hash
+    "bpe_encode_tokens",      # broadcast merge table -> Arrow encode, one agg
     # (bpe_train_merges returns a driver-built merge table — its work
     # is the per-round vocab aggregates, not the returned plan)
 ]
