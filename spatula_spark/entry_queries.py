@@ -51,6 +51,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _np(spark: SparkSession) -> int:
+    """Session parallelism — the scale-adaptive repartition width for
+    per-row-heavy stages (replaces round-5's hardcoded repartition(8),
+    which capped the Arrow codec pipelines at 8 tasks on any box)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 # --------------------------------------------------------------------------
 # SQL fragments shared by several oracles
 # --------------------------------------------------------------------------
@@ -379,8 +386,12 @@ SELECT o_orderkey, {canonicalize_url_duckdb('url')} AS canon_url FROM u
 )
 def url_canonicalize(spark, sf_dir):
     """The seen-set key function over synthesized messy URLs — the
-    whole canonicalizer is native Catalyst (urls.py)."""
-    o = _t(spark, sf_dir, "orders")
+    whole canonicalizer is native Catalyst (urls.py). Input spread to
+    session width (widen-only): the canonicalizer is a heavy
+    interpreted projection (~10 parse_url evaluations/row) and the
+    single-file scan otherwise runs it all on one task (guide §2.5;
+    VERDICT r5 item 6)."""
+    o = dd._spread(_t(spark, sf_dir, "orders"))
     url = F.concat(
         F.lit("HTTP://H"),
         (F.col("o_orderkey") % 50).cast("string"),
@@ -2020,7 +2031,13 @@ def image_near_dup_phash_q(spark, sf_dir):
         .select(F.col("doc_id").cast("long"))
         .orderBy("doc_id")
         .limit(400)
-        .repartition(8)
+        # session-width spread: the from-scratch JPEG encode+decode+DCT
+        # per image is the heaviest per-row kernel in the battery; 8
+        # tasks capped it at a quarter of a 32-core box (r6 A/B: 3.3-3.7s
+        # -> 2.1s). The lighter Arrow pipelines below keep 8 — their
+        # wall-clock is python-worker fixed cost, and 32 workers cost
+        # more than they parallelize (r6 A/B: audio 0.7s -> 1.1s).
+        .repartition(_np(spark))
     )
 
     def phash_pairs(batches):
@@ -3005,9 +3022,14 @@ def quality_cut_q(spark, sf_dir):
     approxQuantile threshold → broadcast → map-side filter)."""
     from .functions import quality as ql
 
-    docs = _t(spark, sf_dir, "documents")
-    dw = ql._dup_frac(dd.normalized_words(F.col("text")))
-    m = docs.select("doc_id", "lang", dw.alias("dup_word_frac"))
+    # __w projected (lambda-CSE trap) + widen-only spread (guide §2.5)
+    docs = dd._spread(_t(spark, sf_dir, "documents")).withColumn(
+        "__w", dd.normalized_words(F.col("text"))
+    )
+    m = docs.select(
+        "doc_id", "lang",
+        ql._dup_frac(F.col("__w")).alias("dup_word_frac"),
+    )
     win = Window.partitionBy("lang").orderBy(
         F.col("dup_word_frac").asc(), F.col("doc_id").asc()
     )

@@ -54,7 +54,12 @@ def word_ngrams(text: Column, n: int) -> Column:
     # OUTSIDE every lambda (Catalyst does not CSE across lambda
     # boundaries — the transform-with-index form re-ran the split per
     # produced gram; see dedup.word_shingles for the measurements)
-    w = normalized_words(text)
+    return word_ngrams_from(normalized_words(text), n)
+
+
+def word_ngrams_from(w: Column, n: int) -> Column:
+    """:func:`word_ngrams` over an ALREADY-PROJECTED words-array column
+    (the lambda-CSE-safe form — hot paths must project the array)."""
     m = F.size(w) - n + 1
     acc = F.slice(w, 1, m)
     for k in range(1, n):
@@ -78,7 +83,10 @@ def _dup_frac(grams: Column) -> Column:
 def adjacent_dup_frac(text: Column) -> Column:
     """Fraction of adjacent word pairs that are the same word — the
     "aaaa aaaa aaaa" degenerate-generation signal."""
-    w = normalized_words(text)
+    return adjacent_dup_frac_from(normalized_words(text))
+
+
+def adjacent_dup_frac_from(w: Column) -> Column:
     n1 = F.size(w) - 1
     eq = F.zip_with(
         F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: a == b
@@ -90,25 +98,44 @@ def adjacent_dup_frac(text: Column) -> Column:
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document repetition metrics + keep flag. Map-side only."""
-    t = F.col(text_col)
-    w = normalized_words(t)
-    dw = _dup_frac(w)  # 1-grams are just the word array
-    db = _dup_frac(word_ngrams(t, 2))
-    dt = _dup_frac(word_ngrams(t, 3))
-    adj = adjacent_dup_frac(t)
-    keep = (
-        (dw <= MAX_DUP_WORD_FRAC)
-        & (db <= MAX_DUP_BIGRAM_FRAC)
-        & (adj <= MAX_ADJACENT_DUP_FRAC)
+    """Per-document repetition metrics + keep flag. Map-side only.
+
+    r6 shape fix: the words array and the bigram/trigram arrays are
+    projected into real columns, and each metric is computed once with
+    the keep flag derived from the metric COLUMNS — the inlined form
+    evaluated the normalize+split subtree ~40x per row inside one
+    interpreted Project (no codegen for HOF-bearing Projects, hence no
+    subexpression elimination: the lambda-CSE trap measured in
+    lm.bigrams_from_words). Input spread to session width (widen-only,
+    guide §2.5) — still map-side only at scale."""
+    base = _spread(df).withColumn(
+        "__w", normalized_words(F.col(text_col))
+    ).withColumn(
+        "__b2", word_ngrams_from(F.col("__w"), 2)
+    ).withColumn(
+        "__b3", word_ngrams_from(F.col("__w"), 3)
     )
-    return df.select(
+    w = F.col("__w")
+    m = base.select(
         "doc_id",
         F.size(w).alias("n_words"),
-        dw.alias("dup_word_frac"),
-        db.alias("dup_bigram_frac"),
-        dt.alias("dup_trigram_frac"),
-        adj.alias("adjacent_dup_frac"),
+        _dup_frac(w).alias("dup_word_frac"),
+        _dup_frac(F.col("__b2")).alias("dup_bigram_frac"),
+        _dup_frac(F.col("__b3")).alias("dup_trigram_frac"),
+        adjacent_dup_frac_from(w).alias("adjacent_dup_frac"),
+    )
+    keep = (
+        (F.col("dup_word_frac") <= MAX_DUP_WORD_FRAC)
+        & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC)
+        & (F.col("adjacent_dup_frac") <= MAX_ADJACENT_DUP_FRAC)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "adjacent_dup_frac",
         keep.alias("keep"),
     )
 
@@ -225,12 +252,19 @@ def c4_clean(
     clean_chars is the total length of the kept lines (the size the
     cleaned corpus would actually ship).
     """
-    lines = F.col(lines_col)
     is_kept = (
         lambda x: x.rlike('[.!?"]$')
         & (F.size(F.split(x, " ")) >= min_line_words)
     )
-    kept = F.filter(lines, is_kept)
+    # project the kept-lines array once: it feeds three consumers
+    # (count, char sum, verdict threshold) and the line filter is the
+    # expensive pass (regex + split per line). Spread widen-only first
+    # (guide §2.5 single-file inputs).
+    staged = _spread(df).withColumn(
+        "__kept", F.filter(F.col(lines_col), is_kept)
+    )
+    lines = F.col(lines_col)
+    kept = F.col("__kept")
     has = lambda needle: F.exists(
         lines, lambda x: x.contains(needle)
     )
@@ -251,7 +285,7 @@ def c4_clean(
         .when(F.size(kept) < min_kept_lines, F.lit("too_few_sentences"))
         .otherwise(F.lit("ok"))
     )
-    return df.select(
+    return staged.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
@@ -295,7 +329,7 @@ def gopher_quality(
     # metrics read it, and Catalyst does not CSE across lambda
     # boundaries — inlined, the split would re-run per element per
     # metric (the measured 13x trap documented in lm.bigrams_from_words)
-    df = df.withColumn("__w", normalized_words(F.col(text_col)))
+    df = _spread(df).withColumn("__w", normalized_words(F.col(text_col)))
     w = F.col("__w")
     n = F.size(w)
     sum_chars = F.aggregate(
@@ -308,26 +342,37 @@ def gopher_quality(
     n_stop = F.size(
         F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
     )
-    verdict = (
-        F.when(
-            (n < min_words) | (n > max_words), F.lit("word_count")
-        )
-        .when(
-            (sum_chars < min_mean_len * n)
-            | (sum_chars > max_mean_len * n),
-            F.lit("mean_word_len"),
-        )
-        .when(n_sym * 10 > n, F.lit("symbol_ratio"))
-        .when(n_alpha * 5 < n * 4, F.lit("alpha_frac"))
-        .when(n_stop < 2, F.lit("stopwords"))
-        .otherwise(F.lit("ok"))
-    )
-    return df.select(
+    # metrics once (each an array pass); the verdict CASE reads the
+    # metric COLUMNS — inlining it doubled every pass (r6 plan diff)
+    m = df.select(
         "doc_id",
         n.alias("n_words"),
         sum_chars.alias("sum_word_chars"),
         n_sym.alias("n_symbol_words"),
         n_alpha.alias("n_alpha_words"),
         n_stop.alias("n_stopwords"),
+    )
+    nw = F.col("n_words")
+    verdict = (
+        F.when(
+            (nw < min_words) | (nw > max_words), F.lit("word_count")
+        )
+        .when(
+            (F.col("sum_word_chars") < min_mean_len * nw)
+            | (F.col("sum_word_chars") > max_mean_len * nw),
+            F.lit("mean_word_len"),
+        )
+        .when(F.col("n_symbol_words") * 10 > nw, F.lit("symbol_ratio"))
+        .when(F.col("n_alpha_words") * 5 < nw * 4, F.lit("alpha_frac"))
+        .when(F.col("n_stopwords") < 2, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "n_symbol_words",
+        "n_alpha_words",
+        "n_stopwords",
         verdict.alias("verdict"),
     )

@@ -35,10 +35,16 @@ def tokens(text: Column) -> Column:
 BPE_SPLIT_PATTERN = r"\s+|(?=[.,!?;:])"
 
 
-def token_count(text: Column) -> Column:
+def token_count_from(text: Column, toks: Column) -> Column:
+    """Token count from an ALREADY-PROJECTED tokens-array column (the
+    lambda-CSE-safe form — see lm.bigrams_from_words for the trap)."""
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(text))
+        F.size(toks)
     )
+
+
+def token_count(text: Column) -> Column:
+    return token_count_from(text, tokens(text))
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -53,22 +59,24 @@ def bpe_token_count(text: Column) -> Column:
     )
 
 
-def stopword_count(text: Column) -> Column:
+def stopword_count_from(toks: Column) -> Column:
     return F.size(
-        F.filter(tokens(text), lambda w: F.lower(w).isin(*STOPWORDS))
+        F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS))
     )
+
+
+def stopword_count(text: Column) -> Column:
+    return stopword_count_from(tokens(text))
 
 
 def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", ""))
 
 
-def quality_score(text: Column) -> Column:
-    """Cheap composite quality heuristic: length band + stopword ratio
-    band - punctuation-spam penalty. Deterministic, pure-native; the
-    exact formula is mirrored in the DuckDB oracle."""
-    n_tok = token_count(text)
-    stop_ratio = stopword_count(text) / F.greatest(n_tok, F.lit(1))
+def quality_score_from(text: Column, toks: Column) -> Column:
+    """:func:`quality_score` over a projected tokens column."""
+    n_tok = token_count_from(text, toks)
+    stop_ratio = stopword_count_from(toks) / F.greatest(n_tok, F.lit(1))
     punct_ratio = punct_count(text) / F.greatest(F.length(text), F.lit(1))
     return (
         F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
@@ -78,15 +86,27 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def lang_marker_score(text: Column, lang: str) -> Column:
+def quality_score(text: Column) -> Column:
+    """Cheap composite quality heuristic: length band + stopword ratio
+    band - punctuation-spam penalty. Deterministic, pure-native; the
+    exact formula is mirrored in the DuckDB oracle."""
+    return quality_score_from(text, tokens(text))
+
+
+def lang_marker_score_from(toks: Column, lang: str) -> Column:
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(tokens(text), lambda w: F.lower(w).isin(*markers)))
+    return F.size(F.filter(toks, lambda w: F.lower(w).isin(*markers)))
 
 
-def lang_id(text: Column) -> Column:
-    """Marker-count language ID: argmax over per-language marker hits,
-    ties resolved in fixed key order, zero hits -> 'und'."""
-    scores = [(lang, lang_marker_score(text, lang)) for lang in LANG_MARKERS]
+def lang_marker_score(text: Column, lang: str) -> Column:
+    return lang_marker_score_from(tokens(text), lang)
+
+
+def lang_id_from(toks: Column) -> Column:
+    """:func:`lang_id` over a projected tokens column."""
+    scores = [
+        (lang, lang_marker_score_from(toks, lang)) for lang in LANG_MARKERS
+    ]
     best = F.lit("und")
     best_score = F.lit(0)
     # iterate in reverse so earlier languages win ties (> not >=)
@@ -95,6 +115,12 @@ def lang_id(text: Column) -> Column:
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, score).otherwise(best_score)
     return best
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-count language ID: argmax over per-language marker hits,
+    ties resolved in fixed key order, zero hits -> 'und'."""
+    return lang_id_from(tokens(text))
 
 
 def fingerprint(text: Column) -> Column:
@@ -352,16 +378,28 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass profile: every operator above over a documents table."""
+    """One-pass profile: every operator above over a documents table.
+
+    r6: the tokens array is projected into a real column first — the
+    inlined form evaluated ``split(trim(text))`` 34x per row in one
+    interpreted Project (HOF-bearing Projects get no codegen and no
+    subexpression elimination; the lambda-CSE trap measured in
+    lm.bigrams_from_words) — and the input is spread to session width
+    (widen-only; single-file scans otherwise run the whole per-row
+    pipeline on one task, guide §2.5)."""
+    from .dedup import _spread
+
     t = F.col(text_col)
-    return df.select(
+    base = _spread(df).withColumn("__t", tokens(t))
+    tk = F.col("__t")
+    return base.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        token_count_from(t, tk).alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
-        stopword_count(t).alias("n_stopwords"),
+        stopword_count_from(tk).alias("n_stopwords"),
         punct_count(t).alias("n_punct"),
-        F.round(quality_score(t), 6).alias("quality"),
-        lang_id(t).alias("lang_guess"),
+        F.round(quality_score_from(t, tk), 6).alias("quality"),
+        lang_id_from(tk).alias("lang_guess"),
         fingerprint(t).alias("fp"),
     )
 
