@@ -621,9 +621,30 @@ def containment_pairs(
         # word_shingles is array_distinct, so (doc_id, gram) is unique
         # and count(*) per gram below is a true document frequency
     )
-    kept = posts.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    ).filter(F.col("_df") <= max_df)
+    # hot grams via groupBy + anti-join, NOT a count window: the window
+    # form buffers the hottest gram's ENTIRE posting list in one task
+    # before dropping it (the exact failure _dup_positions documents
+    # and avoids, same file below) — a boilerplate mega-gram with 10^8
+    # postings is a straggler/OOM at scale. The partial-agg hot set is
+    # bounded by distinct-grams/max_df rows, broadcast by AQE, and the
+    # anti-join reuses the same gram exchange. Same kept set exactly
+    # (df > max_df <=> membership in the hot set).
+    hot_grams = (
+        posts.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("gram")
+    )
+    # EAGER localCheckpoint: kept has THREE consumers (sizes, both
+    # self-join legs); without the cut each consumer re-runs the
+    # interpreted shingle explode + anti-join (the lazy-cache race
+    # lsh_candidate_pairs documents — measured 3.2s vs 1.3s here). The
+    # checkpoint is the PRUNED posting table — strictly smaller than
+    # what the old count window buffered, and spread across tasks
+    # instead of one window task per gram.
+    kept = posts.join(
+        hot_grams, "gram", "left_anti"
+    ).localCheckpoint(eager=True)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "gram")
     b = kept.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -1155,6 +1176,16 @@ def connected_components(
     scale harnesses can assert round counts stay ~constant as the
     corpus grows (see scripts/sf1_battery.py).
     """
+    from pyspark.sql import Observation
+
+    # convergence probes ride Observations on the eager localCheckpoint
+    # jobs (metrics fire when the checkpoint materializes — verified on
+    # this Spark), so neither the per-jump "did any pointer move" check
+    # nor the per-round "any edges left" check costs an extra job: the
+    # r5 shape paid one join+isEmpty job per jump and one isEmpty per
+    # round, which dominated the whole operator at small graph sizes
+    # (fixed per-job cost x O(log^2 n) probes).
+    e_obs = Observation()
     e = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
@@ -1165,8 +1196,10 @@ def connected_components(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_edges = int(e_obs.get["n"])
     comp = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -1176,7 +1209,7 @@ def connected_components(
     )
     rounds = jumps = 0
     for _ in range(max_iter):
-        if e.isEmpty():
+        if n_edges == 0:
             break
         rounds += 1
         sym = e.union(
@@ -1198,20 +1231,26 @@ def connected_components(
                 F.col("_n").alias("_pn"), F.col("_p").alias("_gp")
             )
             jumps += 1
+            j_obs = Observation()
             nxt = (
                 par.join(gp, par["_p"] == gp["_pn"], "left")
                 .select(
-                    "_n", F.coalesce("_gp", "_p").alias("_p")
+                    "_n",
+                    F.col("_p").alias("_old"),
+                    F.coalesce("_gp", "_p").alias("_p"),
+                )
+                .observe(
+                    j_obs,
+                    F.sum(
+                        (F.col("_p") != F.col("_old")).cast("long")
+                    ).alias("moved"),
                 )
                 .localCheckpoint(eager=True)
+                .select("_n", "_p")
             )
-            moved = (
-                nxt.join(par.withColumnRenamed("_p", "_old"), "_n")
-                .filter(F.col("_p") != F.col("_old"))
-                .isEmpty()
-            )
+            settled = int(j_obs.get["moved"] or 0) == 0
             par = nxt
-            if moved:
+            if settled:
                 break
         else:
             raise RuntimeError(
@@ -1226,6 +1265,7 @@ def connected_components(
         # contract edges to root pairs
         ru = par.select(F.col("_n").alias("u"), F.col("_p").alias("_ru"))
         rv = par.select(F.col("_n").alias("v"), F.col("_p").alias("_rv"))
+        e_obs = Observation()
         e = (
             e.join(ru, "u")
             .join(rv, "v")
@@ -1235,8 +1275,10 @@ def connected_components(
                 F.greatest("_ru", "_rv").alias("v"),
             )
             .distinct()
+            .observe(e_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_edges = int(e_obs.get["n"])
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -739,12 +739,12 @@ def pq_topk(
     # LONGS: integer micro-distances sum order-independently, so the
     # ADC total is bit-identical across numpy / Catalyst / DuckDB with
     # no float-fold-order hazard (the per-entry d-fold is the explicit
-    # left-to-right order the numpy/SQL twins use). The 128-entry /
-    # ~1k-term expression is generated as ONE SQL string and parsed by
-    # a single F.expr call: building it from Column objects costs one
-    # py4j round trip per operator — 11 s of measured driver time —
-    # while the parser does it in milliseconds.
-    qlut = q.select("query_id", _pq_lut_expr(books, "qv").alias("lut"))
+    # left-to-right order the numpy/SQL twins use). r6: computed by the
+    # Arrow LUT (same integer entries — see _pq_lut_udf) instead of the
+    # ~1k-term generated Catalyst expression, whose janino
+    # compile-and-fail alone cost ~1-3 s of driver time per run (the
+    # same finding that moved the ivfpq probe LUT to Arrow in r5).
+    qlut = q.select("query_id", _pq_lut_udf(books)("qv").alias("lut"))
     # adist = (sum_s lut[s*n_codes + codes[s]]) / 1e6 — pure Catalyst,
     # sequential fold spelled as one parsed expression
     adist = _pq_adist_expr(m, n_codes)
@@ -795,8 +795,8 @@ def ivfpq_topk(
     m codes) — at 10^10 rows ~200 GB against ~5 TB of raw float64.
 
     Query: probe the nprobe nearest centroids; per probe the query
-    residual (qv - centv) feeds the generated-SQL integer LUT
-    (:func:`_pq_lut_expr`), broadcast as (query_id, cent_id, lut);
+    residual (qv - centv) feeds the Arrow integer LUT
+    (:func:`_pq_lut_udf`), broadcast as (query_id, cent_id, lut);
     ADC is the pure-Catalyst fold over probed lists only. The ADC
     ``shortlist`` per query is then re-ranked EXACTLY — one broadcast
     join back to the raw vectors of shortlist x queries rows, never

@@ -1169,6 +1169,15 @@ class CrawlEngine:
                     if (self.politeness is None
                             and cfg.host_budget_per_wave is None):
                         scheduled = frontier
+                    elif (self.politeness is None
+                          and n_frontier <= cfg.host_budget_per_wave):
+                        # the WHOLE wave fits inside the default budget,
+                        # so no single host can exceed it: the limiter
+                        # is a provable no-op — skip its per-wave count
+                        # aggregate + broadcast join (r6; only sound
+                        # without a politeness table, whose per-host
+                        # budgets can undercut the default)
+                        scheduled = frontier
                     else:
                         scheduled, deferred = (
                             politeness_ops.split_by_host_budget(

@@ -58,6 +58,18 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
+        # r6: PySpark 4's per-API-call call-site capture does a Python
+        # stack inspection plus TWO extra py4j round trips per
+        # DataFrame-API call (pyspark.errors.utils._with_origin) purely
+        # to enrich error messages. The crawl engine builds hundreds of
+        # Column/DataFrame ops per wave on the driver — cProfile showed
+        # ~1s of a 13-wave doc-tree crawl in _capture_call_site alone.
+        # Scale-independent driver-overhead removal; tracebacks still
+        # carry the Python stack. Re-enable via env for debugging.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
