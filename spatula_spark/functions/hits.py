@@ -59,6 +59,15 @@ def integer_hits(
     checkpointing turns K rounds from quadratic recompute into K
     constant-depth steps, the same rule a Pregel-style runner uses.
     """
+    from pyspark.sql import Observation
+
+    # r6: the per-phase max-rescale rides an Observation on the eager
+    # checkpoint job (metrics fire when the checkpoint materializes),
+    # so the max arrives as a driver scalar for free and the rescale is
+    # a plain projection with a literal divisor — the previous
+    # 1-row-aggregate + broadcast-crossJoin cost a broadcast-build job
+    # per phase (6 extra jobs for n_iter=3). Exact same integer max,
+    # exact same div arithmetic.
     hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
     auth = nodes.select("node", F.lit(scale).cast("long").alias("a"))
     for _ in range(n_iter):
@@ -68,17 +77,19 @@ def integer_hits(
             .agg(F.sum("h").alias("ra"))
             .withColumnRenamed("dst", "node")
         )
+        obs_a = Observation()
         raw_a = (
             nodes.join(raw_a, "node", "left")
             .select(
                 "node",
                 F.coalesce("ra", F.lit(0).cast("long")).alias("ra"),
             )
+            .observe(obs_a, F.greatest(F.max("ra"), F.lit(1)).alias("m"))
             .localCheckpoint(eager=True)
         )
-        mx_a = raw_a.agg(F.greatest(F.max("ra"), F.lit(1)).alias("m"))
-        auth = raw_a.crossJoin(F.broadcast(mx_a)).select(
-            "node", F.expr(f"(ra * {scale}L) div m").alias("a")
+        m_a = int(obs_a.get["m"])
+        auth = raw_a.select(
+            "node", F.expr(f"(ra * {scale}L) div {m_a}L").alias("a")
         )
         raw_h = (
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
@@ -86,17 +97,19 @@ def integer_hits(
             .agg(F.sum("a").alias("rh"))
             .withColumnRenamed("src", "node")
         )
+        obs_h = Observation()
         raw_h = (
             nodes.join(raw_h, "node", "left")
             .select(
                 "node",
                 F.coalesce("rh", F.lit(0).cast("long")).alias("rh"),
             )
+            .observe(obs_h, F.greatest(F.max("rh"), F.lit(1)).alias("m"))
             .localCheckpoint(eager=True)
         )
-        mx_h = raw_h.agg(F.greatest(F.max("rh"), F.lit(1)).alias("m"))
-        hub = raw_h.crossJoin(F.broadcast(mx_h)).select(
-            "node", F.expr(f"(rh * {scale}L) div m").alias("h")
+        m_h = int(obs_h.get["m"])
+        hub = raw_h.select(
+            "node", F.expr(f"(rh * {scale}L) div {m_h}L").alias("h")
         )
     return (
         auth.join(hub, "node")
