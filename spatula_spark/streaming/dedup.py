@@ -37,6 +37,26 @@ def _as_stream_dir(path: str) -> str:
     return path
 
 
+def _state_partitions(spark: SparkSession, path: str) -> int:
+    """State-store partition count derived from INPUT SIZE, capped at
+    session parallelism (guide-§2 scale-adaptive partitioning): every
+    state partition pays a fixed per-microbatch cost (delta file +
+    maintenance snapshot per store instance), so a small keyed stream
+    across ``shuffle.partitions`` stores is pure overhead (measured
+    1.64s -> 0.91s on the sf0.1 dedup drain at 32 -> 8), while a
+    high-throughput stream keeps full width. ~32 MB of source per
+    state partition, floor 8."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        total = 0
+        for dp, _dirs, files in os.walk(path, followlinks=True):
+            for f in files:
+                total += os.path.getsize(os.path.join(dp, f))
+    except OSError:
+        return n
+    return max(min(n, total // (32 << 20) + 1), min(8, n))
+
+
 def stream_distinct_keys(
     spark: SparkSession,
     events_path: str,
@@ -51,22 +71,33 @@ def stream_distinct_keys(
     row's other columns are arrival-order-dependent; the key set is
     not)."""
     name = "dedup_" + uuid.uuid4().hex[:12]
+    src = _as_stream_dir(events_path)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        reader.parquet(_as_stream_dir(events_path))
+        reader.parquet(src)
         .withWatermark("ts", watermark)
         .select(*keys, "ts")
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    # the query snapshots shuffle.partitions at start() as its state
+    # partition count; derive it from input size, restore the session
+    # conf immediately after
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark, src))
     )
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
@@ -94,20 +125,29 @@ def stream_distinct_derived(
     a DataFrame with ``out_cols`` + ``ts``; dedup is on ``out_cols``.
     """
     name = "fpdedup_" + uuid.uuid4().hex[:12]
+    src = _as_stream_dir(events_path)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(_as_stream_dir(events_path))
+        .parquet(src)
         .withWatermark("ts", watermark)
     )
     deduped = derive(stream).dropDuplicatesWithinWatermark(list(out_cols))
-    q = (
-        deduped.select(*out_cols)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # input-sized state partitioning (see _state_partitions)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(spark, src))
     )
+    try:
+        q = (
+            deduped.select(*out_cols)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.awaitTermination()
     finally:
