@@ -667,6 +667,24 @@ def bpe_train_merges(
         F.lit(sep + "</w>" + sep),
     )
     cur = freq.select("n_w", init.alias("syms")).persist()
+    # size the merge loop's shuffles from the VOCAB, not the session
+    # (guide §2: derive partitioning from data size): every round is a
+    # vocab-sized pair aggregate, so at battery scale AQE's per-stage
+    # re-planning dominates the sub-second jobs (measured ~25% of the
+    # 10-round wall), while at production vocab sizes a static
+    # ~50k-rows-per-partition layout is already right — so AQE is
+    # disabled only INSIDE the loop, with partitions pre-sized, and
+    # both confs restored after. The count also materializes the
+    # persisted state (round 1 would otherwise do it implicitly).
+    n_vocab = cur.count()
+    n_sess = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    loop_parts = max(8, min(n_sess, n_vocab // 50_000 + 1))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
@@ -724,6 +742,8 @@ def bpe_train_merges(
             prev = cur
             cur = nxt
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         cur.unpersist()
         if prev is not None:
             prev.unpersist()
