@@ -249,16 +249,24 @@ def _capped_bucket_pairs(
     Bucket-min hubs guarantee ``_a < _b``.
     """
     pay = [payload_c] if payload_c else []
-    w = Window.partitionBy(*key_cols)
     hub_struct = F.struct(
         F.col(id_c).alias("i"), *[F.col(c).alias("p") for c in pay]
     )
-    b2 = bands.select(
-        id_c,
-        *pay,
-        *key_cols,
-        F.count(F.lit(1)).over(w).alias("_bn"),
-        F.min(hub_struct).over(w).alias("_hub"),
+    # bucket size + hub via a map-side-combinable AGGREGATE + join
+    # back, not count/min windows over the bucket key: the window form
+    # buffered every mega-bucket's rows (ids + payloads) in one task
+    # BEFORE the cap could split it — the same failure mode the
+    # containment df-cap had (VERDICT r5 item 3), here on the exact
+    # operator whose reason to exist is mega-bucket safety. The stats
+    # table is bucket-count-sized; AQE broadcasts it when small and the
+    # join reuses the bands exchange otherwise. Same (_bn, _hub) per
+    # row exactly (min over a struct == the window's min).
+    bstats = bands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.min(hub_struct).alias("_hub"),
+    )
+    b2 = bands.join(bstats, key_cols).select(
+        id_c, *pay, *key_cols, "_bn", "_hub"
     )
     small = b2.filter(F.col("_bn") <= max_bucket)
     sl, sr = small.alias("l"), small.alias("r")
