@@ -524,12 +524,14 @@ def incremental_near_dups(
         num_perms, band_rows,
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band", "bsig")
-        b2 = bands_b.select(
-            "doc_id", "band", "bsig",
-            F.count(F.lit(1)).over(w).alias("_bn"),
-            F.min("doc_id").over(w).alias("_rep"),
+        # map-side aggregate + join back, not count/min windows over
+        # the bucket key (the mega-bucket single-task-buffering flaw —
+        # see _capped_bucket_pairs)
+        bstats = bands_b.groupBy("band", "bsig").agg(
+            F.count(F.lit(1)).alias("_bn"),
+            F.min("doc_id").alias("_rep"),
         )
+        b2 = bands_b.join(bstats, ["band", "bsig"])
         if stats is not None:
             _bucket_cap_stats(bands_b, ["band", "bsig"], max_bucket, stats)
         bands_b = b2.filter(
@@ -1105,13 +1107,17 @@ def _mih_near_dups(
     if max_bucket is not None:
         if stats is not None:
             _bucket_cap_stats(exact, ["b", "key"], max_bucket, stats)
-        w = Window.partitionBy("b", "key")
-        e2 = exact.select(
-            "_rid", "_rh", "b", "key",
-            F.count(F.lit(1)).over(w).alias("_bn"),
+        # map-side aggregate + join back, not count/min windows over
+        # the bucket key (the mega-bucket single-task-buffering flaw —
+        # see _capped_bucket_pairs)
+        estats = exact.groupBy("b", "key").agg(
+            F.count(F.lit(1)).alias("_bn"),
             F.min(F.struct(
                 F.col("_rid").alias("i"), F.col("_rh").alias("p")
-            )).over(w).alias("_hub"),
+            )).alias("_hub"),
+        )
+        e2 = exact.join(estats, ["b", "key"]).select(
+            "_rid", "_rh", "b", "key", "_bn", "_hub"
         )
         exact = e2.filter(
             (F.col("_bn") <= max_bucket)

@@ -106,9 +106,11 @@ def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     evaluated the normalize+split subtree ~40x per row inside one
     interpreted Project (no codegen for HOF-bearing Projects, hence no
     subexpression elimination: the lambda-CSE trap measured in
-    lm.bigrams_from_words). Input spread to session width (widen-only,
-    guide §2.5) — still map-side only at scale."""
-    base = _spread(df).withColumn(
+    lm.bigrams_from_words). Deliberately NOT spread: the operator's
+    contract is exchange-free scan-speed streaming (pinned by
+    test_repetition_profile_is_map_side_only), and with the CSE fix
+    the per-row work is 5x cheaper anyway."""
+    base = df.withColumn(
         "__w", normalized_words(F.col(text_col))
     ).withColumn(
         "__b2", word_ngrams_from(F.col("__w"), 2)
