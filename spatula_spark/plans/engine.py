@@ -1286,7 +1286,25 @@ class CrawlEngine:
                     # driver-side dedup, which requires THIS wave's rows
                     # on the driver — big cluster waves must not pay the
                     # extra per-child canonicalize+hash+write
-                    lrows = emissions.select(*emit_hash_cols).collect()
+                    # driver-local wave: the plan is one broadcast
+                    # probe + explode over a LocalRelation frontier —
+                    # zero shuffle stages, so AQE's per-stage
+                    # re-planning is pure overhead here (~8% of a
+                    # 13-wave tree crawl measured); big cluster waves
+                    # keep AQE untouched
+                    _aqe = None
+                    if self._frontier_is_local:
+                        _aqe = spark.conf.get(
+                            "spark.sql.adaptive.enabled", "true")
+                        spark.conf.set(
+                            "spark.sql.adaptive.enabled", "false")
+                    try:
+                        lrows = emissions.select(
+                            *emit_hash_cols).collect()
+                    finally:
+                        if _aqe is not None:
+                            spark.conf.set(
+                                "spark.sql.adaptive.enabled", _aqe)
                     kind_counts = {k: 0 for k in kind_names}
                     deferred_requeues = 0
                     for r in lrows:
